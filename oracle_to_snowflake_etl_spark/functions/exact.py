@@ -1,0 +1,42 @@
+"""Exact (order-independent) aggregation helpers.
+
+Floating-point SUM is order-dependent; on a distributed engine the partial
+aggregation order differs run-to-run and engine-to-engine, so a double SUM
+can differ from a single-threaded oracle in the last ulp. For any
+aggregate whose result must be *bitwise* reproducible (differential
+checking, incremental re-runs, audit reconciliation — the reference's
+row-count prints at SURVEY.md §5.1 generalized to value-level), sum in
+DECIMAL: casting a double to DECIMAL(p,s) rounds deterministically, decimal
+addition is exact and associative, and the result is identical regardless
+of partitioning. The cost is a wider shuffle row — acceptable for audit
+aggregates; plain double sums remain available where last-ulp drift is
+fine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Scale 4 keeps 2-decimal money inputs exact while bounding width.
+DEC = "decimal(28,4)"
+
+
+def dsum(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent SUM over a double column via decimal: result cast
+    back to double for a stable output schema."""
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double")
+    return out.alias(alias) if alias else out
+
+
+def davg(col: Column | str, alias: str | None = None) -> Column:
+    """Order-independent AVG: exact decimal sum divided by count, in double.
+
+    Computed as cast(sum_dec as double) / count so both operands are
+    bit-identical on any engine; a single double division is then IEEE-
+    deterministic.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    out = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    return out.alias(alias) if alias else out

@@ -1,0 +1,83 @@
+"""Sources: parquet testdata loader + the reference's CSV scan semantics.
+
+Reference sites covered (SURVEY.md §2.1):
+  S3 CSV scan of latest date-stamped file (reference insert_ads_data.py:6-10)
+  parquet is the engine-native storage format (columnar, splittable,
+  predicate-pushdown-capable — the replacement for the reference's
+  row-oriented cursor fetch at oracle_to_snowflake.py:32-33).
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one driver testdata table. Parquet scans are columnar and
+    filter/projection-pushdown-capable — check `.explain("formatted")` for
+    ``PushedFilters``/``ReadSchema`` when composing queries on top."""
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
+    # epoch-nanos long — convert to a microsecond timestamp (matches the
+    # DuckDB oracle, which also truncates ns -> µs on fetch).
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn(
+                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register testdata tables as temp views so ``spark.sql`` can reference
+    them by name (parallels the DuckDB oracle's pre-registered views)."""
+    for n in names:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)
+
+
+def read_csv_latest(spark: SparkSession, directory: str, schema: T.StructType,
+                    prefix: str = "ads_data_", suffix: str = ".csv") -> DataFrame:
+    """Reference S3: pick the lexicographically-last matching CSV and read it
+    with an EXPLICIT schema (reference insert_ads_data.py:6-10 infers via
+    pandas; SURVEY.md §1.3 mandates explicit StructType in our engine).
+
+    The single-file choice mirrors the reference exactly; at scale the
+    natural form is the whole directory (``spark.read.csv(dir)``), which
+    stays partition-parallel.
+    """
+    files = sorted(
+        f for f in glob.glob(os.path.join(directory, f"{prefix}*{suffix}"))
+    )
+    if not files:
+        raise FileNotFoundError(f"no {prefix}*{suffix} under {directory}")
+    return (
+        spark.read.schema(schema)
+        .option("header", True)
+        .option("dateFormat", "yyyy-MM-dd")
+        .csv(files[-1])
+    )
+
+
+def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Reference S1 CSV sink (generate_ads_data.py:55): header on, no index
+    concept in Spark. Engine-native storage stays parquet; CSV is a boundary
+    format only."""
+    df.write.mode(mode).option("header", True).csv(path)
+
+
+def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
+                  partition_by: list[str] | None = None) -> None:
+    """Engine-native sink. ``partition_by`` (e.g. ["dt"]) gives partition
+    pruning for date-range queries at scale (SURVEY.md §4.3)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(path)
