@@ -1,0 +1,280 @@
+"""Document deduplication operators for large-scale training-data pipelines.
+
+Five strategies over a ``documents``-shaped table (doc_id, text, ...),
+from cheapest to most semantic:
+
+  exact          hash-groupBy on content hash — one shuffle on a 60-bit key
+  ngram_jaccard  exact 3-gram-shingle Jaccard via inverted-index self-join
+  minhash_lsh    MinHash signatures + banded LSH candidate generation
+  simhash        60-bit SimHash fingerprints + banded Hamming search
+  (embedding near-dup lives in operators/similarity.py — same machinery
+   as ANN search)
+
+Scale design (the 100 TB story — local tests verify correctness only):
+  - Signatures/fingerprints are computed with *array higher-order
+    functions* (transform/aggregate/array_min) inside whole-stage codegen:
+    zero shuffles, zero Python, one pass over the text.
+  - Candidate generation is the only shuffle: explode to (band, key) or
+    (chunk, value) and self-join. Band keys are high-cardinality, so the
+    join distributes evenly; frequent-shingle skew in ngram_jaccard is the
+    known hot spot, which is exactly why MinHash-LSH is the scale path —
+    its shuffle volume is O(docs × bands), independent of text length.
+  - All hashes are md5-derived (functions/hashing.py) so results are
+    bit-identical across engines and partitionings — dedup decisions are
+    reproducible run-to-run, which exact-once pipeline semantics need.
+
+The reference has no text ops (its dedup is the key anti-join J1,
+reference oracle_to_snowflake.py:84-86; SURVEY.md §2.3); this module is
+the north-star extension surface (SURVEY.md §7.5) built on the same
+"new rows only" philosophy applied to *content* instead of keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60, hash60_sql
+from .util import ensure_parallelism
+
+# MinHash parameters: 16 hashes = 4 bands x 4 rows. P(candidate | j) =
+# 1 - (1 - j^4)^4 — the S-curve crosses ~0.5 near j≈0.55, right for a
+# 0.5 near-dup threshold.
+MINHASH_K = 16
+LSH_BANDS = 4
+LSH_ROWS = 4
+
+# SimHash: 60-bit fingerprints (hashing.HASH_BITS), 4 chunks of 15 bits.
+# Pigeonhole: hamming(a,b) <= 3 => at least one of 4 chunks identical,
+# so banded candidate generation is lossless for the <=3 threshold.
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 15
+SIMHASH_MAX_HAMMING = 3
+
+
+# ---------------------------------------------------------------------------
+# Tokenization / shingling (shared with textstats)
+# ---------------------------------------------------------------------------
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens; trim first so no empty boundary tokens."""
+    return F.split(F.trim(col), " +")
+
+
+def shingles(toks: Column, k: int = 3) -> Column:
+    """Distinct k-word shingles (space-joined). Empty array when < k tokens
+    (guarded: Spark's sequence(1,0) would count *down*)."""
+    n = F.size(toks)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    joined = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j) for j in range(k)]))
+    return F.array_distinct(joined)
+
+
+# ---------------------------------------------------------------------------
+# 1. Exact dedup: content-hash groupBy
+# ---------------------------------------------------------------------------
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate collapse: group on a 60-bit content hash, keep the
+    lowest id (deterministic keeper), count copies.
+
+    One hash-aggregate: partial map-side combine means the shuffle carries
+    one row per distinct document per input partition — at 100 TB this is
+    bounded by distinct-count, not row-count.
+    """
+    return (
+        df.select(F.col(id_col), hash60(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. Exact n-gram Jaccard via inverted-index self-join
+# ---------------------------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 3) -> DataFrame:
+    """All pairs with exact Jaccard(shingle sets) >= threshold.
+
+    Inverted index: explode distinct shingles, self-join on the shingle,
+    count common shingles per pair, |A∪B| = |A|+|B|-common. The self-join
+    shuffles on the shingle hash — content-balanced except for frequent
+    shingles (stopword runs); at scale, drop shingles with document
+    frequency above a cap first (that prefilter is a strict superset
+    preserver for any threshold > 0 only if capped shingles are rare in
+    matching pairs — hence MinHash is the default at 100 TB).
+    """
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")))
+    sh = base.select(
+        "doc", F.explode(shingles(tokens(F.col("t")), k)).alias("s"))
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
+    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    return (
+        common.join(na, "doc_a").join(nb, "doc_b")
+        .withColumn("jaccard",
+                    F.col("common").cast("double")
+                    / (F.col("n_a") + F.col("n_b") - F.col("common")))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash + banded LSH
+# ---------------------------------------------------------------------------
+
+#: sentinel above every hash60 value (hashes are < 2^60)
+_MAX_H = 1 << 60
+
+
+def with_minhash_signature(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id",
+                           num_hashes: int = MINHASH_K) -> DataFrame:
+    """(id, sig) with sig = array of MINHASH_K 60-bit min-hashes,
+    sig[i] = min over shingles of hash60(f"{i}:{shingle}").
+
+    Structured as a SINGLE PASS over the shingle array: fold each shingle
+    into an elementwise-min accumulator of num_hashes lanes. The naive
+    per-seed formulation (transform over seeds of array_min over
+    shingles) re-evaluates the whole shingle-construction expression once
+    per seed — Catalyst inlines the subtree into every lambda — a 16x
+    blowup measured at 46x wall-clock with token re-splits compounded.
+    Here every subexpression is the input of exactly one fold, so it is
+    evaluated once per row. No shuffle, no UDF.
+
+    Documents with < k tokens (no shingles) are dropped up front with a
+    cheap token-count filter (their signature is undefined; exact dedup
+    handles degenerate shorts).
+    """
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
+          .where(F.size(tokens(F.col(text_col))) >= 3))
+    sh = shingles(tokens(F.col("t")))
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    init = F.array_repeat(F.lit(_MAX_H).cast("long"), num_hashes)
+    sig = F.aggregate(
+        sh, init,
+        lambda acc, s: F.zip_with(
+            acc,
+            F.transform(seeds,
+                        lambda i: hash60(F.concat(i.cast("string"), F.lit(":"), s))),
+            lambda a, b: F.least(a, b)))
+    return base.select("doc", sig.alias("sig"))
+
+
+def _band_keys(sig: Column, bands: int = LSH_BANDS, rows: int = LSH_ROWS) -> Column:
+    """Array of band keys: '_'-joined row values per band."""
+    return F.array(*[
+        F.concat_ws("_", F.slice(sig, b * rows + 1, rows).cast("array<string>"))
+        for b in range(bands)
+    ])
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
+                      text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Candidate pairs sharing >= 1 LSH band, scored by estimated Jaccard
+    (fraction of equal min-hashes), filtered at ``threshold``.
+
+    The only shuffle is the (band, key) self-join: O(docs x bands) rows,
+    independent of document length — this is the 100 TB dedup path.
+    Band keys are 240-bit values, so bucket collisions are genuine
+    signature matches; skew cannot concentrate (keys are hashes).
+    """
+    sigs = with_minhash_signature(df, text_col, id_col)
+    banded = sigs.select(
+        "doc", "sig", F.posexplode(_band_keys(F.col("sig"))).alias("band", "key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band"))
+               & (F.col("a.key") == F.col("b.key"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return (
+        cand.withColumn("est_jaccard", matches.cast("double") / MINHASH_K)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash + banded Hamming search
+# ---------------------------------------------------------------------------
+
+def with_simhash(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id") -> DataFrame:
+    """(doc, fp): 60-bit SimHash over whitespace tokens (frequency-weighted
+    by token multiplicity). Bit j of fp is 1 iff sum over tokens of
+    (+1 if bit j of hash60('sh:'||token) else -1) > 0.
+
+    Single pass per row: fold token hashes into a 60-lane sign-counter
+    array (zip_with add), then fold the counters into the fingerprint.
+    Every subexpression is the input of exactly one fold, so nothing is
+    re-evaluated per bit (the per-bit formulation re-hashes all tokens
+    60x — see with_minhash_signature). One codegen stage, no shuffle.
+    shiftright/shiftleft need column offsets, available in SQL form only
+    — hence expr strings rather than the F.* wrappers (int literals only).
+    """
+    h = hash60_sql("tok", prefix="sh:")
+    fp = f"""
+      cast(aggregate(
+        transform(
+          aggregate(
+            transform(split(trim(txt), ' +'), tok -> {h}),
+            array_repeat(cast(0 as bigint), {SIMHASH_BITS}),
+            (acc, h) -> zip_with(acc,
+                          transform(sequence(0, {SIMHASH_BITS - 1}),
+                                    j -> (shiftright(h, j) & 1) * 2 - 1),
+                          (a, b) -> a + b)),
+          (c, j) -> if(c > 0, shiftleft(cast(1 as bigint), j),
+                       cast(0 as bigint))),
+        cast(0 as bigint), (acc, x) -> acc + x) as bigint)
+    """
+    base = ensure_parallelism(
+        df.selectExpr(f"{id_col} as doc", f"{text_col} as txt"))
+    return base.selectExpr("doc", f"{fp} as fp")
+
+
+def simhash_pairs(df: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING,
+                  text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Pairs with Hamming(fp_a, fp_b) <= max_hamming.
+
+    Candidates via chunk banding (4 x 15-bit chunks; pigeonhole makes this
+    lossless for hamming <= 3), then the exact bit_count(xor) check.
+    Shuffle volume O(docs x 4) — same scale contract as MinHash-LSH.
+    """
+    fps = with_simhash(df, text_col, id_col)
+    chunks = fps.select(
+        "doc", "fp",
+        F.posexplode(F.array(*[
+            F.expr(f"(fp >> {c * SIMHASH_CHUNK_BITS}) & {(1 << SIMHASH_CHUNK_BITS) - 1}")
+            for c in range(SIMHASH_CHUNKS)])).alias("chunk", "cv"))
+    a, b = chunks.alias("a"), chunks.alias("b")
+    return (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
+               & (F.col("a.cv") == F.col("b.cv"))
+               & (F.col("a.doc") < F.col("b.doc")))
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
+                F.expr("bit_count(a.fp ^ b.fp)").alias("hamming"))
+        .dropDuplicates(["doc_a", "doc_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,193 @@
+"""Text analysis for training-data pipelines (SURVEY.md §7.5):
+language-ID, quality scoring, token counting, document fingerprinting.
+
+Everything here is built from JVM-side column expressions and array
+higher-order functions — one codegen stage per document scan, no Python
+in the hot path, no shuffle until an (optional) aggregation. Each
+function has an exact DuckDB mirror (queries/text_q.py) so the
+differential harness verifies values, not just row counts.
+
+The reference has no string functions beyond date formatting
+(SURVEY.md §2.7 'Absent'); this module is north-star extension surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+from .util import ensure_parallelism
+
+# Tiny per-language function-word lists for the n-gram/stopword heuristic
+# language-ID. Deterministic, alphabetical languages, usable identically
+# as SQL literals in the DuckDB oracle.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit"),
+    "en": ("the", "a", "is", "and", "of", "to", "in", "it"),
+    "es": ("el", "la", "es", "y", "de", "que", "un", "en"),
+    "fr": ("le", "la", "est", "et", "de", "que", "un", "dans"),
+    "zh": ("的", "是", "了", "在", "我", "有", "和", "不"),
+}
+
+#: BPE-ish word/number/symbol tokenizer (token counting)
+BPE_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+# Winnowing fingerprint parameters (Schleimer et al., SIGMOD'03 —
+# public algorithm): k-char grams, window w of consecutive gram hashes,
+# keep each window's minimum.
+WINNOW_K = 8
+WINNOW_W = 4
+
+
+def tokens(col: Column) -> Column:
+    return F.split(F.trim(col), " +")
+
+
+def n_tokens(col: Column) -> Column:
+    return F.size(tokens(col))
+
+
+def bpe_token_count(col: Column) -> Column:
+    """Count of BPE-ish regex tokens (letter runs, digit runs, single
+    symbols) — the cheap proxy for subword token counts."""
+    return F.regexp_count(col, F.lit(BPE_RE))
+
+
+def stopword_ratio(col: Column, lang: str = "en") -> Column:
+    toks = tokens(col)
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return hits.cast("double") / F.size(toks)
+
+
+def lang_scores(col: Column) -> list[tuple[str, Column]]:
+    """(lang, marker-hit-ratio) per language, over whitespace tokens."""
+    toks = tokens(col)
+    out = []
+    for lang in sorted(LANG_MARKERS):
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+        out.append((lang, hits.cast("double") / F.size(toks)))
+    return out
+
+
+def lang_id(col: Column) -> Column:
+    """argmax language by marker ratio; ties break alphabetically
+    ('und' = undetermined when no marker hits at all).
+
+    greatest + first-match-wins CASE, not an iterated when-fold — the
+    fold duplicates every earlier score subtree into each step
+    (exponential expression growth). Prefer :func:`lang_id_df`, which
+    stages the scores as materialized columns.
+    """
+    scores = lang_scores(col)
+    g = F.greatest(*[s for _, s in scores])
+    pick = None
+    for lang, s in scores:  # alphabetical: first equal-to-max wins
+        pick = (F.when(s == g, F.lit(lang)) if pick is None
+                else pick.when(s == g, F.lit(lang)))
+    return F.when(g <= 0, F.lit("und")).otherwise(pick)
+
+
+def lang_id_df(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", keep: tuple[str, ...] = ()) -> DataFrame:
+    """(id, *keep, lang_pred): staged language-ID — marker-hit ratios are
+    materialized as one column per language in a first projection, then
+    argmax/tiebreak runs over cheap attribute reads. Two codegen stages,
+    still zero shuffles."""
+    c = F.col(text_col)
+    langs = sorted(LANG_MARKERS)
+    scored = df.select(
+        F.col(id_col), *[F.col(k) for k in keep],
+        *[s.alias(f"s_{lang}") for lang, s in lang_scores(c)])
+    g = F.greatest(*[F.col(f"s_{lang}") for lang in langs])
+    pick = None
+    for lang in langs:
+        cond = F.col(f"s_{lang}") == g
+        pick = F.when(cond, F.lit(lang)) if pick is None else pick.when(cond, F.lit(lang))
+    return scored.select(
+        id_col, *keep,
+        F.when(g <= 0, F.lit("und")).otherwise(pick).alias("lang_pred"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document quality features, all in one codegen pass:
+      n_chars_m  measured character length
+      n_toks     whitespace token count
+      n_bpe      BPE-ish regex token count
+      mean_tok_len  average token length
+      alpha_ratio   fraction of [A-Za-z ] characters
+      stop_ratio    English marker-word ratio
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    return df.select(
+        F.col(id_col),
+        F.length(c).alias("n_chars_m"),
+        F.size(toks).alias("n_toks"),
+        bpe_token_count(c).alias("n_bpe"),
+        (F.aggregate(toks, F.lit(0).cast("long"),
+                     lambda a, t: a + F.length(t)).cast("double")
+         / F.size(toks)).alias("mean_tok_len"),
+        (F.length(F.regexp_replace(c, "[^A-Za-z ]", "")).cast("double")
+         / F.length(c)).alias("alpha_ratio"),
+        stopword_ratio(c).alias("stop_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Composite quality in [0,1]: length band + alpha ratio + stopword
+    signal, equally weighted. The formula is arbitrary but fixed — its
+    value is being *identically computable* in both engines, which is
+    what a reproducible quality-filter pipeline needs."""
+    feats = quality_features(df, text_col, id_col)
+    len_ok = F.when((F.col("n_toks") >= 10) & (F.col("n_toks") <= 1000),
+                    F.lit(1.0)).otherwise(F.lit(0.0))
+    stop_sig = F.least(F.col("stop_ratio") * 4.0, F.lit(1.0))
+    score = (len_ok + F.col("alpha_ratio") + stop_sig) / 3.0
+    # quantized (floor(x*1e6+0.5), functions/hashing.quantize_sql
+    # convention) — engines disagree on round-half conventions, floor
+    # does not.
+    q6 = F.floor(score * 1_000_000 + F.lit(0.5)).cast("long")
+    return feats.select(id_col, q6.alias("quality_q6"))
+
+
+def char_grams(col: Column, k: int = WINNOW_K) -> Column:
+    """All k-char grams of the string, in order (empty array if shorter
+    than k)."""
+    n = F.length(col)
+    idx = F.when(n >= k, F.sequence(F.lit(1), n - (k - 1))) \
+           .otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.substring(col, i, F.lit(k)))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        k: int = WINNOW_K, w: int = WINNOW_W) -> DataFrame:
+    """Winnowing document fingerprints: hash every k-gram (rolling-hash
+    role played by md5-derived hash60 for cross-engine determinism),
+    slide a window of w consecutive hashes, keep each window minimum,
+    distinct. Returns (doc_id, fp) exploded — the classic
+    plagiarism/near-dup fingerprint set, computed entirely in codegen.
+
+    The gram-hash array is materialized in its own projection before the
+    window pass: sliding windows random-access it w times per position,
+    and an inlined expression tree would re-hash the whole document per
+    window (O(n^2) md5 calls — see operators/dedup.py
+    with_minhash_signature for the same Catalyst-inlining trap).
+    """
+    base = ensure_parallelism(
+        df.select(F.col(id_col), F.col(text_col).alias("t")))
+    hashed = base.select(
+        id_col,
+        F.transform(char_grams(F.col("t"), k), lambda g: hash60(g)).alias("hs"))
+    hs = F.col("hs")
+    nh = F.size(hs)
+    starts = F.when(nh >= w, F.sequence(F.lit(1), nh - (w - 1))) \
+              .otherwise(F.array().cast("array<int>"))
+    mins = F.transform(starts, lambda s: F.array_min(F.slice(hs, s, w)))
+    return hashed.select(
+        F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))

@@ -1,0 +1,152 @@
+"""Dedup query set (SURVEY.md §7.5 north-star; operators/dedup.py) over the
+``documents`` table, each with a full value-level DuckDB oracle.
+
+The oracles re-express the exact same md5-derived hash pipeline in DuckDB
+SQL (functions/hashing.py cross-engine contract), so MinHash signatures,
+SimHash fingerprints, and Jaccard scores match bit-for-bit — not just
+row counts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.hashing import duck_hash60_sql
+from ..operators.dedup import (
+    LSH_BANDS,
+    LSH_ROWS,
+    MINHASH_K,
+    SIMHASH_BITS,
+    SIMHASH_CHUNK_BITS,
+    SIMHASH_CHUNKS,
+    SIMHASH_MAX_HAMMING,
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+)
+from ..sources.readers import load_table
+from . import register
+
+# DuckDB fragments mirroring operators/dedup.py tokenize/shingle exactly:
+# tokens = regex-split on runs of spaces after trim; shingles = distinct
+# space-joined 3-gram windows, empty when < 3 tokens.
+_DUCK_TOKS = "regexp_split_to_array(trim(text), ' +')"
+_DUCK_SHINGLES = f"""
+    list_distinct(
+      CASE WHEN len({_DUCK_TOKS}) >= 3
+           THEN list_transform(range(1, len({_DUCK_TOKS}) - 1),
+                  i -> {_DUCK_TOKS}[i] || ' ' || {_DUCK_TOKS}[i+1] || ' ' || {_DUCK_TOKS}[i+2])
+           ELSE [] END)
+"""
+
+
+@register(
+    "dedup_exact",
+    f"""
+    SELECT text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM (SELECT doc_id, {duck_hash60_sql('text')} AS text_hash FROM documents)
+    GROUP BY text_hash
+    """)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: 60-bit content-hash groupBy with deterministic keeper
+    (operators/dedup.py exact_dedup)."""
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH sh AS (
+      SELECT doc, UNNEST(shingles) AS s
+      FROM (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS shingles FROM documents)
+    ),
+    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
+    common AS (
+      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
+      FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
+    FROM common
+    JOIN sizes na ON common.doc_a = na.doc
+    JOIN sizes nb ON common.doc_b = nb.doc
+    WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5
+    """)
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 3-gram-shingle Jaccard >= 0.5 pairs via inverted-index
+    self-join (operators/dedup.py ngram_jaccard_pairs)."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH sigs AS (
+      SELECT doc,
+             list_transform(range(0, {MINHASH_K}), i ->
+               list_min(list_transform(shingles,
+                 s -> {duck_hash60_sql("CAST(i AS VARCHAR) || ':' || s")}))) AS sig
+      FROM (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS shingles FROM documents)
+      WHERE len(shingles) > 0
+    ),
+    banded AS (
+      SELECT doc, sig, b AS band,
+             array_to_string(sig[b*{LSH_ROWS}+1 : b*{LSH_ROWS}+{LSH_ROWS}], '_') AS key
+      FROM sigs, (SELECT UNNEST(range(0, {LSH_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                      a.sig AS sig_a, b.sig AS sig_b
+      FROM banded a
+      JOIN banded b ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b,
+           CAST(list_sum(list_transform(range(1, {MINHASH_K + 1}),
+                i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+             / {MINHASH_K} AS est_jaccard
+    FROM cand
+    WHERE CAST(list_sum(list_transform(range(1, {MINHASH_K + 1}),
+                i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+             / {MINHASH_K} >= 0.5
+    """)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + 4x4 banded LSH candidate pairs scored by estimated
+    Jaccard (operators/dedup.py minhash_lsh_pairs) — the 100 TB dedup
+    path: shuffle volume O(docs x bands), independent of text length."""
+    return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_simhash",
+    f"""
+    WITH hashed AS (
+      SELECT doc_id AS doc,
+             list_transform({_DUCK_TOKS}, t -> {duck_hash60_sql("'sh:' || t")}) AS th
+      FROM documents
+    ),
+    fps AS (
+      SELECT doc,
+             CAST(list_sum(list_transform(range(0, {SIMHASH_BITS}), j ->
+               CASE WHEN list_sum(list_transform(th,
+                          h -> ((h >> j) & 1) * 2 - 1)) > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT)
+               END)) AS BIGINT) AS fp
+      FROM hashed
+    ),
+    chunks AS (
+      SELECT doc, fp, c AS chunk,
+             (fp >> (c * {SIMHASH_CHUNK_BITS})) & {(1 << SIMHASH_CHUNK_BITS) - 1} AS cv
+      FROM fps, (SELECT UNNEST(range(0, {SIMHASH_CHUNKS})) AS c)
+    )
+    SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                    bit_count(xor(a.fp, b.fp)) AS hamming
+    FROM chunks a
+    JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv AND a.doc < b.doc
+    WHERE bit_count(xor(a.fp, b.fp)) <= {SIMHASH_MAX_HAMMING}
+    """)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit SimHash near-dup pairs at Hamming <= 3, candidates via
+    lossless 15-bit chunk banding (operators/dedup.py simhash_pairs)."""
+    return simhash_pairs(load_table(spark, sf_dir, "documents"))

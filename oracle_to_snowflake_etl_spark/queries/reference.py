@@ -1,63 +1,23 @@
-"""Named query registry: every operator from SURVEY.md §2, as a
-(Spark callable, DuckDB oracle SQL) pair on the driver's testdata tables.
-
-Contract (repo __spark_entry__.py): callable(spark, sf_dir) -> DataFrame;
-oracle SQL runs on DuckDB over the same parquet with tables pre-registered
-as views. Column names are aliased identically on both sides; every
-floating-point aggregate uses the exact decimal-sum form
-(functions/exact.py) so value hashes match bitwise regardless of
-partitioning.
-
-Determinism rules used throughout:
-  - date anchors are fixed literals (SURVEY.md §7.3: no wall-clock
-    CURRENT_DATE; testdata orders span 1995-01-01..2001-08-01);
-  - every top-k orders by (measure DESC, key ASC) so ties are stable;
-  - double arithmetic keeps the same operation order on both sides.
+"""Reference-parity query set (SURVEY.md §2), transposed onto the
+TPC-H-ish testdata (FIXTURES.md §5 mapping: ads_data -> lineitem/orders).
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .functions.exact import DEC, davg, dsum
-from .functions.kpis import safe_ratio
-from .operators.analytics import top_n_by, trend
-from .operators.incremental import incremental_delta
-from .sources.readers import load_table
+from ..functions.exact import DEC, davg, dsum
+from ..functions.kpis import safe_ratio
+from ..operators.analytics import top_n_by, trend
+from ..operators.incremental import incremental_delta
+from ..sources.readers import load_table
+from . import register
 
 # Fixed anchor: max(o_orderdate) in the driver testdata (all SFs share the
 # generator; see SURVEY.md §7.3 on anchoring "last 14 days").
 ANCHOR = "2001-08-01"
 ANCHOR_MINUS_14 = "2001-07-18"
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-# name -> (spark_fn, oracle_sql | None)
-_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
-
-
-def register(name: str, sql: str | None):
-    def deco(fn: QueryFn) -> QueryFn:
-        _REGISTRY[name] = (fn, sql)
-        return fn
-    return deco
-
-
-def queries() -> dict[str, QueryFn]:
-    return {name: fn for name, (fn, _) in _REGISTRY.items()}
-
-
-def oracle_sql() -> dict[str, str]:
-    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
-
-
-# ---------------------------------------------------------------------------
-# Reference parity set, transposed onto the TPC-H-ish testdata
-# (FIXTURES.md §5 mapping: ads_data -> lineitem/orders).
-# ---------------------------------------------------------------------------
 
 @register(
     "kpi_derive",

@@ -1,0 +1,111 @@
+"""Similarity-search query set (operators/similarity.py) over the
+``embeddings`` table (vec_id, embedding array<float>, label), each with a
+full value-level DuckDB oracle.
+
+Cross-engine determinism: dot products are sequential left-folds with a
+0.0 seed on both sides (bitwise-identical doubles), scores are quantized
+to 1e-6, and the SRP hyperplane matrix is one Python-computed literal
+embedded in BOTH plans — so even the LSH candidate sets match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..operators.similarity import (
+    SRP_BANDS,
+    SRP_BITS_PER_BAND,
+    SRP_PLANES,
+    brute_force_topk,
+    embedding_near_dups,
+    plane_weights,
+)
+from ..sources.readers import load_table
+from . import register
+
+#: how many vectors form the query set of the brute-force ANN check
+N_QUERIES = 8
+TOP_K = 10
+NEARDUP_Q6 = 350_000
+
+
+def _duck_dot(a: str, b: str) -> str:
+    """DuckDB mirror of similarity.dot: left fold seeded with 0.0 over
+    in-order element products (lambda index i is 1-based)."""
+    return (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform({a}, (x, i) -> CAST(x AS DOUBLE) * CAST({b}[i] AS DOUBLE))), "
+            f"(p, q) -> p + q)")
+
+
+def _duck_cos_q6(va: str, vb: str) -> str:
+    return (f"CAST(floor(({_duck_dot(va, vb)} / "
+            f"sqrt({_duck_dot(va, va)} * {_duck_dot(vb, vb)})) * 1000000 + 0.5) "
+            f"AS BIGINT)")
+
+
+@register(
+    "ann_brute_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    c AS (SELECT vec_id AS neighbor_id, embedding AS c_vec FROM embeddings)
+    SELECT query_id, neighbor_id, {_duck_cos_q6('q_vec', 'c_vec')} AS sim_q6
+    FROM c, q
+    WHERE query_id != neighbor_id
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY {_duck_cos_q6('q_vec', 'c_vec')} DESC, neighbor_id ASC) <= {TOP_K}
+    """)
+def q_ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 neighbors for the first 8 vectors: broadcast
+    query set, map-side scoring, per-query window rank
+    (operators/similarity.py brute_force_topk)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+    return brute_force_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), k=TOP_K)
+
+
+def _duck_srp_sql() -> str:
+    """DuckDB oracle for SRP-LSH near-dup pairs, embedding the identical
+    literal hyperplane matrix used by the Spark plan."""
+    ws = plane_weights()
+    w_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in ws) + "]"
+    mask = (1 << SRP_BITS_PER_BAND) - 1
+    proj = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            "list_transform(vec, (x, i) -> CAST(x AS DOUBLE) * W[j + 1][i])), "
+            "(p, q) -> p + q)")
+    return f"""
+    WITH planes AS (SELECT {w_lit} AS W),
+    coded AS (
+      SELECT vec_id AS doc, embedding AS vec,
+             CAST(list_sum(list_transform(range(0, {SRP_PLANES}), j ->
+               CASE WHEN {proj} > 0
+                    THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT)
+               END)) AS BIGINT) AS code
+      FROM embeddings, planes
+    ),
+    chunks AS (
+      SELECT doc, vec, b AS band,
+             (code >> (b * {SRP_BITS_PER_BAND})) & {mask} AS bv
+      FROM coded, (SELECT UNNEST(range(0, {SRP_BANDS})) AS b)
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b,
+                      a.vec AS vec_a, b.vec AS vec_b
+      FROM chunks a
+      JOIN chunks b ON a.band = b.band AND a.bv = b.bv AND a.doc < b.doc
+    )
+    SELECT doc_a, doc_b, {_duck_cos_q6('vec_a', 'vec_b')} AS sim_q6
+    FROM cand
+    WHERE {_duck_cos_q6('vec_a', 'vec_b')} >= {NEARDUP_Q6}
+    """
+
+
+@register("ann_srp_neardup", _duck_srp_sql())
+def q_ann_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH (32-bit code, 4x8 bands) embedding near-dup pairs at
+    quantized cosine >= 0.35 (operators/similarity.py
+    embedding_near_dups) — the O(corpus x bands) scale path."""
+    return embedding_near_dups(load_table(spark, sf_dir, "embeddings"),
+                               threshold_q6=NEARDUP_Q6)
