@@ -30,6 +30,24 @@ def dsum(col: Column | str, alias: str | None = None) -> Column:
     return out.alias(alias) if alias else out
 
 
+def qsum(col: Column | str, alias: str | None = None,
+         scale: int = 10_000) -> Column:
+    """Order-independent SUM of a COMPUTED float expression.
+
+    dsum's double->decimal cast is exact for raw 2-decimal inputs, but a
+    computed product (price * (1-disc)) has a full double mantissa and
+    engines disagree on the cast's rounding mode (half-up vs half-even)
+    — per-row ulps that accumulate across millions of rows. Quantizing
+    explicitly (floor(x*scale + 0.5) -> bigint, the
+    functions/hashing.quantize_sql convention) makes the rounding rule
+    part of the query: integer sums are exact, one final division.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    q = F.floor(c * scale + F.lit(0.5)).cast("long")
+    out = F.sum(q).cast("double") / F.lit(float(scale))
+    return out.alias(alias) if alias else out
+
+
 def davg(col: Column | str, alias: str | None = None) -> Column:
     """Order-independent AVG: exact decimal sum divided by count, in double.
 

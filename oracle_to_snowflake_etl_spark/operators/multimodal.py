@@ -179,7 +179,11 @@ def image_features(media: DataFrame, fake_width: int = 16) -> DataFrame:
                     rows.append((mid, None, None, None))
                     continue
                 img = arr[: h * fake_width].reshape(h, fake_width)
-                rows.append((mid, fake_width, h, float(img.mean())))
+                # exact integer sum / exact count -> one IEEE division:
+                # bit-identical to the DuckDB oracle (np.mean's pairwise
+                # float summation would not be)
+                rows.append((mid, fake_width, h,
+                             int(img.astype(np.int64).sum()) / img.size))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "width", "height", "mean_px"])
 

@@ -1,0 +1,132 @@
+"""Window / analytic operators.
+
+The reference has NO window functions (SURVEY.md §2.8) — these extend the
+engine to the full analytic surface a reporting workload needs (running
+totals, in-group ranking, gap analysis, moving averages) plus event
+sessionization, the canonical streaming-adjacent batch operator.
+
+Determinism rules for differential checking:
+  - every ORDER BY inside a window carries a unique tiebreak column;
+  - float aggregates inside frames go through DECIMAL
+    (functions/exact.py rationale: decimal addition is associative, so
+    running/moving sums are bit-identical regardless of execution);
+  - ranking/count outputs are integers — no float ambiguity.
+
+Scale notes: a window over PARTITION BY k is one shuffle on k, then a
+per-partition sort; skewed partitions (one giant user) are the hot spot
+— sessionize notes the mitigation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, WindowSpec
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC
+
+#: session gap: a new session starts after 30 idle minutes
+SESSION_GAP_MIN = 30
+
+
+def _dec_sum_over(col: Column, w: WindowSpec) -> Column:
+    """Order-independent SUM over a window: decimal in, double out."""
+    return F.sum(col.cast(DEC)).over(w).cast("double")
+
+
+def running_total(df: DataFrame, part: str, order: list[str],
+                  val: str, alias: str = "running") -> DataFrame:
+    """Cumulative decimal sum of ``val`` per ``part`` in ``order``."""
+    w = (Window.partitionBy(part).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return df.withColumn(alias, _dec_sum_over(F.col(val), w))
+
+
+def rank_in_group(df: DataFrame, part: str, measure: str,
+                  tiebreak: str) -> DataFrame:
+    """rank / dense_rank / row_number by ``measure`` DESC within
+    ``part`` (ties broken by ``tiebreak`` for row_number only — rank and
+    dense_rank see true ties)."""
+    by_measure = Window.partitionBy(part).orderBy(F.desc(measure))
+    stable = Window.partitionBy(part).orderBy(F.desc(measure), F.asc(tiebreak))
+    return df.select(
+        part, tiebreak, measure,
+        F.rank().over(by_measure).alias("rnk"),
+        F.dense_rank().over(by_measure).alias("drnk"),
+        F.row_number().over(stable).alias("rn"),
+    )
+
+
+def moving_avg(df: DataFrame, part: str, order: list[str], val: str,
+               n: int = 7, alias: str = "mavg") -> DataFrame:
+    """Trailing n-row average: exact decimal sum / exact count, one IEEE
+    division — bit-stable across engines and partitionings."""
+    w = Window.partitionBy(part).orderBy(*order).rowsBetween(-(n - 1), 0)
+    avg = (F.sum(F.col(val).cast(DEC)).over(w).cast("double")
+           / F.count(F.lit(1)).over(w))
+    return df.withColumn(alias, avg)
+
+
+def lag_delta(df: DataFrame, part: str, order: list[str], val: str,
+              alias: str = "delta") -> DataFrame:
+    """Difference between each row's ``val`` and the previous row's, per
+    partition (NULL for the first row)."""
+    w = Window.partitionBy(part).orderBy(*order)
+    return df.withColumn(alias, F.col(val) - F.lag(val, 1).over(w))
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id",
+               ts_col: str = "ts",
+               gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Assign session ids: a session breaks after ``gap_minutes`` idle.
+
+    Two stacked windows over the same (user, ts) sort — Spark plans ONE
+    shuffle + ONE sort for both (same partitioning/ordering), then:
+      new_session = ts - lag(ts) > gap (or first event)
+      session_id  = running count of breaks
+    Skew note: one hyperactive user = one giant sorted partition; at
+    100 TB pre-split such users by (user, day) first and stitch
+    cross-midnight sessions in a second, tiny pass.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    gap_us = gap_minutes * 60 * 1_000_000
+    prev_ts = F.lag(ts_col, 1).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us),
+        F.lit(1)).otherwise(F.lit(0))
+    cum = (Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return events.withColumn("is_new", is_new) \
+                 .withColumn("session_id", F.sum("is_new").over(cum)) \
+                 .drop("is_new")
+
+
+def session_stats(events: DataFrame, user_col: str = "user_id",
+                  ts_col: str = "ts",
+                  gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Per-session rollup: event count, value sum (decimal-exact), span
+    in microseconds. The batch mirror of a streaming session window."""
+    s = sessionize(events, user_col, ts_col, gap_minutes)
+    return (
+        s.groupBy(user_col, "session_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+             (F.max(F.unix_micros(F.col(ts_col)))
+              - F.min(F.unix_micros(F.col(ts_col)))).alias("span_us"))
+    )
+
+
+def tumbling_counts(events: DataFrame, minutes: int = 5,
+                    ts_col: str = "ts") -> DataFrame:
+    """Event-time tumbling windows by epoch-µs floor division — the
+    deterministic cross-engine window id (Spark's F.window struct and
+    DuckDB's time_bucket render differently; an integer bucket id hashes
+    identically). Batch mirror of the Structured Streaming windowed
+    count (streaming/jobs.py)."""
+    bucket_us = minutes * 60 * 1_000_000
+    wid = (F.unix_micros(F.col(ts_col)) / bucket_us).cast("long")
+    return (
+        events.groupBy(wid.alias("window_id"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"))
+    )

@@ -1,0 +1,74 @@
+"""Physical-plan inspection helpers.
+
+"Every operator, after it works, `.explain("formatted")` until it's the
+plan you'd want" — these helpers make that discipline executable:
+tests assert the scale-critical physical properties (filters reach the
+parquet scan, small dims broadcast, shuffle counts stay flat) so a
+regression in plan shape fails CI, not a 100 TB run.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from pyspark.sql import DataFrame
+
+
+def plan_string(df: DataFrame, mode: str = "formatted") -> str:
+    """The explain output as a string (DataFrame.explain only prints)."""
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """All PushedFilters entries across the plan's file scans."""
+    plan = plan_string(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters:\s*\[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema struct strings of every file scan (column pruning
+    check: a scan reading all columns for a narrow projection is a bug)."""
+    plan = plan_string(df)
+    return [m.group(1) for m in re.finditer(r"ReadSchema:\s*(\S+)", plan)]
+
+
+def exchange_count(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators in the physical plan — the
+    metric to hold flat as queries evolve. Counts detail-section headers
+    only (formatted mode prints each node in the tree AND as a
+    "(n) Exchange" section); BroadcastExchange is excluded — broadcasts
+    are the cheap alternative being asserted FOR."""
+    plan = plan_string(df)
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in plan_string(df)
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in plan_string(df)
+
+
+def has_top_k(df: DataFrame) -> bool:
+    """TakeOrderedAndProject = true distributed top-k (per-partition
+    heap + driver merge), vs a global sort feeding a limit."""
+    return "TakeOrderedAndProject" in plan_string(df)
+
+
+def codegen_stage_count(df: DataFrame) -> int:
+    """Whole-stage-codegen span count — fewer, wider spans mean more of
+    the query runs as generated JVM loops."""
+    plan = plan_string(df)
+    ids = set(re.findall(r"WholeStageCodegen \((\d+)\)", plan))
+    return len(ids)

@@ -1,0 +1,116 @@
+"""Multimodal query set (operators/multimodal.py): binary payload +
+typed-metadata plumbing, with the payload derived from ``documents`` text
+(all-ASCII in the driver testdata, so byte == char and DuckDB can
+value-check the Python/Arrow paths via codepoint arithmetic).
+
+These four queries differentially verify REAL mapInPandas pipelines —
+Arrow batches in, pandas out — not just JVM expressions: byte stats and
+frame digests computed by numpy/hashlib in Python workers must equal
+DuckDB SQL over the same parquet.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.multimodal import (
+    FRAME_SIZE,
+    FRAME_STEP,
+    byte_stats,
+    frame_sample,
+    image_features,
+    media_from_documents,
+)
+from ..sources.readers import load_table
+from . import register
+
+_ASCII_SUM = ("CAST(list_sum(list_transform(range(1, length(text) + 1), "
+              "i -> ascii(substr(text, i, 1)))) AS BIGINT)")
+_ASCII_SQSUM = ("CAST(list_sum(list_transform(range(1, length(text) + 1), "
+                "i -> ascii(substr(text, i, 1)) * ascii(substr(text, i, 1)))) "
+                "AS BIGINT)")
+
+
+def _media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return media_from_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "mm_catalog",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(substr(source, 4) AS INT) % 3
+                WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video'
+           END AS kind,
+           octet_length(encode(text)) AS n_bytes,
+           lang, n_chars
+    FROM documents
+    """)
+def q_mm_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media-catalog projection: binary payload size + typed metadata
+    struct fields (operators/multimodal.py media_from_documents)."""
+    return _media(spark, sf_dir).select(
+        "media_id", "kind",
+        F.length("payload").alias("n_bytes"),
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.n_chars").alias("n_chars"),
+    )
+
+
+@register(
+    "mm_byte_stats",
+    f"""
+    SELECT doc_id AS media_id,
+           length(text) AS n_bytes,
+           {_ASCII_SUM} AS byte_sum,
+           {_ASCII_SQSUM} AS byte_sqsum
+    FROM documents
+    """)
+def q_mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow mapInPandas byte statistics (numpy over binary payloads);
+    integer outputs make the whole Python path value-checkable
+    (operators/multimodal.py byte_stats)."""
+    return byte_stats(_media(spark, sf_dir))
+
+
+@register(
+    "mm_frame_sample",
+    f"""
+    SELECT doc_id AS media_id,
+           fno AS frame_no,
+           length(substr(text, fno * {FRAME_SIZE} + 1, {FRAME_SIZE}))
+               AS frame_bytes,
+           md5(substr(text, fno * {FRAME_SIZE} + 1, {FRAME_SIZE})) AS frame_md5
+    FROM documents,
+         UNNEST(range(0, length(text) // {FRAME_SIZE})) AS t(fno)
+    WHERE fno % {FRAME_STEP} = 0
+    """)
+def q_mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-style frame sampling: every 3rd 32-byte chunk with an md5
+    frame digest, computed by hashlib inside mapInPandas and verified
+    against DuckDB's md5 over the same chars
+    (operators/multimodal.py frame_sample)."""
+    return frame_sample(_media(spark, sf_dir))
+
+
+@register(
+    "mm_image_features",
+    f"""
+    SELECT doc_id AS media_id,
+           CASE WHEN length(text) >= 16 THEN 16 END AS width,
+           CASE WHEN length(text) >= 16 THEN length(text) // 16 END AS height,
+           CASE WHEN length(text) >= 16 THEN
+             CAST(list_sum(list_transform(
+                    range(1, (length(text) // 16) * 16 + 1),
+                    i -> ascii(substr(text, i, 1)))) AS DOUBLE)
+               / ((length(text) // 16) * 16)
+           END AS mean_px
+    FROM documents
+    """)
+def q_mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fake-decoder image features (16-wide grayscale reinterpretation of
+    the payload): exercises the gated decode path's schema/batching; the
+    mean is exact-integer-sum / count so both engines agree bitwise
+    (operators/multimodal.py image_features)."""
+    return image_features(_media(spark, sf_dir))

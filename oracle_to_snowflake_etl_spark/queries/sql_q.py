@@ -1,0 +1,268 @@
+"""General SQL-surface query set: set operations, grouping sets,
+DISTINCT aggregates, semi/anti subqueries, outer joins, pivot-style
+conditional aggregation, string functions, and the as-of join
+(operators/asof.py, verified against DuckDB's native ASOF JOIN).
+
+The reference needs none of these (SURVEY.md §2.6/2.8 'Absent') — they
+complete the engine's join/aggregate surface so reference users can grow
+into them without leaving the engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC, dsum
+from ..operators.asof import asof_join
+from ..operators.merge import merge_upsert
+from ..sources.readers import load_table
+from . import register
+
+_DECU = DEC.upper()
+
+
+@register(
+    "set_ops",
+    """
+    WITH recent AS (SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'),
+    big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    SELECT 'union' AS op, o_custkey FROM (
+        SELECT DISTINCT o_custkey FROM recent
+        UNION SELECT o_custkey FROM big)
+    UNION ALL
+    SELECT 'intersect', o_custkey FROM (
+        SELECT DISTINCT o_custkey FROM recent
+        INTERSECT SELECT o_custkey FROM big)
+    UNION ALL
+    SELECT 'except', o_custkey FROM (
+        SELECT DISTINCT o_custkey FROM recent
+        EXCEPT SELECT o_custkey FROM big)
+    """)
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT (distinct semantics) over two customer
+    populations, labeled and stacked."""
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    big = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    parts = [
+        ("union", recent.union(big).distinct()),
+        ("intersect", recent.intersect(big)),   # INTERSECT DISTINCT
+        ("except", recent.subtract(big)),       # EXCEPT DISTINCT
+    ]
+    out = None
+    for label, df in parts:
+        piece = df.select(F.lit(label).alias("op"), "o_custkey")
+        out = piece if out is None else out.unionAll(piece)
+    return out
+
+
+@register(
+    "rollup_revenue",
+    f"""
+    SELECT coalesce(n_name, '<all>') AS nation,
+           coalesce(CAST(year(o_orderdate) AS VARCHAR), '<all>') AS yr,
+           CAST(SUM(CAST(o_totalprice AS {_DECU})) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY ROLLUP(n_name, year(o_orderdate))
+    """)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP (nation, year) revenue: subtotal + grand-total rows,
+    NULL grouping slots made explicit so both engines hash alike."""
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    j = (orders
+         .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+         .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey))
+    return (
+        j.rollup("n_name", F.year("o_orderdate").alias("_yr"))
+        .agg(dsum("o_totalprice", "revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .select(
+            F.coalesce("n_name", F.lit("<all>")).alias("nation"),
+            F.coalesce(F.col("_yr").cast("string"), F.lit("<all>")).alias("yr"),
+            "revenue", "n_orders")
+    )
+
+
+@register(
+    "distinct_aggs",
+    f"""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_suppkey) AS n_supp,
+           COUNT(DISTINCT l_partkey) AS n_part,
+           CAST(SUM(DISTINCT CAST(l_quantity AS {_DECU})) AS DOUBLE) AS sum_dist_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """)
+def q_distinct_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiple DISTINCT aggregates in one group — Spark plans the
+    expand+two-phase distinct aggregation automatically."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey").alias("n_part"),
+        F.sum_distinct(F.col("l_quantity").cast(DEC)).cast("double")
+         .alias("sum_dist_qty"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@register(
+    "anti_semi_customers",
+    """
+    SELECT c.c_custkey, c.c_name,
+           CASE WHEN EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+                THEN 'active' ELSE 'inactive' END AS status
+    FROM customer c
+    """)
+def q_anti_semi_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti join as one labeled projection (EXISTS subquery
+    shape): left_semi finds active customers, left_anti the rest."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    active = (customer.join(orders, customer.c_custkey == orders.o_custkey,
+                            "left_semi")
+              .select("c_custkey", "c_name", F.lit("active").alias("status")))
+    inactive = (customer.join(orders, customer.c_custkey == orders.o_custkey,
+                              "left_anti")
+                .select("c_custkey", "c_name", F.lit("inactive").alias("status")))
+    return active.unionAll(inactive)
+
+
+@register(
+    "outer_join_counts",
+    f"""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS {_DECU})) AS DOUBLE) AS spend
+    FROM customer c
+    LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """)
+def q_outer_join_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join + per-customer rollup: zero-order customers keep a
+    row with n_orders=0 and NULL spend."""
+    customer = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    j = customer.join(orders, orders.o_custkey == customer.c_custkey, "left_outer")
+    return j.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders"),
+        dsum("o_totalprice", "spend"),
+    )
+
+
+@register(
+    "pivot_priority_status",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+    FROM orders
+    GROUP BY o_orderpriority
+    """)
+def q_pivot_priority_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot orders: status columns per priority row (conditional
+    aggregation — the engine-portable pivot form)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(*[
+        F.count(F.when(F.col("o_orderstatus") == s, 1)).alias(f"n_{s.lower()}")
+        for s in ("F", "O", "P")
+    ])
+
+
+@register(
+    "string_funcs",
+    """
+    SELECT c_custkey,
+           upper(c_name) AS uname,
+           length(c_name) AS name_len,
+           replace(c_name, '#', '-') AS dashed,
+           substr(c_name, 1, 8) AS prefix,
+           concat(c_name, ':', c_mktsegment) AS tagged,
+           split_part(c_name, '#', 2) AS num_part
+    FROM customer
+    """)
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: upper/length/replace/substr/concat/
+    split_part over customer names."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("uname"),
+        F.length("c_name").alias("name_len"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("dashed"),
+        F.substring("c_name", 1, 8).alias("prefix"),
+        F.concat_ws(":", "c_name", "c_mktsegment").alias("tagged"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("num_part"),
+    )
+
+
+@register(
+    "merge_upsert_orders",
+    """
+    WITH source AS (
+      SELECT o_orderkey, o_custkey, o_totalprice * 2 AS o_totalprice
+      FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+    ),
+    kept AS (
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      WHERE NOT EXISTS (SELECT 1 FROM source s
+                        WHERE s.o_orderkey = o.o_orderkey)
+    )
+    SELECT * FROM source UNION ALL SELECT * FROM kept
+    """)
+def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upsert (operators/merge.py): a "correction feed" (2000+ orders,
+    price restated 2x) merged over the full table — source wins on key
+    collision, untouched target rows survive. The format-agnostic MERGE."""
+    orders = load_table(spark, sf_dir, "orders") \
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    source = (load_table(spark, sf_dir, "orders")
+              .where(F.col("o_orderdate")
+                     >= F.lit("2000-01-01 00:00:00").cast("timestamp"))
+              .select("o_orderkey", "o_custkey",
+                      (F.col("o_totalprice") * 2).alias("o_totalprice")))
+    return merge_upsert(source, orders, ["o_orderkey"])
+
+
+@register(
+    "asof_click_attribution",
+    """
+    WITH clicks AS (
+      SELECT user_id, ts, event_id, value FROM events WHERE event_type = 'click'
+    ),
+    views AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'view'
+    )
+    SELECT v.user_id, v.event_id,
+           c.event_id AS click_id, c.value AS click_value
+    FROM views v
+    ASOF LEFT JOIN clicks c
+      ON v.user_id = c.user_id AND v.ts >= c.ts
+    """)
+def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): attribute each view to the user's
+    latest click at-or-before it. Spark has no native as-of join; ours
+    is the one-shuffle union-sort construction, and DuckDB's native
+    ASOF JOIN is the oracle."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.where(F.col("event_type") == "click") \
+                   .select("user_id", "ts", "event_id", "value")
+    views = events.where(F.col("event_type") == "view") \
+                  .select("user_id", "ts", "event_id")
+    out = asof_join(views, clicks, key="user_id",
+                    payload=["event_id", "value"], suffix="_c")
+    return out.select(
+        "user_id", "event_id",
+        F.col("event_id_c").alias("click_id"),
+        F.col("value_c").alias("click_value"))

@@ -1,0 +1,128 @@
+"""TPC-H-classic query shapes on the driver testdata — the canonical
+OLAP plans (multi-predicate scan-agg, join-filter-topk, selective-filter
+sum) that exercise pushdown, partial aggregation, and distributed top-k
+together. Published TPC-H text is the spec; columns are adapted to the
+driver's slimmer schemas.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC, davg, dsum, qsum
+from ..sources.readers import load_table
+from . import register
+
+_DECU = DEC.upper()
+
+
+@register(
+    "tpch_q1_pricing",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS {_DECU})) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS {_DECU})) AS DOUBLE) AS sum_base,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               * 10000 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+               AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS {_DECU})) AS DOUBLE) / COUNT(l_quantity)
+               AS avg_qty,
+           CAST(SUM(CAST(l_discount AS {_DECU})) AS DOUBLE) / COUNT(l_discount)
+               AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """)
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary: one scan, multi-expression partial+final
+    hash agg — the canonical whole-stage-codegen benchmark query."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate")
+                 <= F.lit("1998-09-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(dsum("l_quantity", "sum_qty"),
+             dsum("l_extendedprice", "sum_base"),
+             qsum(disc, "sum_disc"),
+             qsum(charge, "sum_charge"),
+             davg("l_quantity", "avg_qty"),
+             davg("l_discount", "avg_disc"),
+             F.count(F.lit(1)).alias("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_priority",
+    f"""
+    SELECT l.l_orderkey,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l.l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """)
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: selective dim filter (broadcast) ->
+    fact join -> agg -> top-10. The segment filter prunes customers
+    before broadcast, so the lineitem side never shuffles for joins."""
+    c = load_table(spark, sf_dir, "customer") \
+        .where(F.col("c_mktsegment") == "BUILDING")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp"))
+    li = load_table(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(qsum(revenue, "revenue"))
+        .select("l_orderkey", "revenue",
+                F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+                "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q6_forecast",
+    f"""
+    SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: four conjunctive predicates, all pushed
+    to the parquet scan, one global agg — the pushdown litmus test."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24))
+        .agg(qsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
+             F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,163 @@
+"""Window / analytic query set (operators/windows.py) over orders,
+lineitem, and events — running totals, ranking, gaps, moving averages,
+sessionization, event-time tumbling windows. Every window ORDER BY has a
+unique tiebreak; every float aggregate is decimal-exact; frames are
+spelled ROWS explicitly on both sides (the default frame is RANGE, which
+engines can disagree on with peer rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC
+from ..operators.windows import (
+    SESSION_GAP_MIN,
+    lag_delta,
+    moving_avg,
+    rank_in_group,
+    running_total,
+    session_stats,
+    tumbling_counts,
+)
+from ..sources.readers import load_table
+from . import register
+
+_DECU = DEC.upper()
+
+
+@register(
+    "w_running_spend",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(SUM(CAST(o_totalprice AS {_DECU})) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS running
+    FROM orders
+    """)
+def q_w_running_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer running spend in order-date order
+    (operators/windows.py running_total)."""
+    orders = load_table(spark, sf_dir, "orders")
+    out = running_total(orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+                        "o_totalprice")
+    return out.select("o_orderkey", "o_custkey", "running")
+
+
+@register(
+    "w_rank_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           rank()       OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk,
+           dense_rank() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS drnk,
+           row_number() OVER (PARTITION BY o_custkey
+                              ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+    FROM orders
+    """)
+def q_w_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / row_number of orders by price within customer
+    (operators/windows.py rank_in_group)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return rank_in_group(orders, "o_custkey", "o_totalprice", "o_orderkey")
+
+
+@register(
+    "w_order_deltas",
+    """
+    SELECT o_custkey, o_orderkey,
+           o_totalprice - lag(o_totalprice, 1) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             AS delta,
+           date_diff('day',
+                     lag(o_orderdate, 1) OVER (
+                       PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+                     o_orderdate) AS gap_days
+    FROM orders
+    """)
+def q_w_order_deltas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer consecutive-order price delta and day gap via lag
+    (operators/windows.py lag_delta)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    out = lag_delta(orders, "o_custkey", ["o_orderdate", "o_orderkey"],
+                    "o_totalprice")
+    return out.select(
+        "o_custkey", "o_orderkey", "delta",
+        F.datediff(F.col("o_orderdate"),
+                   F.lag("o_orderdate", 1).over(w)).alias("gap_days"))
+
+
+@register(
+    "w_moving_avg7",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_partkey,
+           CAST(SUM(CAST(l_extendedprice AS {_DECU})) OVER w AS DOUBLE)
+             / COUNT(*) OVER w AS mavg
+    FROM lineitem
+    WINDOW w AS (PARTITION BY l_partkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """)
+def q_w_moving_avg7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-row average extended price per part in ship-date order
+    (operators/windows.py moving_avg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    out = moving_avg(li, "l_partkey",
+                     ["l_shipdate", "l_orderkey", "l_linenumber"],
+                     "l_extendedprice", n=7)
+    return out.select("l_orderkey", "l_linenumber", "l_partkey", "mavg")
+
+
+@register(
+    "ev_sessions",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {SESSION_GAP_MIN * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM s
+    )
+    SELECT user_id, session_id,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {_DECU})) AS DOUBLE) AS value_sum,
+           MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS span_us
+    FROM numbered
+    GROUP BY user_id, session_id
+    """)
+def q_ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-minute-gap sessionization of the events stream + per-session
+    rollup (operators/windows.py session_stats) — the batch mirror of a
+    streaming session window."""
+    events = load_table(spark, sf_dir, "events")
+    return session_stats(events)
+
+
+@register(
+    "ev_tumbling_5m",
+    f"""
+    SELECT epoch_us(ts) // {5 * 60 * 1_000_000} AS window_id,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS {_DECU})) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """)
+def q_ev_tumbling_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-minute event-time tumbling window counts/sums by type
+    (operators/windows.py tumbling_counts) — integer bucket ids hash
+    identically across engines."""
+    return tumbling_counts(load_table(spark, sf_dir, "events"), minutes=5)

@@ -27,8 +27,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # DuckDB oracle, which also truncates ns -> µs on fetch).
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            # integer `div`, NOT `/`: float division of epoch-nanos
+            # (~1.7e18 > 2^53) drops low bits and lands ±1 µs off
             df = df.withColumn(
-                "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+                "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
 
 

@@ -1,0 +1,130 @@
+"""Structured Streaming jobs (SURVEY.md §2.9, §7.4).
+
+The reference is pure batch; its run-to-run incremental pattern (J1 +
+append) is at-least-once extract with exactly-once EFFECT via key-level
+dedup. The semantics-preserving streaming port:
+
+    readStream(dir) -> dropDuplicates(keys) -> foreachBatch(
+        anti-join target keys, append) with Trigger.AvailableNow
+
+AvailableNow drains everything present then stops — exactly the
+reference's "run the script, load what's new" lifecycle, but with
+checkpointed source offsets on top. NO watermark on the incremental
+path on purpose: the reference inserts any never-seen key regardless of
+its event date; a watermark would silently drop late rows and change
+semantics (SURVEY.md §2.9).
+
+Also here: the standard streaming analytics shapes the engine exposes —
+watermarked tumbling-window aggregation and an arbitrary-stateful
+per-key operator (applyInPandasWithState).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from ..functions.exact import DEC
+from ..operators.incremental import incremental_delta
+from ..schemas import ADS_DATA, ADS_KEY_COLS
+
+
+def read_ads_stream(spark: SparkSession, src_dir: str,
+                    fmt: str = "parquet") -> DataFrame:
+    """File-source stream over a drop directory of ads_data batches —
+    schema explicit, never inferred (SURVEY.md §1.3)."""
+    reader = spark.readStream.schema(ADS_DATA)
+    if fmt == "csv":
+        return reader.option("header", True).csv(src_dir)
+    return reader.parquet(src_dir)
+
+
+def incremental_append_stream(stream: DataFrame, target_path: str,
+                              checkpoint: str,
+                              key_cols: list[str] | None = None) -> StreamingQuery:
+    """The J1 incremental load as a stream (see module docstring).
+
+    Dedup happens twice, deliberately:
+      - dropDuplicates(keys) inside the micro-batch (a batch may carry
+        the same key in two files);
+      - anti-join against the target (cross-run dedup — the reference's
+        "new rows only" guarantee, oracle_to_snowflake.py:84-87).
+    foreachBatch appends parquet; at 100 TB the same function body
+    targets a Delta/Iceberg MERGE instead, nothing else changes.
+    """
+    keys = key_cols or ADS_KEY_COLS
+    spark = stream.sparkSession
+
+    def upsert(batch: DataFrame, batch_id: int) -> None:
+        fresh = batch.dropDuplicates(keys)
+        try:
+            existing = spark.read.schema(ADS_DATA).parquet(target_path)
+            fresh = incremental_delta(fresh, existing, keys)
+        except Exception:  # first batch: target doesn't exist yet
+            pass
+        fresh.write.mode("append").parquet(target_path)
+
+    return (
+        stream.writeStream
+        .foreachBatch(upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
+                          watermark: str = "10 minutes") -> DataFrame:
+    """Watermarked tumbling-window count/sum per event type — the
+    streaming twin of operators/windows.tumbling_counts. Late rows
+    beyond the watermark are dropped and their windows finalized; state
+    is bounded by (watermark / window) x |event_type|."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"))
+        .select(F.col("w.start").alias("w_start"), "event_type", "n", "value_sum")
+    )
+
+
+_USER_STATS_OUT = T.StructType([
+    T.StructField("user_id", T.LongType()),
+    T.StructField("n_events", T.LongType()),
+    T.StructField("last_seen_us", T.LongType()),
+])
+_USER_STATS_STATE = T.StructType([
+    T.StructField("n", T.LongType()),
+    T.StructField("last_us", T.LongType()),
+])
+
+
+def user_running_stats(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user
+    running event count + last-seen timestamp, emitted on every update.
+
+    The shape to copy for any bespoke streaming state machine the
+    built-in operators can't express (SURVEY.md §7.5): state is a typed
+    tuple, batches arrive as pandas, output is incremental."""
+    import pandas as pd
+
+    def update(key: tuple, pdfs: Iterator["pd.DataFrame"],
+               state: GroupState) -> Iterator["pd.DataFrame"]:
+        n, last_us = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            if len(pdf):
+                batch_max = int(pdf["ts"].astype("int64").max()) // 1000
+                last_us = max(last_us, batch_max)
+        state.update((n, last_us))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                            "last_seen_us": [last_us]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update, _USER_STATS_OUT, _USER_STATS_STATE,
+        outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)

@@ -1,0 +1,53 @@
+"""Physical-plan property tests (SURVEY.md §4): the scale-critical plan
+shapes must hold — filter pushdown to parquet, broadcast joins for small
+dims, distributed top-k, bounded shuffle counts."""
+
+from __future__ import annotations
+
+from oracle_to_snowflake_etl_spark.plans.inspect import (
+    exchange_count,
+    has_broadcast_join,
+    has_sort_merge_join,
+    has_top_k,
+    pushed_filters,
+    read_schemas,
+)
+from oracle_to_snowflake_etl_spark.queries import queries
+
+
+def test_top_spenders_pushes_filter_and_uses_topk(spark, sf_dir):
+    df = queries()["top_spenders_14d"](spark, sf_dir)
+    # date-range predicate must reach the parquet scan
+    assert any("o_orderdate" in f for f in pushed_filters(df))
+    # ORDER BY ... LIMIT must plan TakeOrderedAndProject, not global sort
+    assert has_top_k(df)
+
+
+def test_top_spenders_prunes_columns(spark, sf_dir):
+    df = queries()["top_spenders_14d"](spark, sf_dir)
+    schemas = read_schemas(df)
+    assert schemas, "no file scan found"
+    # orders has 6 columns; the query needs exactly 3
+    assert all(
+        "o_custkey" in s and "o_totalprice" in s and "o_orderstatus" not in s
+        for s in schemas)
+
+
+def test_revenue_by_nation_broadcasts_dims(spark, sf_dir):
+    df = queries()["revenue_by_nation"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+    # broadcast joins add no shuffle: only the final agg + sort exchange
+    assert exchange_count(df) <= 3
+
+
+def test_kpi_derive_is_scan_only(spark, sf_dir):
+    """Pure projection: zero shuffles."""
+    df = queries()["kpi_derive"](spark, sf_dir)
+    assert exchange_count(df) == 0
+
+
+def test_creative_topk_single_agg_shuffle(spark, sf_dir):
+    df = queries()["creative_perf_topk"](spark, sf_dir)
+    assert has_top_k(df)
+    assert exchange_count(df) <= 1  # one hash-agg shuffle, top-k needs none
