@@ -34,8 +34,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+import hashlib
+
 from ..functions.hashing import hash60, hash60_sql
-from .util import ensure_parallelism
+from .util import bucket_pairs, ensure_parallelism
 
 # MinHash parameters: 16 hashes = 4 bands x 4 rows. P(candidate | j) =
 # 1 - (1 - j^4)^4 — the S-curve crosses ~0.5 near j≈0.55, right for a
@@ -139,40 +141,63 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
 
 #: sentinel above every hash60 value (hashes are < 2^60)
 _MAX_H = 1 << 60
+_MASK60 = (1 << 60) - 1
+_MASK32 = (1 << 32) - 1
+
+
+def _affine_constants(num_hashes: int = MINHASH_K) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) for the universal hash family
+    h_i(x) = (a_i * x32 + b_i) & (2^60-1): a odd in [1, 2^31),
+    b in [0, 2^31), derived from md5 so both engines embed the same
+    literals. a < 2^31 and x32 < 2^32 keep a*x32 + b < 2^63: no signed
+    overflow in either engine."""
+    a = [(int(hashlib.md5(f"mh_a{i}".encode()).hexdigest()[:8], 16) >> 1) | 1
+         for i in range(num_hashes)]
+    b = [int(hashlib.md5(f"mh_b{i}".encode()).hexdigest()[:8], 16) >> 1
+         for i in range(num_hashes)]
+    return a, b
 
 
 def with_minhash_signature(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id",
                            num_hashes: int = MINHASH_K) -> DataFrame:
-    """(id, sig) with sig = array of MINHASH_K 60-bit min-hashes,
-    sig[i] = min over shingles of hash60(f"{i}:{shingle}").
+    """(id, sig) with sig = array of MINHASH_K min-hashes over shingles:
+    lane i = min over shingles of (a_i * (hash60(s) & 2^32-1) + b_i)
+    & (2^60-1) — ONE md5 per shingle, then cheap affine universal
+    hashes per lane (the standard MinHash family), instead of
+    num_hashes md5 calls per shingle.
 
-    Structured as a SINGLE PASS over the shingle array: fold each shingle
-    into an elementwise-min accumulator of num_hashes lanes. The naive
-    per-seed formulation (transform over seeds of array_min over
-    shingles) re-evaluates the whole shingle-construction expression once
-    per seed — Catalyst inlines the subtree into every lambda — a 16x
-    blowup measured at 46x wall-clock with token re-splits compounded.
-    Here every subexpression is the input of exactly one fold, so it is
-    evaluated once per row. No shuffle, no UDF.
+    Structured as a SINGLE PASS: shingles -> base-hash array -> fold
+    into an elementwise-min accumulator. Every subexpression is the
+    input of exactly one fold/transform, so nothing re-evaluates per
+    lane (Catalyst inlines reused subtrees into lambdas — the per-seed
+    formulation re-built shingles 16x, measured 46x wall-clock). No
+    shuffle, no UDF.
 
     Documents with < k tokens (no shingles) are dropped up front with a
     cheap token-count filter (their signature is undefined; exact dedup
     handles degenerate shorts).
     """
+    a_const, b_const = _affine_constants(num_hashes)
+    arr_a = F.array(*[F.lit(a) for a in a_const])
+    arr_b = F.array(*[F.lit(b) for b in b_const])
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
           .where(F.size(tokens(F.col(text_col))) >= 3))
-    sh = shingles(tokens(F.col("t")))
-    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    # one base hash per shingle (evaluated once: input of the fold)
+    h32s = F.transform(shingles(tokens(F.col("t"))),
+                       lambda s: hash60(s).bitwiseAND(F.lit(_MASK32)))
     init = F.array_repeat(F.lit(_MAX_H).cast("long"), num_hashes)
+    seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))
     sig = F.aggregate(
-        sh, init,
-        lambda acc, s: F.zip_with(
+        h32s, init,
+        lambda acc, h: F.zip_with(
             acc,
-            F.transform(seeds,
-                        lambda i: hash60(F.concat(i.cast("string"), F.lit(":"), s))),
-            lambda a, b: F.least(a, b)))
+            F.transform(seeds, lambda i:
+                        (F.element_at(arr_a, i + F.lit(1)) * h
+                         + F.element_at(arr_b, i + F.lit(1)))
+                        .bitwiseAND(F.lit(_MASK60))),
+            lambda x, y: F.least(x, y)))
     return base.select("doc", sig.alias("sig"))
 
 
@@ -189,23 +214,18 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     """Candidate pairs sharing >= 1 LSH band, scored by estimated Jaccard
     (fraction of equal min-hashes), filtered at ``threshold``.
 
-    The only shuffle is the (band, key) self-join: O(docs x bands) rows,
+    The only shuffle is the (band, key) groupBy: O(docs x bands) rows,
     independent of document length — this is the 100 TB dedup path.
     Band keys are 240-bit values, so bucket collisions are genuine
-    signature matches; skew cannot concentrate (keys are hashes).
+    signature matches; skew cannot concentrate (keys are hashes), and
+    intra-bucket pair expansion is bounded by true near-dup cluster
+    size (operators/util.bucket_pairs — signatures are computed ONCE,
+    unlike a self-join which evaluates the subplan per side).
     """
     sigs = with_minhash_signature(df, text_col, id_col)
     banded = sigs.select(
         "doc", "sig", F.posexplode(_band_keys(F.col("sig"))).alias("band", "key"))
-    a, b = banded.alias("a"), banded.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.key") == F.col("b.key"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-                F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = bucket_pairs(banded, ["band", "key"], ["doc", "sig"])
     matches = F.aggregate(
         F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
         F.lit(0), lambda acc, v: acc + v)
@@ -260,7 +280,8 @@ def simhash_pairs(df: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING,
 
     Candidates via chunk banding (4 x 15-bit chunks; pigeonhole makes this
     lossless for hamming <= 3), then the exact bit_count(xor) check.
-    Shuffle volume O(docs x 4) — same scale contract as MinHash-LSH.
+    Shuffle volume O(docs x 4) — same scale contract as MinHash-LSH,
+    same bucket-group pair generation (fingerprints computed once).
     """
     fps = with_simhash(df, text_col, id_col)
     chunks = fps.select(
@@ -268,13 +289,9 @@ def simhash_pairs(df: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING,
         F.posexplode(F.array(*[
             F.expr(f"(fp >> {c * SIMHASH_CHUNK_BITS}) & {(1 << SIMHASH_CHUNK_BITS) - 1}")
             for c in range(SIMHASH_CHUNKS)])).alias("chunk", "cv"))
-    a, b = chunks.alias("a"), chunks.alias("b")
     return (
-        a.join(b, (F.col("a.chunk") == F.col("b.chunk"))
-               & (F.col("a.cv") == F.col("b.cv"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-                F.expr("bit_count(a.fp ^ b.fp)").alias("hamming"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        bucket_pairs(chunks, ["chunk", "cv"], ["doc", "fp"])
+        .select("doc_a", "doc_b",
+                F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )

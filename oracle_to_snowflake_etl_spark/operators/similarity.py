@@ -41,8 +41,13 @@ from __future__ import annotations
 import hashlib
 from functools import lru_cache
 
+import numpy as np
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+from .util import bucket_pairs
 
 # SRP-LSH geometry: 32 hyperplanes -> 32-bit code, 4 bands x 8 bits
 # (256 values/band: buckets stay fine-grained enough that candidate
@@ -99,6 +104,33 @@ def quantize(x: Column, scale: int = Q_SCALE) -> Column:
     return F.floor(x * scale + F.lit(0.5)).cast("long")
 
 
+def _cos_q6_udf():
+    """Arrow pandas_udf: quantized cosine of two array<float> columns.
+
+    Vector math belongs in numpy, not interpreted HOF trees: the
+    zip_with/aggregate form is CodegenFallback (interpreted per element)
+    AND its generated wrapper classes thrash Spark's 100-entry codegen
+    cache in multi-query sessions (measured: the same query 3s..77s
+    depending on what compiled before it). Bit-parity with the DuckDB
+    oracle is kept by np.cumsum, whose C loop is the same sequential
+    left-fold the SQL form uses — NOT np.sum/np.dot (pairwise/BLAS
+    summation, different rounding).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def cos_q6(qv: pd.Series, cv: pd.Series) -> pd.Series:
+        Q = np.stack(qv.values).astype(np.float64)
+        C = np.stack(cv.values).astype(np.float64)
+        dot = np.cumsum(Q * C, axis=1)[:, -1]
+        nq = np.cumsum(Q * Q, axis=1)[:, -1]
+        nc = np.cumsum(C * C, axis=1)[:, -1]
+        sim = dot / np.sqrt(nq * nc)
+        return pd.Series(np.floor(sim * Q_SCALE + 0.5).astype(np.int64))
+
+    return cos_q6
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact cosine top-k per query: broadcast-crossJoin the query set
@@ -115,7 +147,7 @@ def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         c.crossJoin(F.broadcast(q))
         .where(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id",
-                quantize(cosine(F.col("q_vec"), F.col("c_vec"))).alias("sim_q6"))
+                _cos_q6_udf()(F.col("q_vec"), F.col("c_vec")).alias("sim_q6"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("sim_q6"), F.asc("neighbor_id"))
@@ -130,27 +162,30 @@ def srp_code(vec: Column, planes: int = SRP_PLANES,
              dims: int = DEFAULT_DIMS) -> Column:
     """Signed-random-projection code: bit j set iff dot(vec, plane_j) > 0.
 
-    The plane matrix is a literal in the plan (broadcast with the task
-    binary at scale); per row this is planes x dims multiply-adds inside
-    one codegen stage — no shuffle, no UDF, no per-row hashing.
+    Arrow pandas_udf with the plane matrix held as a numpy constant
+    (shipped once per task, not inlined into generated Java — the
+    literal-matrix HOF form generated multi-MB classes that dominated
+    janino compile time and thrashed the codegen cache). Projections use
+    np.cumsum's sequential C loop: bit-identical to the SQL fold the
+    DuckDB oracle runs (np.dot/BLAS would round differently).
     """
-    ws = plane_weights(planes, dims)
+    from pyspark.sql.functions import pandas_udf
 
-    def bit(j: int) -> Column:
-        wj = F.array(*[F.lit(w) for w in ws[j]])
-        # transform's 0-based element index is the dimension number
-        # (DuckDB's lambda index is 1-based — the oracle uses w[i]).
-        proj = F.aggregate(
-            F.transform(vec, lambda x, i: x.cast("double")
-                        * F.element_at(wj, i + F.lit(1))),
-            F.lit(0.0), lambda acc, v: acc + v)
-        return F.when(proj > 0, F.lit(1 << j).cast("long")) \
-                .otherwise(F.lit(0).cast("long"))
+    W = np.array(plane_weights(planes, dims), dtype=np.float64)  # planes x dims
+    shifts = (np.int64(1) << np.arange(planes, dtype=np.int64))
 
-    out = F.lit(0).cast("long")
-    for j in range(planes):
-        out = out + bit(j)
-    return out
+    @pandas_udf("long")
+    def code(v: pd.Series) -> pd.Series:
+        out = np.empty(len(v), dtype=np.int64)
+        vals = v.values
+        # chunk to bound the n x planes x dims intermediate (~16 MB/1k rows)
+        for lo in range(0, len(vals), 1024):
+            V = np.stack(vals[lo:lo + 1024]).astype(np.float64)
+            proj = np.cumsum(V[:, None, :] * W[None, :, :], axis=2)[:, :, -1]
+            out[lo:lo + len(V)] = ((proj > 0) * shifts[None, :]).sum(axis=1)
+        return pd.Series(out)
+
+    return code(vec)
 
 
 def with_srp_code(df: DataFrame, vec_col: str = "embedding",
@@ -175,18 +210,10 @@ def srp_band_pairs(df: DataFrame, vec_col: str = "embedding",
         F.posexplode(F.array(*[
             F.expr(f"(code >> {b * bits}) & {mask}") for b in range(bands)
         ])).alias("band", "bv"))
-    a, b = chunks.alias("a"), chunks.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band"))
-               & (F.col("a.bv") == F.col("b.bv"))
-               & (F.col("a.doc") < F.col("b.doc")))
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"),
-                F.col("a.vec").alias("vec_a"), F.col("b.vec").alias("vec_b"))
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = bucket_pairs(chunks, ["band", "bv"], ["doc", "vec"])
     return cand.select(
         "doc_a", "doc_b",
-        quantize(cosine(F.col("vec_a"), F.col("vec_b"))).alias("sim_q6"))
+        _cos_q6_udf()(F.col("vec_a"), F.col("vec_b")).alias("sim_q6"))
 
 
 def embedding_near_dups(df: DataFrame, threshold_q6: int = 350_000,

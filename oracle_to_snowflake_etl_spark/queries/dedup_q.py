@@ -16,6 +16,7 @@ from ..operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
+    _affine_constants,
     SIMHASH_BITS,
     SIMHASH_CHUNK_BITS,
     SIMHASH_CHUNKS,
@@ -80,15 +81,25 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
+_MH_A, _MH_B = _affine_constants()
+_MH_A_LIT = "[" + ", ".join(str(a) for a in _MH_A) + "]"
+_MH_B_LIT = "[" + ", ".join(str(b) for b in _MH_B) + "]"
+
+
 @register(
     "dedup_minhash_lsh",
     f"""
     WITH sigs AS (
       SELECT doc,
-             list_transform(range(0, {MINHASH_K}), i ->
-               list_min(list_transform(shingles,
-                 s -> {duck_hash60_sql("CAST(i AS VARCHAR) || ':' || s")}))) AS sig
-      FROM (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS shingles FROM documents)
+             list_transform(range(1, {MINHASH_K + 1}), j ->
+               list_min(list_transform(h32s,
+                 h -> (({_MH_A_LIT}[j] * h + {_MH_B_LIT}[j])
+                       & {(1 << 60) - 1}))) ) AS sig
+      FROM (SELECT doc_id AS doc,
+                   list_transform({_DUCK_SHINGLES},
+                     s -> ({duck_hash60_sql('s')} & {(1 << 32) - 1})) AS h32s,
+                   {_DUCK_SHINGLES} AS shingles
+            FROM documents)
       WHERE len(shingles) > 0
     ),
     banded AS (

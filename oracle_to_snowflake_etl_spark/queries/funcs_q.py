@@ -1,0 +1,95 @@
+"""Scalar-function surface beyond the reference's seven functions
+(SURVEY.md §2.7 'Absent'): JSON extraction, date-part/truncation
+functions, and math functions. Transcendentals (ln/exp) are quantized at
+1e-6 — libm implementations differ in the last ulp; sqrt/abs/floor/ceil
+are IEEE-exact and compared raw.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.readers import load_table
+from . import register
+
+
+@register(
+    "json_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod
+    FROM events
+    """)
+def q_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction from the events.props payload column
+    (get_json_object — the semi-structured column surface)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.select("event_id", k.alias("k"), (k % 10).alias("k_mod"))
+
+
+@register(
+    "date_parts",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           day(o_orderdate) AS dom,
+           quarter(o_orderdate) AS qtr,
+           strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+           strftime(last_day(CAST(o_orderdate AS DATE)), '%Y-%m-%d') AS month_end,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus_3mo
+    FROM orders
+    """)
+def q_date_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-part extraction, month truncation/boundaries, and month
+    arithmetic (F5/F6 generalized) — all boundary dates emitted as ISO
+    strings (DATE columns render differently across fetch paths)."""
+    o = load_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return o.select(
+        "o_orderkey",
+        F.year(d).alias("yr"),
+        F.month(d).alias("mo"),
+        F.dayofmonth(d).alias("dom"),
+        F.quarter(d).alias("qtr"),
+        F.date_format(F.date_trunc("month", d), "yyyy-MM-dd").alias("month_start"),
+        F.date_format(F.last_day(d), "yyyy-MM-dd").alias("month_end"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("plus_3mo"),
+    )
+
+
+@register(
+    "math_funcs",
+    """
+    SELECT o_orderkey,
+           abs(o_totalprice - 150000) AS centered,
+           sqrt(o_totalprice) AS root,
+           CAST(floor(o_totalprice / 1000) AS BIGINT) AS k_floor,
+           CAST(ceil(o_totalprice / 1000) AS BIGINT) AS k_ceil,
+           CAST(o_orderkey AS BIGINT) % 7 AS key_mod,
+           CAST(floor(ln(o_totalprice) * 1000000 + 0.5) AS BIGINT) AS ln_q6,
+           CAST(floor(exp(o_totalprice / 600000) * 1000000 + 0.5) AS BIGINT) AS exp_q6
+    FROM orders
+    """)
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math-function surface: abs/sqrt/floor/ceil/mod raw (IEEE-exact),
+    ln/exp quantized at 1e-6 (libm ulp differences)."""
+    o = load_table(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+
+    def q6(c):
+        return F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")
+
+    return o.select(
+        "o_orderkey",
+        F.abs(p - 150000).alias("centered"),
+        F.sqrt(p).alias("root"),
+        F.floor(p / 1000).alias("k_floor"),
+        F.ceil(p / 1000).alias("k_ceil"),
+        (F.col("o_orderkey") % 7).alias("key_mod"),
+        q6(F.log(p)).alias("ln_q6"),
+        q6(F.exp(p / 600000)).alias("exp_q6"),
+    )
