@@ -7,8 +7,8 @@ trades/quotes classic).
 Implementation is the scalable union-sort trick, NOT a theta-join:
 
     tag rows (side=0 right, side=1 left) -> unionByName ->
-    one window over (key) ordered by (ts, side) ->
-    last_value(right payload, ignorenulls) carries the latest right row
+    one window over (key) ordered by (ts, side, payload struct) ->
+    last(right-payload struct, ignorenulls) carries the latest right row
     forward onto each left row -> filter side=1.
 
 Cost: ONE shuffle + ONE sort over |left|+|right| — the same price as a
@@ -18,6 +18,17 @@ and a broadcast that dies at scale). Ordering (ts, side) makes ties
 deterministic: a right row at exactly left.ts IS visible to that left
 row (<= semantics, matching DuckDB's ASOF JOIN which the differential
 harness uses as the oracle).
+
+Atomicity: the right payload travels as ONE struct through a single
+last(ignorenulls=True). Carrying each payload column independently (the
+v1 design) could stitch together columns from *different* right rows
+when the newest right row holds a NULL in one column — a silent
+divergence from real ASOF semantics.
+
+Determinism: among right rows tied on (key, ts) the window order falls
+back to the payload struct itself (field-wise struct comparison), so
+the greatest payload row wins — stable across partitionings and runs
+with no reliance on input order or on any particular id column existing.
 
 Skew note: one hyperactive key = one giant sorted partition; mitigate at
 100 TB by range-bucketing ts within key (join each bucket with the last
@@ -47,18 +58,17 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
                    .withColumn("_ts", F.col(left_ts))
     r_tagged = (right.select(
         F.col(key), F.col(right_ts).alias("_ts"),
-        *[F.col(c).alias(f"{c}{suffix}") for c in payload])
+        F.struct(*[F.col(c) for c in payload]).alias("_rpay"))
         .withColumn("_side", F.lit(0)))
 
+    # left rows get _rpay = NULL via allowMissingColumns
     merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
     # side=0 sorts before side=1 at equal ts -> right rows at exactly
-    # left.ts are visible (<= semantics)
-    w = (Window.partitionBy(key).orderBy("_ts", "_side")
+    # left.ts are visible (<= semantics); _rpay breaks right-right ties.
+    w = (Window.partitionBy(key).orderBy("_ts", "_side", "_rpay")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    carried = merged.select(
-        "*",
-        *[F.last(f"{c}{suffix}", ignorenulls=True).over(w)
-           .alias(f"_carry_{c}") for c in payload])
+    carried = merged.withColumn(
+        "_carry", F.last("_rpay", ignorenulls=True).over(w))
     out_cols = [F.col(c) for c in left.columns] + [
-        F.col(f"_carry_{c}").alias(f"{c}{suffix}") for c in payload]
+        F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in payload]
     return carried.where(F.col("_side") == 1).select(*out_cols)

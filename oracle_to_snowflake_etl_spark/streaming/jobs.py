@@ -30,7 +30,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..functions.exact import DEC
-from ..operators.incremental import incremental_delta
+from ..operators.incremental import _read_target_keys, incremental_delta
 from ..schemas import ADS_DATA, ADS_KEY_COLS
 
 
@@ -62,11 +62,12 @@ def incremental_append_stream(stream: DataFrame, target_path: str,
 
     def upsert(batch: DataFrame, batch_id: int) -> None:
         fresh = batch.dropDuplicates(keys)
-        try:
-            existing = spark.read.schema(ADS_DATA).parquet(target_path)
+        # PATH_NOT_FOUND (first batch) -> append everything; any other
+        # read failure re-raises — a blanket except would silently skip
+        # the anti-join and double-load every key.
+        existing = _read_target_keys(spark, target_path, keys)
+        if existing is not None:
             fresh = incremental_delta(fresh, existing, keys)
-        except Exception:  # first batch: target doesn't exist yet
-            pass
         fresh.write.mode("append").parquet(target_path)
 
     return (
