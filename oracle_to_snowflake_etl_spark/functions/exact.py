@@ -19,7 +19,20 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 # Scale 4 keeps 2-decimal money inputs exact while bounding width.
+# Bit-parity constraint: the cross-engine render of the final decimal as
+# double is single-rounded (hence identical) only while the SCALED
+# integer fits 2^53 — totals up to ~9e11 at scale 4. A wider scale
+# (e.g. 12) silently breaks parity on ~1e8 money sums: the scaled value
+# passes 2^53 and the two engines' int->double paths round differently
+# by one ulp (observed on revenue_by_nation et al.).
 DEC = "decimal(28,4)"
+
+# For AVERAGES of COMPUTED full-precision ratios (ctr ~ 0.1, cpc):
+# scale 4 quantizes each element at 1e-4 — a visible 1e-5-level bias on
+# AVG(ctr). Scale 12 keeps the per-element error at 5e-13. Not for
+# money sums (see the 2^53 note above); per-group ratio sums stay small
+# enough for parity, and these averages feed reports, not hash gates.
+DEC_RATIO = "decimal(38,12)"
 
 
 def dsum(col: Column | str, alias: str | None = None) -> Column:
@@ -48,13 +61,15 @@ def qsum(col: Column | str, alias: str | None = None,
     return out.alias(alias) if alias else out
 
 
-def davg(col: Column | str, alias: str | None = None) -> Column:
+def davg(col: Column | str, alias: str | None = None,
+         dec: str = DEC) -> Column:
     """Order-independent AVG: exact decimal sum divided by count, in double.
 
     Computed as cast(sum_dec as double) / count so both operands are
     bit-identical on any engine; a single double division is then IEEE-
-    deterministic.
+    deterministic. Pass ``dec=DEC_RATIO`` when averaging a computed
+    full-precision ratio column (DEC's scale 4 would quantize it).
     """
     c = F.col(col) if isinstance(col, str) else col
-    out = F.sum(c.cast(DEC)).cast("double") / F.count(c)
+    out = F.sum(c.cast(dec)).cast("double") / F.count(c)
     return out.alias(alias) if alias else out

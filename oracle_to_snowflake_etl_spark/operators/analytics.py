@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.exact import davg, dsum
+from ..functions.exact import DEC_RATIO, davg, dsum
 
 
 def top_n_by(df: DataFrame, group_cols: list[str], measure: Column,
@@ -55,7 +55,8 @@ def top_spenders(metrics: DataFrame, anchor_date: str, n: int = 10,
 
 def ctr_trend(metrics: DataFrame) -> DataFrame:
     """Notebook cell 4: SELECT DT, AVG(CTR) AS AVG_CTR GROUP BY DT ORDER BY DT."""
-    return trend(metrics, F.col("dt"), "dt", {"avg_ctr": davg("ctr")})
+    return trend(metrics, F.col("dt"), "dt",
+                 {"avg_ctr": davg("ctr", dec=DEC_RATIO)})
 
 
 def creative_perf(metrics: DataFrame, n: int = 10) -> DataFrame:
@@ -64,6 +65,6 @@ def creative_perf(metrics: DataFrame, n: int = 10) -> DataFrame:
     agg = metrics.groupBy("creative_id").agg(
         F.sum("impressions").alias("total_impressions"),
         F.sum("clicks").alias("total_clicks"),
-        davg("cpc", "avg_cpc"),
+        davg("cpc", "avg_cpc", dec=DEC_RATIO),
     )
     return agg.orderBy(F.desc("total_impressions"), F.asc("creative_id")).limit(n)

@@ -99,37 +99,91 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 # 2. Exact n-gram Jaccard via inverted-index self-join
 # ---------------------------------------------------------------------------
 
+#: default document-frequency cap: shingles seen in more documents than
+#: this are skipped during CANDIDATE generation (scores are unaffected —
+#: see ngram_jaccard_pairs). Bounds per-shingle pair fan-out at cap^2.
+NGRAM_DF_CAP = 100
+
+
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 3) -> DataFrame:
+                        k: int = 3, df_cap: int | None = NGRAM_DF_CAP) -> DataFrame:
     """All pairs with exact Jaccard(shingle sets) >= threshold.
 
-    Inverted index: explode distinct shingles, self-join on the shingle,
-    count common shingles per pair, |A∪B| = |A|+|B|-common. The self-join
-    shuffles on the shingle hash — content-balanced except for frequent
-    shingles (stopword runs); at scale, drop shingles with document
-    frequency above a cap first (that prefilter is a strict superset
-    preserver for any threshold > 0 only if capped shingles are rare in
-    matching pairs — hence MinHash is the default at 100 TB).
+    Two phases, so the document-frequency cap cannot distort scores:
+
+      1. CANDIDATES — inverted index over shingles with document
+         frequency <= df_cap, pairs via bucket grouping
+         (operators/util.bucket_pairs). The cap bounds each shingle's
+         pair fan-out at df_cap^2: a stopword-run shingle shared by a
+         million documents no longer concentrates one shuffle partition
+         (the classic skew killer of the uncapped self-join).
+      2. RESCORE — candidates (output-bounded, tiny) re-join the full
+         distinct-shingle arrays by doc id; exact Jaccard is computed
+         with array_intersect over ALL shingles, capped ones included.
+         AQE broadcasts the candidate side, so no corpus shuffle.
+
+    Scores of emitted pairs are therefore bit-identical to the uncapped
+    operator. Recall: a pair is missed only when EVERY shingle it shares
+    has DF > df_cap — near-dups (>= 0.5 of shingles shared) virtually
+    always share document-specific rare shingles, and genuinely
+    boilerplate-only overlap is what the cap is FOR. df_cap=None skips
+    the prefilter (exact recall; only safe on small corpora).
     """
+    from pyspark import StorageLevel
+
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")))
-    sh = base.select(
-        "doc", F.explode(shingles(tokens(F.col("t")), k)).alias("s"))
-    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n"))
-    a, b = sh.alias("a"), sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc") < F.col("b.doc")))
-        .groupBy(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("common"))
-    )
-    na = sizes.select(F.col("doc").alias("doc_a"), F.col("n").alias("n_a"))
-    nb = sizes.select(F.col("doc").alias("doc_b"), F.col("n").alias("n_b"))
+    # materialize tokens as a REAL column before shingling: shingles()'s
+    # lambda references its input ~3k times syntactically, and Catalyst
+    # inlines expression (not attribute) inputs into lambdas — split()
+    # would re-run per shingle element (operators/util.py trap note)
+    toked = base.select("doc", tokens(F.col("t")).alias("toks"))
+    # the (doc, shingle-array) projection feeds FOUR branches (DF agg,
+    # inverted index, per-doc stats, both rescore sides); Spark does not
+    # share subplans across branches, so persist it once — spill-safe,
+    # bounded by corpus size, the same move MLlib's MinHashLSH makes.
+    # (Recomputing instead means 4x parquet scan + tokenize + shingle.)
+    docs = (toked.select("doc", shingles(F.col("toks"), k).alias("sh"))
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    sh = docs.select("doc", F.explode("sh").alias("s"))
+    idx = sh
+    if df_cap is not None:
+        # shingles are distinct per doc, so COUNT(*) per shingle == DF;
+        # partial map-side agg keeps this shuffle bounded by distinct count
+        rare = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
+                .where(F.col("n_docs") <= df_cap).select("s"))
+        idx = sh.join(rare, "s")
+    # per-pair count of shared RARE shingles (one bucket row per shared
+    # rare shingle), plus per-doc totals -> an upper bound on achievable
+    # Jaccard that prunes candidates BEFORE the array-rescore join:
+    #   common <= common_rare + min(capped_a, capped_b)
+    # Any pair cut here provably scores < threshold, so results are
+    # identical to rescoring every candidate (PPJoin-style count filter).
+    common_rare = (bucket_pairs(idx, ["s"], ["doc"], dedup=False)
+                   .groupBy("doc_a", "doc_b")
+                   .agg(F.count(F.lit(1)).alias("c_rare")))
+    stats = (docs.join(idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_rare")),
+                       "doc")
+             .select("doc", F.size("sh").alias("n_sh"),
+                     (F.size("sh") - F.col("n_rare")).alias("n_cap")))
+    sa = stats.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"),
+                      F.col("n_cap").alias("cap_a"))
+    sb = stats.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"),
+                      F.col("n_cap").alias("cap_b"))
+    c_max = F.col("c_rare") + F.least("cap_a", "cap_b")
+    cand = (common_rare.join(sa, "doc_a").join(sb, "doc_b")
+            .where(c_max.cast("double") / (F.col("n_a") + F.col("n_b") - c_max)
+                   >= threshold)
+            .select("doc_a", "doc_b"))
+    da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
     return (
-        common.join(na, "doc_a").join(nb, "doc_b")
+        cand.join(da, "doc_a").join(db, "doc_b")
         .withColumn("jaccard",
-                    F.col("common").cast("double")
-                    / (F.col("n_a") + F.col("n_b") - F.col("common")))
+                    inter.cast("double")
+                    / (F.size("sh_a") + F.size("sh_b") - inter))
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
@@ -184,8 +238,12 @@ def with_minhash_signature(df: DataFrame, text_col: str = "text",
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t"))
           .where(F.size(tokens(F.col(text_col))) >= 3))
+    # tokens as a REAL column before shingling: Catalyst inlines
+    # expression inputs into shingles()'s lambda (split would re-run per
+    # shingle element); an attribute reference is computed once per row
+    base = base.select("doc", tokens(F.col("t")).alias("toks"))
     # one base hash per shingle (evaluated once: input of the fold)
-    h32s = F.transform(shingles(tokens(F.col("t"))),
+    h32s = F.transform(shingles(F.col("toks")),
                        lambda s: hash60(s).bitwiseAND(F.lit(_MASK32)))
     init = F.array_repeat(F.lit(_MAX_H).cast("long"), num_hashes)
     seeds = F.sequence(F.lit(0), F.lit(num_hashes - 1))

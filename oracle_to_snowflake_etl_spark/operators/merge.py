@@ -17,6 +17,19 @@ MATCHED INSERT; this module keeps the engine format-agnostic
 ``merge_upsert`` is deterministic even with duplicate source keys if the
 caller dedups first (``dropDuplicates(keys)``) — we do NOT hide that
 choice, because which duplicate wins is business logic.
+
+Delta/Iceberg position (SURVEY.md §4.3, stated explicitly): delta-spark
+is NOT installable in this build environment (no package installs), so
+the transactional `MERGE INTO` variant is not wired. This DataFrame
+construction is the supported form; it rewrites the full target (no
+file-level pruning), which a table format's MERGE would avoid. On a
+cluster with Delta/Iceberg on the classpath, replace a
+``merge_upsert(...).write`` with:
+
+    target_tbl.alias("t").merge(source.alias("s"), "<key equi-pred>")
+        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
+
+— semantics identical to this module (source wins on key collision).
 """
 
 from __future__ import annotations

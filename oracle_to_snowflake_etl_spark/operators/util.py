@@ -7,10 +7,13 @@ from pyspark.sql import functions as F
 
 
 def bucket_pairs(banded: DataFrame, bucket_cols: list[str],
-                 member_cols: list[str]) -> DataFrame:
+                 member_cols: list[str], dedup: bool = True) -> DataFrame:
     """All intra-bucket pairs: groupBy bucket -> collect members ->
     explode the i<j combinations. Output columns: ``{c}_a``/``{c}_b``
     for each member column, pairs deduped on the first member column.
+    ``dedup=False`` keeps one row per (pair, bucket) co-occurrence —
+    callers that need the co-occurrence COUNT (e.g. shared-shingle
+    counting) aggregate it themselves instead of paying dropDuplicates.
 
     This replaces the LSH band SELF-JOIN: a self-join evaluates the
     (expensive) signature subplan once per side and invites a broadcast
@@ -29,13 +32,15 @@ def bucket_pairs(banded: DataFrame, bucket_cols: list[str],
         "flatten(transform(ms, (a, i) -> "
         "transform(slice(ms, i + 2, size(ms) - i - 1), "
         f"b -> struct({inner}))))")
-    return (
+    pairs = (
         banded.groupBy(*bucket_cols).agg(ms.alias("ms"))
         .where(F.size("ms") > 1)
         .select(F.explode(F.expr(pair_expr)).alias("p"))
         .select("p.*")
-        .dropDuplicates([f"{first}_a", f"{first}_b"])
     )
+    if dedup:
+        pairs = pairs.dropDuplicates([f"{first}_a", f"{first}_b"])
+    return pairs
 
 
 def ensure_parallelism(df: DataFrame, *cols: str) -> DataFrame:

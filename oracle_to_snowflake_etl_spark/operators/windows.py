@@ -76,25 +76,30 @@ def lag_delta(df: DataFrame, part: str, order: list[str], val: str,
 
 def sessionize(events: DataFrame, user_col: str = "user_id",
                ts_col: str = "ts",
-               gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+               gap_minutes: int = SESSION_GAP_MIN,
+               tiebreak_col: str = "event_id") -> DataFrame:
     """Assign session ids: a session breaks after ``gap_minutes`` idle.
 
-    Two stacked windows over the same (user, ts) sort — Spark plans ONE
-    shuffle + ONE sort for both (same partitioning/ordering), then:
+    Two stacked windows over the same (user, ts, tiebreak) sort — Spark
+    plans ONE shuffle + ONE sort for both (same partitioning/ordering):
       new_session = ts - lag(ts) > gap (or first event)
       session_id  = running count of breaks
+    tiebreak_col: unique column that makes the within-user order total
+    (determinism contract in the module docstring) — parameterized so
+    the operator works on any events-shaped input, not just one with an
+    ``event_id`` column.
     Skew note: one hyperactive user = one giant sorted partition; at
     100 TB pre-split such users by (user, day) first and stitch
     cross-midnight sessions in a second, tiny pass.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
     gap_us = gap_minutes * 60 * 1_000_000
     prev_ts = F.lag(ts_col, 1).over(w)
     is_new = F.when(
         prev_ts.isNull()
         | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us),
         F.lit(1)).otherwise(F.lit(0))
-    cum = (Window.partitionBy(user_col).orderBy(ts_col, "event_id")
+    cum = (Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return events.withColumn("is_new", is_new) \
                  .withColumn("session_id", F.sum("is_new").over(cum)) \
@@ -103,30 +108,38 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
 
 def session_stats(events: DataFrame, user_col: str = "user_id",
                   ts_col: str = "ts",
-                  gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+                  gap_minutes: int = SESSION_GAP_MIN,
+                  tiebreak_col: str = "event_id",
+                  value_col: str = "value") -> DataFrame:
     """Per-session rollup: event count, value sum (decimal-exact), span
     in microseconds. The batch mirror of a streaming session window."""
-    s = sessionize(events, user_col, ts_col, gap_minutes)
+    s = sessionize(events, user_col, ts_col, gap_minutes, tiebreak_col)
     return (
         s.groupBy(user_col, "session_id")
         .agg(F.count(F.lit(1)).alias("n_events"),
-             F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"),
+             F.sum(F.col(value_col).cast(DEC)).cast("double").alias("value_sum"),
              (F.max(F.unix_micros(F.col(ts_col)))
               - F.min(F.unix_micros(F.col(ts_col)))).alias("span_us"))
     )
 
 
 def tumbling_counts(events: DataFrame, minutes: int = 5,
-                    ts_col: str = "ts") -> DataFrame:
+                    ts_col: str = "ts",
+                    value_col: str = "value") -> DataFrame:
     """Event-time tumbling windows by epoch-µs floor division — the
     deterministic cross-engine window id (Spark's F.window struct and
     DuckDB's time_bucket render differently; an integer bucket id hashes
     identically). Batch mirror of the Structured Streaming windowed
     count (streaming/jobs.py)."""
     bucket_us = minutes * 60 * 1_000_000
-    wid = (F.unix_micros(F.col(ts_col)) / bucket_us).cast("long")
+    us = F.unix_micros(F.col(ts_col))
+    # exact FLOOR division on longs: subtract the positive remainder,
+    # then the quotient is exact integer division (matches DuckDB `//`
+    # for negative pre-epoch values too; `/`+cast truncates toward zero)
+    wid = ((us - ((us % bucket_us) + bucket_us) % bucket_us) / bucket_us) \
+        .cast("long")
     return (
         events.groupBy(wid.alias("window_id"), "event_type")
         .agg(F.count(F.lit(1)).alias("n"),
-             F.sum(F.col("value").cast(DEC)).cast("double").alias("value_sum"))
+             F.sum(F.col(value_col).cast(DEC)).cast("double").alias("value_sum"))
     )

@@ -16,6 +16,7 @@ from ..operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
+    NGRAM_DF_CAP,
     _affine_constants,
     SIMHASH_BITS,
     SIMHASH_CHUNK_BITS,
@@ -58,26 +59,30 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH sh AS (
-      SELECT doc, UNNEST(shingles) AS s
-      FROM (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS shingles FROM documents)
-    ),
-    sizes AS (SELECT doc, COUNT(*) AS n FROM sh GROUP BY doc),
-    common AS (
-      SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS common
-      FROM sh a JOIN sh b ON a.s = b.s AND a.doc < b.doc
-      GROUP BY 1, 2
+    WITH docs AS (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS sh FROM documents),
+    shing AS (SELECT doc, UNNEST(sh) AS s FROM docs),
+    rare AS (SELECT s FROM shing GROUP BY s HAVING COUNT(*) <= {NGRAM_DF_CAP}),
+    cand AS (
+      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+      FROM (SELECT shing.doc, shing.s FROM shing JOIN rare USING (s)) a
+      JOIN (SELECT shing.doc, shing.s FROM shing JOIN rare USING (s)) b
+        ON a.s = b.s AND a.doc < b.doc
     )
     SELECT doc_a, doc_b,
-           CAST(common AS DOUBLE) / (na.n + nb.n - common) AS jaccard
-    FROM common
-    JOIN sizes na ON common.doc_a = na.doc
-    JOIN sizes nb ON common.doc_b = nb.doc
-    WHERE CAST(common AS DOUBLE) / (na.n + nb.n - common) >= 0.5
+           CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+             AS jaccard
+    FROM cand
+    JOIN docs da ON cand.doc_a = da.doc
+    JOIN docs db ON cand.doc_b = db.doc
+    WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+            / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+            >= 0.5
     """)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard >= 0.5 pairs via inverted-index
-    self-join (operators/dedup.py ngram_jaccard_pairs)."""
+    """Exact 3-gram-shingle Jaccard >= 0.5 pairs: DF-capped inverted-index
+    candidates + exact array_intersect rescore (operators/dedup.py
+    ngram_jaccard_pairs). Scores match the uncapped operator exactly."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 

@@ -50,6 +50,14 @@ def get_spark(app_name: str = "oracle_to_snowflake_etl_spark",
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type — read as long, convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate synthesizes `size(arr) > 0` from every
+        # explode; predicate pushdown then inlines the generator's input
+        # expression into that filter BELOW the projections, so an
+        # expensive array pipeline (shingling, MinHash folds, UDF codes)
+        # is recomputed per row — measured 12x on 3-gram shingling. The
+        # rule only saves skipping empty arrays; exclude it.
+        .config("spark.sql.optimizer.excludedRules",
+                "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )

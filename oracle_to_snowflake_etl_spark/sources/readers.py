@@ -26,6 +26,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # set it here rather than in the session factory: load_table must work
     # under ANY caller-provided SparkSession, not just get_spark()'s.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    _exclude_generate_filter_rule(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     # With nanosAsLong the ts column arrives as epoch-nanos long — convert
     # to a microsecond timestamp (matches the DuckDB oracle, which also
@@ -37,6 +38,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df
+
+
+#: InferFiltersFromGenerate turns every explode into a pushed-down
+#: `size(arr) > 0` filter with the generator's FULL input expression
+#: inlined — an expensive array pipeline (shingling, signature folds,
+#: UDF codes) is then recomputed per row below the projection that was
+#: supposed to compute it once (measured 12x on 3-gram shingling). The
+#: rule only saves skipping empty arrays; exclude it. Runtime-settable,
+#: so it also protects queries run under a caller-provided session.
+_GEN_RULE = "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+
+
+def _exclude_generate_filter_rule(spark: SparkSession) -> None:
+    try:
+        cur = spark.conf.get("spark.sql.optimizer.excludedRules")
+    except Exception:
+        cur = None
+    if not cur:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _GEN_RULE)
+    elif _GEN_RULE not in cur:
+        spark.conf.set("spark.sql.optimizer.excludedRules", f"{cur},{_GEN_RULE}")
 
 
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -71,6 +93,41 @@ def read_csv_latest(spark: SparkSession, directory: str, schema: T.StructType,
         .option("dateFormat", "yyyy-MM-dd")
         .csv(files[-1])
     )
+
+
+def versioned_csv_path(directory: str, date_str: str | None = None,
+                       prefix: str = "ads_data_", suffix: str = ".csv") -> str:
+    """Reference S2 (generate_ads_data.py:48-52): date-stamped filename
+    with an ``A,B,C…`` version letter, bumped past every existing file —
+    the reference's no-overwrite rule (the first file of a day is
+    ``…A.csv``, a rerun writes ``…B.csv``, and so on)."""
+    import datetime as _dt
+
+    if date_str is None:
+        date_str = _dt.date.today().strftime("%Y-%m-%d")
+    letter = "A"
+    while os.path.exists(os.path.join(directory, f"{prefix}{date_str}{letter}{suffix}")):
+        letter = chr(ord(letter) + 1)
+    return os.path.join(directory, f"{prefix}{date_str}{letter}{suffix}")
+
+
+def write_csv_versioned(df: DataFrame, directory: str,
+                        date_str: str | None = None,
+                        prefix: str = "ads_data_", suffix: str = ".csv") -> str:
+    """Single-CSV-file export under the reference's versioned naming
+    (generate_ads_data.py:48-55 parity). coalesce(1) is deliberate: the
+    reference contract IS one file — at scale use write_csv (a parallel
+    directory write) and treat the directory as the dataset."""
+    import shutil
+
+    os.makedirs(directory, exist_ok=True)
+    path = versioned_csv_path(directory, date_str, prefix, suffix)
+    tmp = path + "._spark_tmp"
+    df.coalesce(1).write.mode("overwrite").option("header", True).csv(tmp)
+    part = next(f for f in sorted(os.listdir(tmp)) if f.startswith("part-"))
+    shutil.move(os.path.join(tmp, part), path)
+    shutil.rmtree(tmp)
+    return path
 
 
 def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:

@@ -1,0 +1,82 @@
+"""Window-operator unit tests: parameterized column names (the operators
+must work on ANY events-shaped input, not just one with event_id/value
+columns) and exact floor-division bucket semantics for pre-epoch
+timestamps (DuckDB's ``//`` floors; a truncating division would diverge).
+"""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from oracle_to_snowflake_etl_spark.operators.windows import (
+    session_stats,
+    sessionize,
+    tumbling_counts,
+)
+
+UTC = datetime.timezone.utc
+
+
+def _renamed_events(spark):
+    rows = [
+        # uid 1: two events 10 min apart (one session), then 40 min gap
+        (1, datetime.datetime(2026, 8, 1, 10, 0, tzinfo=UTC), 101, 1.5, "click"),
+        (1, datetime.datetime(2026, 8, 1, 10, 10, tzinfo=UTC), 102, 2.5, "view"),
+        (1, datetime.datetime(2026, 8, 1, 10, 50, tzinfo=UTC), 103, 4.0, "click"),
+        # uid 2: single event
+        (2, datetime.datetime(2026, 8, 1, 9, 0, tzinfo=UTC), 201, 7.0, "view"),
+    ]
+    return spark.createDataFrame(
+        rows, "uid long, tstamp timestamp, eid long, amount double, event_type string")
+
+
+def test_sessionize_renamed_columns(spark):
+    out = sessionize(_renamed_events(spark), user_col="uid", ts_col="tstamp",
+                     tiebreak_col="eid").collect()
+    sess = {r.eid: r.session_id for r in out}
+    assert sess[101] == 1 and sess[102] == 1  # within the 30-min gap
+    assert sess[103] == 2                      # 40-min idle -> new session
+    assert sess[201] == 1
+
+
+def test_session_stats_renamed_columns(spark):
+    out = session_stats(_renamed_events(spark), user_col="uid",
+                        ts_col="tstamp", tiebreak_col="eid",
+                        value_col="amount").collect()
+    by_key = {(r.uid, r.session_id): r for r in out}
+    s11 = by_key[(1, 1)]
+    assert s11.n_events == 2
+    assert s11.value_sum == 4.0
+    assert s11.span_us == 10 * 60 * 1_000_000
+    assert by_key[(1, 2)].n_events == 1
+    assert by_key[(2, 1)].value_sum == 7.0
+
+
+def test_tumbling_floor_semantics_pre_epoch(spark):
+    """Bucket ids must FLOOR, not truncate toward zero: an event before
+    1970 lands in a negative bucket exactly like DuckDB's ``//``."""
+    rows = [
+        (datetime.datetime(1969, 12, 31, 23, 58, tzinfo=UTC), "click", 1.0),
+        (datetime.datetime(1970, 1, 1, 0, 2, tzinfo=UTC), "click", 1.0),
+        (datetime.datetime(1970, 1, 1, 0, 7, tzinfo=UTC), "view", 1.0),
+    ]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = {(r.window_id, r.event_type): r.n
+           for r in tumbling_counts(df, minutes=5).collect()}
+    bucket = 5 * 60 * 1_000_000
+    exp_pre = int(datetime.datetime(1969, 12, 31, 23, 58,
+                                    tzinfo=UTC).timestamp() * 1_000_000) // bucket
+    assert exp_pre == -1  # python // floors, the contract to match
+    assert got[(-1, "click")] == 1
+    assert got[(0, "click")] == 1
+    assert got[(1, "view")] == 1
+
+
+def test_tumbling_value_col_renamed(spark):
+    rows = [(datetime.datetime(2026, 8, 1, 0, 1, tzinfo=UTC), "click", 2.25),
+            (datetime.datetime(2026, 8, 1, 0, 2, tzinfo=UTC), "click", 0.75)]
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, amt double")
+    out = tumbling_counts(df, minutes=5, value_col="amt").collect()
+    assert len(out) == 1 and out[0].n == 2 and out[0].value_sum == 3.0
