@@ -227,6 +227,111 @@ def srp_band_pairs(df: DataFrame, vec_col: str = "embedding",
     )
 
 
+# IVF geometry: 16 deterministic cells, probe the 4 nearest per query.
+IVF_CELLS = 16
+IVF_NPROBE = 4
+
+
+@lru_cache(maxsize=None)
+def centroid_weights(cells: int = IVF_CELLS, dims: int = DEFAULT_DIMS) -> tuple:
+    """Deterministic IVF centroid matrix, weight[c][d] in [-1, 1):
+    md5('ivf{c}:{d}') mapped like plane_weights. Random (not k-means)
+    centroids keep the index reproducible with zero training passes;
+    a production deployment would snapshot k-means centroids as the same
+    kind of literal matrix."""
+    return tuple(
+        tuple(
+            int(hashlib.md5(f"ivf{c}:{d}".encode()).hexdigest()[:15], 16)
+            / float(1 << 60) * 2.0 - 1.0
+            for d in range(dims))
+        for c in range(cells))
+
+
+def _cell_sims(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
+    """n x cells cosine matrix with the exact fold order of the SQL form:
+    cumsum dots, sqrt of the PRODUCT of squared norms (sqrt(a*b), never
+    sqrt(a)*sqrt(b) — different rounding)."""
+    proj = np.cumsum(V[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
+    nv = np.cumsum(V * V, axis=1)[:, -1]
+    nc = np.cumsum(C * C, axis=1)[:, -1]
+    return proj / np.sqrt(nv[:, None] * nc[None, :])
+
+
+def ivf_cell(vec: Column, cells: int = IVF_CELLS,
+             dims: int = DEFAULT_DIMS) -> Column:
+    """Nearest-centroid cell id (first index on cosine ties — matches the
+    oracle's list_position-of-max)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroid_weights(cells, dims), dtype=np.float64)
+
+    @pandas_udf("int")
+    def cell(v: pd.Series) -> pd.Series:
+        out = np.empty(len(v), dtype=np.int32)
+        vals = v.values
+        for lo in range(0, len(vals), 1024):
+            V = np.stack(vals[lo:lo + 1024]).astype(np.float64)
+            out[lo:lo + len(V)] = np.argmax(_cell_sims(V, C), axis=1)
+        return pd.Series(out)
+
+    return cell(vec)
+
+
+def ivf_probe_cells(vec: Column, nprobe: int = IVF_NPROBE,
+                    cells: int = IVF_CELLS,
+                    dims: int = DEFAULT_DIMS) -> Column:
+    """The nprobe nearest cells for a query vector (ties by cell asc)."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(centroid_weights(cells, dims), dtype=np.float64)
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        V = np.stack(v.values).astype(np.float64)
+        sims = _cell_sims(V, C)
+        # stable sort on -sim -> descending sim, ascending cell on ties
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return probes(vec)
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+             nprobe: int = IVF_NPROBE, vec_col: str = "embedding",
+             id_col: str = "vec_id") -> DataFrame:
+    """IVF approximate top-k: assign the corpus to 16 deterministic cells
+    (one Arrow pass, map-only), probe each query's nprobe nearest cells,
+    exact-rescore only the probed fraction (~nprobe/cells of the corpus
+    per query), per-query window rank.
+
+    100 TB shape: NO corpus shuffle — the tiny (query_id, cell) probe set
+    broadcasts into the join, scoring stays map-side, and only the scored
+    candidates (|queries| x corpus x nprobe/cells) shuffle for the top-k
+    window. The cell column is the natural partitionBy/bucketBy key for a
+    materialized index table, which turns probing into partition pruning.
+    """
+    c = corpus.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("c_vec"),
+                      ivf_cell(F.col(vec_col)).alias("cell"))
+    qx = (queries.select(F.col(id_col).alias("query_id"),
+                         F.col(vec_col).alias("q_vec"),
+                         ivf_probe_cells(F.col(vec_col), nprobe).alias("cells"))
+          .select("query_id", "q_vec", F.explode("cells").alias("cell")))
+    scored = (
+        c.join(F.broadcast(qx), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                _cos_q6_udf()(F.col("q_vec"), F.col("c_vec")).alias("sim_q6"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_q6"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim_q6")
+    )
+
+
 def embedding_near_dups(df: DataFrame, threshold_q6: int = 350_000,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:

@@ -13,11 +13,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.similarity import (
+    IVF_CELLS,
+    IVF_NPROBE,
     SRP_BANDS,
     SRP_BITS_PER_BAND,
     SRP_PLANES,
     brute_force_topk,
+    centroid_weights,
     embedding_near_dups,
+    ivf_topk,
     plane_weights,
 )
 from ..sources.readers import load_table
@@ -100,6 +104,66 @@ def _duck_srp_sql() -> str:
     FROM cand
     WHERE {_duck_cos_q6('vec_a', 'vec_b')} >= {NEARDUP_Q6}
     """
+
+
+def _duck_ivf_sql() -> str:
+    """DuckDB oracle for IVF top-k, embedding the identical literal
+    centroid matrix; cell assignment is argmax-cosine with first-index
+    tie-break (list_position of the max), probes ranked
+    (sim DESC, cell ASC) — the exact mirror of operators/similarity
+    ivf_cell / ivf_probe_cells."""
+    cs = centroid_weights()
+    c_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
+    # cosine of a row's vector against centroid c (0-based): same fold
+    # order as _duck_cos_q6 — dot / sqrt(norm_a * norm_c)
+    dot_vc = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+              "list_transform(embedding, (x, i) -> "
+              "CAST(x AS DOUBLE) * C[c + 1][i])), (p, q) -> p + q)")
+    nsq_v = _duck_dot("embedding", "embedding")
+    nsq_c = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(C[c + 1], (x, i) -> x * C[c + 1][i])), "
+             "(p, q) -> p + q)")
+    sims = (f"list_transform(range(0, {IVF_CELLS}), c -> "
+            f"{dot_vc} / sqrt({nsq_v} * {nsq_c}))")
+    return f"""
+    WITH cents AS (SELECT {c_lit} AS C),
+    corpus AS (
+      SELECT vec_id AS neighbor_id, embedding AS c_vec,
+             list_position(sims, list_max(sims)) - 1 AS cell
+      FROM (SELECT vec_id, embedding, {sims} AS sims
+            FROM embeddings, cents)
+    ),
+    qsims AS (
+      SELECT vec_id AS query_id, embedding AS q_vec, {sims} AS sims
+      FROM embeddings, cents
+      WHERE vec_id < {N_QUERIES}
+    ),
+    qprobe AS (
+      SELECT query_id, q_vec, c AS cell
+      FROM qsims, (SELECT UNNEST(range(0, {IVF_CELLS})) AS c)
+      QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY sims[c + 1] DESC, c ASC) <= {IVF_NPROBE}
+    )
+    SELECT query_id, neighbor_id, {_duck_cos_q6('q_vec', 'c_vec')} AS sim_q6
+    FROM corpus JOIN qprobe USING (cell)
+    WHERE query_id != neighbor_id
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY {_duck_cos_q6('q_vec', 'c_vec')} DESC, neighbor_id ASC) <= {TOP_K}
+    """
+
+
+@register("ann_ivf_topk", _duck_ivf_sql())
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10 for the first 8 vectors: 16 deterministic
+    cells, 4 probed per query, exact rescore of the probed fraction only
+    (operators/similarity.py ivf_topk) — the partition-prunable ANN
+    scale path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql import functions as F
+    return ivf_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), k=TOP_K)
 
 
 @register("ann_srp_neardup", _duck_srp_sql())

@@ -1,0 +1,48 @@
+"""Structured Streaming query with a full value-level oracle.
+
+The streaming engine's promise is exactly-once-effect equivalence with
+batch: an AvailableNow run over a static source must produce the SAME
+rows a batch query over that source does. That makes the batch oracle a
+legitimate differential check for the STREAMING execution path — this
+module runs operators/windows.tumbling_counts through readStream +
+StateStore aggregation + complete-mode sink and hashes the result
+against the identical DuckDB SQL used by the batch twin (ev_tumbling_5m).
+
+Scale/production notes: the in-memory sink and complete mode are the
+verification harness only (streaming/jobs.drain_to_memory docstring);
+a production deployment uses update mode + watermark into a real sink
+(streaming/jobs.windowed_event_counts). The streaming plan shuffles once
+on the aggregation keys, same as batch; state is bounded by
+|windows x event_type|.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.exact import DEC
+from ..operators.windows import tumbling_counts
+from ..streaming.jobs import drain_to_memory, read_events_stream
+from . import register
+
+_DECU = DEC.upper()
+
+
+@register(
+    "stream_tumbling_5m",
+    f"""
+    SELECT epoch_us(ts) // {5 * 60 * 1_000_000} AS window_id,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS {_DECU})) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """)
+def q_stream_tumbling_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 5-minute tumbling count/sum computed by the STREAMING engine
+    (readStream -> stateful agg -> AvailableNow drain) and checked
+    against the same oracle as its batch twin ev_tumbling_5m — the
+    batch/stream equivalence contract, value-hashed."""
+    stream = read_events_stream(spark, sf_dir)
+    return drain_to_memory(tumbling_counts(stream, minutes=5),
+                           "stream_tumbling_5m")

@@ -102,6 +102,54 @@ def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tpch_q5_local_supplier",
+    f"""
+    SELECT n.n_name,
+           CAST(SUM(CAST(floor(l.l_extendedprice * (1 - l.l_discount) * 10000 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n.n_name
+    ORDER BY revenue DESC, n_name ASC
+    """)
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 local supplier volume: the 6-table join. Dims
+    (region->nation->supplier) broadcast outward-in so the lineitem scan
+    never shuffles for them; the fact-to-fact lineitem<->orders join and
+    the customer attach are left to AQE (broadcast at small SF, SMJ at
+    scale). The local-supplier predicate c_nationkey = s_nationkey rides
+    the customer join."""
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    n = load_table(spark, sf_dir, "nation") \
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    s = load_table(spark, sf_dir, "supplier") \
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp")))
+    c = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(o, F.col("l_orderkey") == o.o_orderkey)
+        .join(c, (o.o_custkey == c.c_custkey)
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy("n_name")
+        .agg(qsum(revenue, "revenue"))
+        .orderBy(F.desc("revenue"), F.asc("n_name"))
+    )
+
+
+@register(
     "tpch_q6_forecast",
     f"""
     SELECT CAST(SUM(CAST(floor(l_extendedprice * l_discount * 10000 + 0.5)

@@ -137,6 +137,26 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
+                   num_buckets: int = 8, sort_cols: list[str] | None = None,
+                   mode: str = "overwrite") -> None:
+    """Bucketed (hash-clustered) catalog table — the co-located-join
+    primitive (SURVEY.md §4.2 'bucketing for co-located joins').
+
+    Writing both sides of a hot equi-join bucketed on the join key by
+    the SAME bucket count makes every later join/aggregation on that key
+    SHUFFLE-FREE: Spark matches the bucket specs and plans a sort-merge
+    join with zero Exchange on either side (asserted in
+    tests/test_plans.py). At 100 TB this converts the dominant recurring
+    shuffle of a fact-to-fact join into a one-time write-side cost;
+    sortBy pre-orders within buckets so even the merge sort is cheap.
+    """
+    w = (df.write.mode(mode)
+         .bucketBy(num_buckets, *bucket_cols)
+         .sortBy(*(sort_cols or bucket_cols)))
+    w.format("parquet").saveAsTable(table)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> None:
     """Engine-native sink. ``partition_by`` (e.g. ["dt"]) gives partition

@@ -79,6 +79,50 @@ def incremental_append_stream(stream: DataFrame, target_path: str,
     )
 
 
+#: the driver's events table with ts as epoch-NANOS long — the raw shape
+#: a parquet TIMESTAMP(NANOS) column arrives in under nanosAsLong (file-
+#: source streams need an explicit schema; they never infer)
+EVENTS_RAW_NANOS = T.StructType([
+    T.StructField("event_id", T.LongType()),
+    T.StructField("ts", T.LongType()),
+    T.StructField("user_id", T.LongType()),
+    T.StructField("event_type", T.StringType()),
+    T.StructField("value", T.DoubleType()),
+    T.StructField("props", T.StringType()),
+])
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-source STREAM over the driver's events table, normalized to
+    the same µs-timestamp shape sources/readers.load_table produces for
+    batch — so every batch operator that groups/aggregates (e.g.
+    operators/windows.tumbling_counts) runs unchanged on the stream.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # file-source streams list a DIRECTORY; the glob filter narrows it to
+    # the events table (the testdata dir holds one file per table)
+    raw = (spark.readStream.schema(EVENTS_RAW_NANOS)
+           .option("pathGlobFilter", "events.parquet")
+           .parquet(sf_dir))
+    # integer `div`, not `/`: float division of epoch-nanos drops low bits
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def drain_to_memory(df: DataFrame, name: str) -> DataFrame:
+    """Run a streaming aggregation to completion with Trigger.AvailableNow
+    and return the final result as a batch DataFrame (in-memory sink,
+    complete mode). This is the TEST/verification sink: it materializes
+    the full result on the driver, which is fine for a differential gate
+    and wrong for production — production streams write update-mode
+    deltas to a real sink (parquet/Delta via foreachBatch, Kafka, ...).
+    """
+    spark = df.sparkSession
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name)
+
+
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
                           watermark: str = "10 minutes") -> DataFrame:
     """Watermarked tumbling-window count/sum per event type — the

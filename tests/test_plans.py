@@ -51,3 +51,36 @@ def test_creative_topk_single_agg_shuffle(spark, sf_dir):
     df = queries()["creative_perf_topk"](spark, sf_dir)
     assert has_top_k(df)
     assert exchange_count(df) <= 1  # one hash-agg shuffle, top-k needs none
+
+
+def test_bucketed_join_is_shuffle_free(spark, sf_dir):
+    """Both sides bucketed on the join key with equal bucket counts ->
+    sort-merge join with ZERO Exchange (sources/readers.write_bucketed):
+    the recurring fact-to-fact shuffle paid once at write time."""
+    from oracle_to_snowflake_etl_spark.sources.readers import (
+        load_table,
+        write_bucketed,
+    )
+
+    write_bucketed(load_table(spark, sf_dir, "orders"),
+                   "bkt_orders", ["o_custkey"], 8)
+    write_bucketed(load_table(spark, sf_dir, "customer"),
+                   "bkt_customer", ["c_custkey"], 8)
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o, c = spark.table("bkt_orders"), spark.table("bkt_customer")
+        j = o.join(c, o.o_custkey == c.c_custkey) \
+             .select("o_orderkey", "c_nationkey")
+        assert has_sort_merge_join(j)
+        assert exchange_count(j) == 0
+        # sanity: the same join on the unbucketed scans DOES shuffle
+        o2 = load_table(spark, sf_dir, "orders")
+        c2 = load_table(spark, sf_dir, "customer")
+        j2 = o2.join(c2, o2.o_custkey == c2.c_custkey) \
+               .select("o_orderkey", "c_nationkey")
+        assert exchange_count(j2) >= 2
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bkt_orders")
+        spark.sql("DROP TABLE IF EXISTS bkt_customer")
