@@ -106,6 +106,74 @@ def sessionize(events: DataFrame, user_col: str = "user_id",
                  .drop("is_new")
 
 
+def sessionize_bucketed(events: DataFrame, user_col: str = "user_id",
+                        ts_col: str = "ts",
+                        gap_minutes: int = SESSION_GAP_MIN,
+                        tiebreak_col: str = "event_id",
+                        bucket_hours: int = 24) -> DataFrame:
+    """The 100 TB form of :func:`sessionize` — identical output, skew
+    bounded by events-per-user-per-bucket instead of events-per-user.
+
+    A hyperactive key makes plain sessionize sort one giant (user)
+    partition. Here:
+
+      1. events shuffle on (user, time-bucket) — the hot key splits
+         across buckets; within-bucket sessionize is the same two
+         stacked windows;
+      2. a per-(user, bucket) boundary table (min/max ts, session
+         count — one row per user-bucket, ~events/avg-bucket-size
+         smaller) decides with one tiny (user)-partitioned window pass
+         whether each bucket's first session continues the previous
+         bucket's last session (gap check across the boundary), and
+         assigns each bucket its global session-id base;
+      3. the base/merge columns join back on (user, bucket) — the same
+         partitioning the big side already has, so no extra shuffle of
+         the events.
+
+    Session ids come out numbered chronologically per user, exactly as
+    plain sessionize produces (asserted in tests). Works for sessions
+    spanning any number of buckets (each consecutive pair merges).
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+    bucket_us = bucket_hours * 3600 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    bkt = ((us - ((us % bucket_us) + bucket_us) % bucket_us) / bucket_us) \
+        .cast("long")
+    ev = events.withColumn("_bkt", bkt)
+
+    w = Window.partitionBy(user_col, "_bkt").orderBy(ts_col, tiebreak_col)
+    prev_ts = F.lag(ts_col, 1).over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | ((F.unix_micros(F.col(ts_col)) - F.unix_micros(prev_ts)) > gap_us),
+        F.lit(1)).otherwise(F.lit(0))
+    cum = (Window.partitionBy(user_col, "_bkt").orderBy(ts_col, tiebreak_col)
+           .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    local = ev.withColumn("_ls", F.sum(is_new).over(cum))
+
+    bounds = local.groupBy(user_col, "_bkt").agg(
+        F.min(ts_col).alias("_first_ts"),
+        F.max(ts_col).alias("_last_ts"),
+        F.max("_ls").alias("_n"))
+    wb = Window.partitionBy(user_col).orderBy("_bkt")
+    prev_last = F.lag("_last_ts", 1).over(wb)
+    merged = F.when(
+        prev_last.isNotNull()
+        & ((F.unix_micros(F.col("_first_ts")) - F.unix_micros(prev_last))
+           <= gap_us),
+        F.lit(1)).otherwise(F.lit(0))
+    cumb = (Window.partitionBy(user_col).orderBy("_bkt")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    with_m = bounds.withColumn("_m", merged)
+    base = F.coalesce(F.sum(F.col("_n") - F.col("_m")).over(cumb), F.lit(0))
+    keys = with_m.select(user_col, "_bkt", F.col("_m"), base.alias("_base"))
+
+    out = (local.join(keys, [user_col, "_bkt"])
+           .withColumn("session_id", F.col("_base") + F.col("_ls") - F.col("_m"))
+           .drop("_bkt", "_ls", "_m", "_base"))
+    return out
+
+
 def session_stats(events: DataFrame, user_col: str = "user_id",
                   ts_col: str = "ts",
                   gap_minutes: int = SESSION_GAP_MIN,

@@ -53,6 +53,50 @@ def test_creative_topk_single_agg_shuffle(spark, sf_dir):
     assert exchange_count(df) <= 1  # one hash-agg shuffle, top-k needs none
 
 
+def test_asof_is_single_shuffle(spark, sf_dir):
+    """The union-sort as-of construction: ONE exchange (the window's hash
+    partitioning), never an inequality-join nested loop."""
+    df = queries()["asof_click_attribution"](spark, sf_dir)
+    assert exchange_count(df) <= 1
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+    assert "BroadcastNestedLoopJoin" not in plan_string(df)
+
+
+def test_lsh_candidate_paths_stay_narrow(spark, sf_dir):
+    """Perf-regression locks for the round-2 rewrites: SRP-LSH re-attaches
+    embeddings via broadcast-able hash joins (2 exchanges: banding +
+    pair dedup), IVF broadcasts the probe set (1 exchange: top-k
+    window), MinHash stays at its banding/pair shuffles, and the
+    DF-capped ngram plan stays bounded."""
+    # earlier tests may have populated the cache (ngram persists its
+    # shingle projection; CacheManager matches by plan) — clear it so
+    # the asserted shapes are the cold plans
+    spark.catalog.clearCache()
+    bounds = {"ann_srp_neardup": 2, "ann_ivf_topk": 1,
+              "dedup_minhash_lsh": 3, "dedup_ngram_jaccard": 8}
+    for name, bound in bounds.items():
+        df = queries()[name](spark, sf_dir)
+        assert exchange_count(df) <= bound, name
+
+
+def test_no_cartesian_or_nested_loop_joins(spark, sf_dir):
+    """Blanket scale guard: no query may plan CartesianProduct or
+    BroadcastNestedLoopJoin — except the brute-force ANN baseline, whose
+    broadcast-query-set crossJoin is the intended plan."""
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+
+    spark.catalog.clearCache()
+    allowed_cross = {"ann_brute_topk"}
+    skip = {"stream_tumbling_5m"}  # executing it drains a stream; its
+    # batch result is a materialized memory table with no join plan
+    for name, fn in queries().items():
+        if name in allowed_cross | skip:
+            continue
+        plan = plan_string(fn(spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
 def test_bucketed_join_is_shuffle_free(spark, sf_dir):
     """Both sides bucketed on the join key with equal bucket counts ->
     sort-merge join with ZERO Exchange (sources/readers.write_bucketed):

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 from oracle_to_snowflake_etl_spark.operators.windows import (
     session_stats,
     sessionize,
+    sessionize_bucketed,
     tumbling_counts,
 )
 
@@ -72,6 +73,37 @@ def test_tumbling_floor_semantics_pre_epoch(spark):
     assert got[(-1, "click")] == 1
     assert got[(0, "click")] == 1
     assert got[(1, "view")] == 1
+
+
+def test_sessionize_bucketed_equals_plain_on_testdata(spark, sf_dir):
+    """The skew-safe (user, bucket) pre-split + stitch must reproduce
+    plain sessionize's ids EXACTLY on the real events table."""
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    plain = sessionize(ev).select("event_id", "session_id")
+    bucketed = sessionize_bucketed(ev).select("event_id", "session_id")
+    assert plain.exceptAll(bucketed).count() == 0
+    assert bucketed.exceptAll(plain).count() == 0
+
+
+def test_sessionize_bucketed_stitches_cross_boundary_sessions(spark):
+    """A session spanning three 1-hour buckets (events 20 min apart over
+    2.5 h) must stitch into ONE session; a later isolated event starts
+    session 2."""
+    base = datetime.datetime(2026, 8, 1, 9, 50, tzinfo=UTC)
+    rows = [(1, base + datetime.timedelta(minutes=20 * i), 100 + i, 1.0)
+            for i in range(8)]                      # 09:50 .. 12:10
+    rows.append((1, base + datetime.timedelta(hours=6), 200, 1.0))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, value double")
+    out = sessionize_bucketed(df, bucket_hours=1).collect()
+    sess = {r.event_id: r.session_id for r in out}
+    assert all(sess[100 + i] == 1 for i in range(8))
+    assert sess[200] == 2
+    # and it agrees with plain sessionize on the same input
+    plain = {r.event_id: r.session_id for r in sessionize(df).collect()}
+    assert sess == plain
 
 
 def test_tumbling_value_col_renamed(spark):
