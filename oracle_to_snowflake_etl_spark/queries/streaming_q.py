@@ -46,3 +46,26 @@ def q_stream_tumbling_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     return drain_to_memory(tumbling_counts(stream, minutes=5),
                            "stream_tumbling_5m")
+
+
+@register(
+    "stream_user_stats",
+    """
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(epoch_us(ts)) AS last_seen_us
+    FROM events
+    GROUP BY user_id
+    """)
+def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (streaming/jobs.user_running_stats:
+    applyInPandasWithState, arbitrary per-key state) drained with
+    AvailableNow and value-hashed against plain batch SQL. The static
+    source arrives as ONE micro-batch (single file), so update mode
+    emits exactly one final row per user — the state machine's end state
+    must equal the batch aggregate."""
+    from ..streaming.jobs import user_running_stats
+
+    stream = read_events_stream(spark, sf_dir)
+    return drain_to_memory(user_running_stats(stream), "stream_user_stats",
+                           output_mode="update")

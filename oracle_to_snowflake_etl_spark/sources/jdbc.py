@@ -10,14 +10,17 @@ partition-parallel JDBC:
     concurrent range queries (each executor opens its own connection);
   - predicates/column pruning push into the remote engine via Catalyst
     (a ``.select(keys)`` becomes ``SELECT keys FROM t`` remotely —
-    the reference's manual key-projection S6 for free);
+    the reference's manual key-projection S6 for free, and
+    :func:`key_projection_subquery` builds the explicit form);
   - writes batch ``batchsize`` rows per round-trip per partition.
 
-No JDBC driver jars ship in this environment, so these are exercised by
-plan construction only; the call sites raise Spark's own clear error if
-the driver class is absent. The local pipeline runs on parquet via the
-same DataFrame contracts (SURVEY.md §7.2 build order #6: adapters behind
-an interface; the pipeline code doesn't know which is underneath).
+No JDBC driver jars ship in this environment, so execution is untestable
+here; the OPTION CONSTRUCTION is pure and unit-tested
+(tests/test_jdbc_options.py), and the call sites raise Spark's own clear
+error if the driver class is absent. The local pipeline runs on parquet
+via the same DataFrame contracts (SURVEY.md §7.2 build order #6:
+adapters behind an interface; the pipeline code doesn't know which is
+underneath).
 """
 
 from __future__ import annotations
@@ -29,71 +32,94 @@ ORACLE_URL_TEMPLATE = "jdbc:oracle:thin:@//{host}:{port}/{service}"
 SNOWFLAKE_URL_TEMPLATE = "jdbc:snowflake://{account}.snowflakecomputing.com"
 
 
-def read_jdbc(spark: SparkSession, url: str, table: str, *,
-              user: str | None = None, password: str | None = None,
-              driver: str | None = None,
-              partition_column: str | None = None,
-              lower_bound: int | None = None, upper_bound: int | None = None,
-              num_partitions: int = 16,
-              fetch_size: int = 10_000,
-              options: dict | None = None) -> DataFrame:
-    """Partition-parallel JDBC scan (reference S4's `SELECT * FROM
-    ADS_DATA` without the client-RAM fetchall cliff at
-    oracle_to_snowflake.py:33).
+def key_projection_subquery(table: str, cols: list[str],
+                            predicate: str | None = None,
+                            alias: str = "src") -> str:
+    """Reference S6 (oracle_to_snowflake.py:78): the explicit remote
+    key-projection scan as a pushdown subquery for ``dbtable`` — only
+    ``cols`` travel over the wire, optionally pre-filtered remotely."""
+    where = f" WHERE {predicate}" if predicate else ""
+    return f"(SELECT {', '.join(cols)} FROM {table}{where}) {alias}"
 
-    ``table`` may be a table name or a pushdown subquery alias:
-    ``"(SELECT c1, c2 FROM t WHERE dt > DATE '2026-01-01') src"``.
-    With ``partition_column`` (numeric/date) the scan issues
-    ``num_partitions`` concurrent range queries; without it the scan is
-    single-stream (correct, not fast — fine for small dims).
-    """
-    reader = (spark.read.format("jdbc")
-              .option("url", url)
-              .option("dbtable", table)
-              .option("fetchsize", fetch_size))
+
+def jdbc_scan_options(url: str, table: str, *,
+                      user: str | None = None, password: str | None = None,
+                      driver: str | None = None,
+                      partition_column: str | None = None,
+                      lower_bound: int | None = None,
+                      upper_bound: int | None = None,
+                      num_partitions: int = 16,
+                      fetch_size: int = 10_000,
+                      options: dict | None = None) -> dict[str, str]:
+    """Pure option builder for a partition-parallel JDBC scan — separated
+    from the reader so the partitioning/pushdown logic is unit-testable
+    without a driver jar."""
+    out: dict[str, str] = {
+        "url": url, "dbtable": table, "fetchsize": str(fetch_size)}
     if user is not None:
-        reader = reader.option("user", user)
+        out["user"] = user
     if password is not None:
-        reader = reader.option("password", password)
+        out["password"] = password
     if driver is not None:
-        reader = reader.option("driver", driver)
+        out["driver"] = driver
     if partition_column is not None:
         if lower_bound is None or upper_bound is None:
             raise ValueError(
                 "partitioned JDBC scan needs lower_bound/upper_bound "
                 "(run MIN/MAX once remotely and pass them in)")
-        reader = (reader
-                  .option("partitionColumn", partition_column)
-                  .option("lowerBound", str(lower_bound))
-                  .option("upperBound", str(upper_bound))
-                  .option("numPartitions", str(num_partitions)))
-    for k, v in (options or {}).items():
-        reader = reader.option(k, v)
-    return reader.load()
+        out.update({
+            "partitionColumn": partition_column,
+            "lowerBound": str(lower_bound),
+            "upperBound": str(upper_bound),
+            "numPartitions": str(num_partitions),
+        })
+    out.update({k: str(v) for k, v in (options or {}).items()})
+    return out
+
+
+def jdbc_write_options(url: str, table: str, *,
+                       user: str | None = None, password: str | None = None,
+                       driver: str | None = None,
+                       batch_size: int = 10_000,
+                       options: dict | None = None) -> dict[str, str]:
+    """Pure option builder for the batched JDBC sink."""
+    out: dict[str, str] = {
+        "url": url, "dbtable": table, "batchsize": str(batch_size)}
+    if user is not None:
+        out["user"] = user
+    if password is not None:
+        out["password"] = password
+    if driver is not None:
+        out["driver"] = driver
+    out.update({k: str(v) for k, v in (options or {}).items()})
+    return out
+
+
+def read_jdbc(spark: SparkSession, url: str, table: str,
+              **kwargs) -> DataFrame:
+    """Partition-parallel JDBC scan (reference S4's `SELECT * FROM
+    ADS_DATA` without the client-RAM fetchall cliff at
+    oracle_to_snowflake.py:33).
+
+    ``table`` may be a table name or a pushdown subquery alias
+    (:func:`key_projection_subquery`). With ``partition_column``
+    (numeric/date) the scan issues ``num_partitions`` concurrent range
+    queries; without it the scan is single-stream (correct, not fast —
+    fine for small dims).
+    """
+    return (spark.read.format("jdbc")
+            .options(**jdbc_scan_options(url, table, **kwargs))
+            .load())
 
 
 def write_jdbc(df: DataFrame, url: str, table: str, *,
-               mode: str = "append",
-               user: str | None = None, password: str | None = None,
-               driver: str | None = None,
-               batch_size: int = 10_000,
-               options: dict | None = None) -> None:
+               mode: str = "append", **kwargs) -> None:
     """Batched parallel JDBC sink (reference S5/S7: the 45k single-row
     round-trips of insert_ads_data.py:35-50 become
     ceil(rows/batch_size) statements per partition, all partitions
     concurrent — the ``write_pandas``/bulk path README.md:346 wishes
     for, native to the engine)."""
-    writer = (df.write.format("jdbc")
-              .option("url", url)
-              .option("dbtable", table)
-              .option("batchsize", batch_size)
-              .mode(mode))
-    if user is not None:
-        writer = writer.option("user", user)
-    if password is not None:
-        writer = writer.option("password", password)
-    if driver is not None:
-        writer = writer.option("driver", driver)
-    for k, v in (options or {}).items():
-        writer = writer.option(k, v)
-    writer.save()
+    (df.write.format("jdbc")
+     .options(**jdbc_write_options(url, table, **kwargs))
+     .mode(mode)
+     .save())

@@ -108,17 +108,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
-def drain_to_memory(df: DataFrame, name: str) -> DataFrame:
+def drain_to_memory(df: DataFrame, name: str,
+                    output_mode: str = "complete") -> DataFrame:
     """Run a streaming aggregation to completion with Trigger.AvailableNow
-    and return the final result as a batch DataFrame (in-memory sink,
-    complete mode). This is the TEST/verification sink: it materializes
-    the full result on the driver, which is fine for a differential gate
-    and wrong for production — production streams write update-mode
-    deltas to a real sink (parquet/Delta via foreachBatch, Kafka, ...).
+    and return the final result as a batch DataFrame (in-memory sink).
+    This is the TEST/verification sink: it materializes the full result
+    on the driver, which is fine for a differential gate and wrong for
+    production — production streams write update-mode deltas to a real
+    sink (parquet/Delta via foreachBatch, Kafka, ...).
+
+    output_mode "complete" for built-in aggregations;
+    "update" for applyInPandasWithState operators (which cannot run in
+    complete mode — each key's LAST emission is its final state, and a
+    single-batch static source emits each key exactly once).
     """
     spark = df.sparkSession
     q = (df.writeStream.format("memory").queryName(name)
-         .outputMode("complete").trigger(availableNow=True).start())
+         .outputMode(output_mode).trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name)
 
