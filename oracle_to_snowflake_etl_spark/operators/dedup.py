@@ -295,7 +295,67 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
 
 
 # ---------------------------------------------------------------------------
-# 4. SimHash + banded Hamming search
+# 4. Cluster resolution: near-dup pairs -> connected components -> keeper
+# ---------------------------------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a",
+                   b_col: str = "doc_b",
+                   max_iterations: int = 50) -> DataFrame:
+    """Resolve pairwise near-dup edges into clusters: every doc mentioned
+    in ``pairs`` is assigned the MINIMUM doc id of its connected
+    component as its canonical keeper. Returns (doc, keep_id).
+
+    This is the step an LLM-data pipeline runs after any pairwise dedup
+    (MinHash/SimHash/embedding): pairs say "these are the same"; the
+    cluster decides who survives.
+
+    Algorithm: iterative min-label propagation (the DataFrame form of
+    large-star/small-star connected components). Each round every node
+    takes the min of its own label and its neighbors' labels; converges
+    in O(log(diameter)) rounds for the chain-free clusters near-dup
+    graphs produce (near-dup components are dense and tiny). Each round
+    is ONE shuffle (join on the edge list + min-agg); the edge list is
+    output-bounded, so iterations run on data proportional to the
+    near-dup volume, never the corpus. The driver-side loop checks a
+    convergence COUNT per round — legitimate for an iterative algorithm
+    (it is the fixed-point test, not a planning probe).
+    """
+    # undirected, deduplicated edge list + self loops keep isolated-in-
+    # pair docs labeled
+    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+             .unionByName(pairs.select(F.col(b_col).alias("src"),
+                                       F.col(a_col).alias("dst")))
+             .distinct()
+             .persist())
+    labels = (edges.select(F.col("src").alias("doc"))
+              .distinct()
+              .withColumn("lbl", F.col("doc"))
+              .persist())
+    try:
+        for _ in range(max_iterations):
+            neighbor_min = (edges.join(labels, edges.dst == labels.doc)
+                            .groupBy("src").agg(F.min("lbl").alias("nlbl")))
+            new_labels = (labels.join(neighbor_min,
+                                      labels.doc == neighbor_min.src, "left")
+                          .select("doc",
+                                  F.least("lbl", F.coalesce("nlbl", "lbl"))
+                                  .alias("lbl"))
+                          .persist())
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), "doc")
+                       .where(F.col("n.lbl") != F.col("o.lbl"))
+                       .count())
+            labels.unpersist()
+            labels = new_labels
+            if changed == 0:
+                break
+        return labels.select(F.col("doc"), F.col("lbl").alias("keep_id"))
+    finally:
+        edges.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# 5. SimHash + banded Hamming search
 # ---------------------------------------------------------------------------
 
 def with_simhash(df: DataFrame, text_col: str = "text",

@@ -22,6 +22,7 @@ from ..operators.dedup import (
     SIMHASH_CHUNK_BITS,
     SIMHASH_CHUNKS,
     SIMHASH_MAX_HAMMING,
+    dedup_clusters,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -91,9 +92,7 @@ _MH_A_LIT = "[" + ", ".join(str(a) for a in _MH_A) + "]"
 _MH_B_LIT = "[" + ", ".join(str(b) for b in _MH_B) + "]"
 
 
-@register(
-    "dedup_minhash_lsh",
-    f"""
+_MINHASH_PAIRS_SQL = f"""
     WITH sigs AS (
       SELECT doc,
              list_transform(range(1, {MINHASH_K + 1}), j ->
@@ -126,12 +125,46 @@ _MH_B_LIT = "[" + ", ".join(str(b) for b in _MH_B) + "]"
     WHERE CAST(list_sum(list_transform(range(1, {MINHASH_K + 1}),
                 i -> CASE WHEN sig_a[i] = sig_b[i] THEN 1 ELSE 0 END)) AS DOUBLE)
              / {MINHASH_K} >= 0.5
-    """)
+    """
+
+
+@register("dedup_minhash_lsh", _MINHASH_PAIRS_SQL)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(16) + 4x4 banded LSH candidate pairs scored by estimated
     Jaccard (operators/dedup.py minhash_lsh_pairs) — the 100 TB dedup
     path: shuffle volume O(docs x bands), independent of text length."""
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+
+
+# The recursive CTE computes full reachability over the (symmetrized)
+# near-dup edge list and takes the minimum reachable id — the exact
+# semantics the Spark side's iterative min-label propagation converges
+# to, so even an ITERATIVE graph algorithm gets a value-level oracle.
+_CLUSTERS_SQL = f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc
+    )
+    SELECT doc, MIN(r) AS keep_id FROM reach GROUP BY doc
+    """
+
+
+@register("dedup_clusters", _CLUSTERS_SQL)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup pairs resolved into connected components with a
+    minimum-id keeper (operators/dedup.py dedup_clusters) — the
+    pairs->clusters->survivor step of a dedup pipeline, and the engine's
+    iterative-algorithm surface (driver-looped min-label propagation,
+    one output-bounded shuffle per round)."""
+    pairs = minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
+    return dedup_clusters(pairs)
 
 
 @register(
