@@ -191,6 +191,57 @@ def session_stats(events: DataFrame, user_col: str = "user_id",
     )
 
 
+def hypertable_rollup(events: DataFrame,
+                      minutes_levels: tuple[int, ...] = (5, 60, 1440),
+                      ts_col: str = "ts",
+                      value_col: str = "value") -> DataFrame:
+    """Multi-resolution continuous-aggregate rollup (the hypertable /
+    TimescaleDB continuous-aggregate shape): raw events aggregate ONCE at
+    the finest resolution; every coarser level re-aggregates the
+    previous level's partials instead of rescanning raw data.
+
+    That hierarchy is exactly why functions/exact.py sums in DECIMAL:
+    decimal addition is associative, so sum-of-partial-sums is
+    bit-identical to a direct sum over raw rows — the oracle aggregates
+    each level straight from raw events and still hash-matches.
+
+    At 100 TB the raw scan happens once; each further level shuffles
+    only the previous level's output (|buckets| rows, collapsing by the
+    level ratio). Output: (resolution_min, window_id, event_type, n,
+    value_sum) stacked over all levels.
+
+    Every coarser level must be a multiple of the previous one.
+    """
+    for a, b in zip(minutes_levels, minutes_levels[1:]):
+        if b % a:
+            raise ValueError(f"level {b} not a multiple of {a}")
+    base_us = minutes_levels[0] * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    wid = ((us - ((us % base_us) + base_us) % base_us) / base_us).cast("long")
+    # finest level: one scan of raw events; value kept as DECIMAL so the
+    # re-aggregations above stay exact
+    level = (events.groupBy(wid.alias("window_id"), "event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.col(value_col).cast(DEC)).alias("_vdec")))
+    out = level.select(
+        F.lit(minutes_levels[0]).alias("resolution_min"),
+        "window_id", "event_type", "n",
+        F.col("_vdec").cast("double").alias("value_sum"))
+    prev, prev_min = level, minutes_levels[0]
+    for mins in minutes_levels[1:]:
+        ratio = mins // prev_min
+        cw = F.col("window_id")
+        coarse = ((cw - ((cw % ratio) + ratio) % ratio) / ratio).cast("long")
+        level = (prev.groupBy(coarse.alias("window_id"), "event_type")
+                 .agg(F.sum("n").alias("n"), F.sum("_vdec").alias("_vdec")))
+        out = out.unionByName(level.select(
+            F.lit(mins).alias("resolution_min"),
+            "window_id", "event_type", "n",
+            F.col("_vdec").cast("double").alias("value_sum")))
+        prev, prev_min = level, mins
+    return out
+
+
 def tumbling_counts(events: DataFrame, minutes: int = 5,
                     ts_col: str = "ts",
                     value_col: str = "value") -> DataFrame:

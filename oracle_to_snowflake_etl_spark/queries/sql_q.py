@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import DEC, dsum
 from ..operators.asof import asof_join
+from ..operators.rangejoin import point_in_interval_join
 from ..operators.merge import merge_upsert
 from ..sources.readers import load_table
 from . import register
@@ -233,6 +234,40 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
               .select("o_orderkey", "o_custkey",
                       (F.col("o_totalprice") * 2).alias("o_totalprice")))
     return merge_upsert(source, orders, ["o_orderkey"])
+
+
+@register(
+    "range_join_promo",
+    """
+    WITH promo AS (
+      SELECT o_orderkey AS promo_id, o_orderdate AS s,
+             o_orderdate + INTERVAL 7 DAY AS e
+      FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey ASC
+      LIMIT 20
+    )
+    SELECT l.l_orderkey, l.l_linenumber, p.promo_id
+    FROM lineitem l
+    JOIN promo p ON l.l_shipdate >= p.s AND l.l_shipdate < p.e
+    """)
+def q_range_join_promo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval-containment) join: attribute each lineitem
+    shipment to every top-20-order promo week containing it
+    (operators/rangejoin.py). A raw inequality join would plan
+    BroadcastNestedLoopJoin; the bucketed construction is an equi-join
+    on coarse time buckets + exact filter, one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    promos = (orders
+              .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(20)
+              .select(F.col("o_orderkey").alias("promo_id"),
+                      F.col("o_orderdate").alias("_s"),
+                      (F.col("o_orderdate")
+                       + F.expr("INTERVAL 7 DAYS")).alias("_e")))
+    points = load_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+    joined = point_in_interval_join(points, promos, "l_shipdate", "_s", "_e",
+                                    bucket_minutes=7 * 24 * 60)
+    return joined.select("l_orderkey", "l_linenumber", "promo_id")
 
 
 @register(

@@ -18,6 +18,7 @@ from ..operators.windows import (
     moving_avg,
     rank_in_group,
     running_total,
+    hypertable_rollup,
     session_stats,
     tumbling_counts,
 )
@@ -144,6 +145,29 @@ def q_ev_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     streaming session window."""
     events = load_table(spark, sf_dir, "events")
     return session_stats(events)
+
+
+def _rollup_level_sql(mins: int) -> str:
+    bucket = mins * 60 * 1_000_000
+    return f"""
+    SELECT {mins} AS resolution_min,
+           epoch_us(ts) // {bucket} AS window_id,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS {_DECU})) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 2, 3"""
+
+
+@register(
+    "ev_hypertable_rollup",
+    " UNION ALL ".join(_rollup_level_sql(m) for m in (5, 60, 1440)))
+def q_ev_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution continuous aggregate (5m -> 1h -> 1d), each
+    coarser level re-aggregated from the previous level's DECIMAL
+    partials (operators/windows.hypertable_rollup). The oracle computes
+    every level straight from raw events — associative decimal sums make
+    the hierarchical and direct forms bit-identical."""
+    return hypertable_rollup(load_table(spark, sf_dir, "events"))
 
 
 @register(
