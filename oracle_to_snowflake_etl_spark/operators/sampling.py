@@ -1,0 +1,88 @@
+"""Deterministic sampling & split assignment for training-data pipelines.
+
+``df.sample()`` / ``F.rand(seed)`` are seeded PER PARTITION: the selected
+rows change with partitioning, parallelism, and file layout — useless for
+reproducible corpus construction. Every operator here derives its
+randomness from a 60-bit md5 hash of (salt | stable key), the same
+contract as datagen.py and functions/hashing.py:
+
+  - identical results on any cluster layout, any partitioning, both
+    engines (the DuckDB oracle embeds the same formula);
+  - adding/removing OTHER rows never flips a row's fate (per-row
+    decision, no global state);
+  - different salts give independent samples from the same corpus.
+
+All decisions are single codegen-stage column expressions: zero
+shuffles, zero Python. At 100 TB a sample is a scan with a cheap
+predicate — filter-pushdown-friendly and restartable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+
+_H_RANGE = float(1 << 60)
+
+
+def _unit(key: Column, salt: str) -> Column:
+    """U[0,1) from (salt | key) — partitioning-independent."""
+    return hash60(F.concat_ws("|", F.lit(salt), key.cast("string"))) \
+        .cast("double") / F.lit(_H_RANGE)
+
+
+def hash_sample(df: DataFrame, fraction: float, key_col: str,
+                salt: str = "sample") -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on ``key_col``.
+
+    The same (key, salt) is kept or dropped forever — rerunning the
+    pipeline, repartitioning, or growing the corpus never changes an
+    existing row's membership (the property incremental training-data
+    builds need).
+    """
+    return df.where(_unit(F.col(key_col), salt) < fraction)
+
+
+def stratified_sample(df: DataFrame, fractions: dict[str, float],
+                      strata_col: str, key_col: str,
+                      salt: str = "strat",
+                      default_fraction: float = 0.0) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. per-language rates when
+    rebalancing a corpus). Strata not listed get ``default_fraction``."""
+    frac = None
+    for stratum, f in sorted(fractions.items()):
+        cond = F.col(strata_col) == stratum
+        frac = (F.when(cond, F.lit(f)) if frac is None
+                else frac.when(cond, F.lit(f)))
+    frac = frac.otherwise(F.lit(default_fraction)) if frac is not None \
+        else F.lit(default_fraction)
+    return df.where(_unit(F.col(key_col), salt) < frac)
+
+
+def split_assign(df: DataFrame, key_col: str,
+                 weights: dict[str, float] | None = None,
+                 salt: str = "split",
+                 out_col: str = "split") -> DataFrame:
+    """Assign every row a deterministic train/val/test label by hash
+    interval: weights {"train": .98, "val": .01, "test": .01} partition
+    [0,1). Keys are assigned once and forever — no leakage between
+    splits across pipeline reruns, the invariant eval sets depend on.
+    Labels are checked in sorted order with cumulative bounds.
+    """
+    weights = weights or {"test": 0.01, "train": 0.98, "val": 0.01}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split weights must sum to 1, got {total}")
+    u = _unit(F.col(key_col), salt)
+    expr = None
+    hi = 0.0
+    items = sorted(weights.items())
+    for name, w in items[:-1]:
+        hi += w
+        expr = (F.when(u < hi, F.lit(name)) if expr is None
+                else expr.when(u < hi, F.lit(name)))
+    last = items[-1][0]
+    expr = expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
+    return df.withColumn(out_col, expr)

@@ -59,6 +59,7 @@ from . import sql_q  # noqa: E402,F401
 from . import tpch_q  # noqa: E402,F401
 from . import funcs_q  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
+from . import sampling_q  # noqa: E402,F401
 
 # Re-export the flagship for __spark_entry__.entry().
 from .reference import q_top_spenders  # noqa: E402,F401

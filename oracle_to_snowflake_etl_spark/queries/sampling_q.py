@@ -1,0 +1,75 @@
+"""Deterministic-sampling query set (operators/sampling.py) over the
+documents table — per-row value-level oracles (the membership decision
+itself is checked, not just counts), since reproducible corpus
+construction is exactly the property being claimed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.hashing import duck_hash60_sql
+from ..operators.sampling import hash_sample, split_assign, stratified_sample
+from ..sources.readers import load_table
+from . import register
+
+_H_RANGE = float(1 << 60)
+
+#: per-language resampling rates for the stratified query (rebalance a
+#: multilingual corpus: keep every zh doc, downsample en hard)
+STRAT_FRACTIONS = {"en": 0.25, "de": 0.8, "zh": 1.0}
+SPLIT_WEIGHTS = {"test": 0.1, "train": 0.8, "val": 0.1}
+
+
+def _duck_unit(salt: str, key_expr: str) -> str:
+    h = duck_hash60_sql(f"'{salt}' || '|' || CAST({key_expr} AS VARCHAR)")
+    return f"(CAST({h} AS DOUBLE) / {_H_RANGE!r})"
+
+
+@register(
+    "sample_docs_20pct",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_duck_unit('sample', 'doc_id')} < 0.2
+    """)
+def q_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 20% document sample keyed on doc_id — same rows on
+    any partitioning, any rerun (operators/sampling.hash_sample)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return hash_sample(docs, 0.2, "doc_id").select("doc_id", "lang")
+
+
+@register(
+    "sample_stratified_lang",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    WHERE {_duck_unit('strat', 'doc_id')} <
+          CASE lang WHEN 'de' THEN 0.8 WHEN 'en' THEN 0.25
+                    WHEN 'zh' THEN 1.0 ELSE 0.0 END
+    """)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language deterministic resampling (corpus rebalancing:
+    keep zh, downsample en to 25%, drop unlisted languages)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return stratified_sample(docs, STRAT_FRACTIONS, "lang", "doc_id") \
+        .select("doc_id", "lang")
+
+
+@register(
+    "split_assign_docs",
+    f"""
+    SELECT doc_id,
+           CASE WHEN {_duck_unit('split', 'doc_id')} < 0.1 THEN 'test'
+                WHEN {_duck_unit('split', 'doc_id')} < 0.9 THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents
+    """)
+def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-row train/val/test assignment by hash interval — keys keep
+    their split forever (no eval leakage across pipeline reruns). The
+    oracle checks every row's label, not just the split sizes."""
+    docs = load_table(spark, sf_dir, "documents")
+    return split_assign(docs, "doc_id", SPLIT_WEIGHTS).select("doc_id", "split")
