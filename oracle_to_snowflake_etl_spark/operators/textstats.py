@@ -13,7 +13,7 @@ The reference has no string functions beyond date formatting
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
@@ -153,6 +153,33 @@ def quality_score(df: DataFrame, text_col: str = "text",
     # does not.
     q6 = F.floor(score * 1_000_000 + F.lit(0.5)).cast("long")
     return feats.select(id_col, q6.alias("quality_q6"))
+
+
+def pack_bins(df: DataFrame, budget_tokens: int,
+              text_col: str = "text", id_col: str = "doc_id",
+              shard_col: Column | None = None) -> DataFrame:
+    """Assign documents to fixed-token-budget bins (context-window
+    packing / shard construction): documents in deterministic ``id``
+    order accumulate BPE-ish token counts; a document's bin is
+    floor(exclusive-prefix-sum / budget) — the prefix-packing rule every
+    sequential packer uses, expressed as ONE window cumsum (no driver
+    loop, no UDF). Bins can overflow by at most one document, the
+    standard allowance when documents never split.
+
+    shard_col partitions the packing (e.g. by language or source) so the
+    window never sees more than a shard — at 100 TB pack per shard, not
+    globally (a single global window is one partition's sort).
+    Returns (id, n_tok, bin).
+    """
+    shard = shard_col if shard_col is not None else F.lit(0)
+    toks = bpe_token_count(F.col(text_col))
+    w = (Window.partitionBy(shard).orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    prefix = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    base = df.select(F.col(id_col), toks.alias("n_tok"))
+    return base.select(
+        id_col, "n_tok",
+        F.floor(prefix / F.lit(budget_tokens)).cast("long").alias("bin"))
 
 
 def char_grams(col: Column, k: int = WINNOW_K) -> Column:

@@ -31,6 +31,8 @@ from . import register
 
 _TOKS = "regexp_split_to_array(trim(text), ' +')"
 
+PACK_BUDGET = 4096
+
 
 def _duck_markers(lang: str) -> str:
     return "[" + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang]) + "]"
@@ -149,3 +151,70 @@ def q_text_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     document-fingerprint set, exploded one row per retained hash
     (operators/textstats.py winnow_fingerprints)."""
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_pack_bins",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len(regexp_extract_all(text, '{BPE_RE}')) AS n_tok
+      FROM documents
+    )
+    SELECT doc_id, n_tok,
+           CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {PACK_BUDGET}) AS BIGINT) AS bin
+    FROM toks
+    """)
+def q_text_pack_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents in doc_id order accumulate
+    BPE-ish token counts; bin = floor(exclusive-prefix / budget) — the
+    sequential packer as ONE window cumsum (operators/textstats.py
+    pack_bins). Per-row bin assignments value-checked."""
+    from ..operators.textstats import pack_bins
+
+    return pack_bins(load_table(spark, sf_dir, "documents"), PACK_BUDGET)
+
+
+@register(
+    "text_corpus_quantiles",
+    """
+    WITH ranked AS (
+      SELECT lang, n_chars,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY n_chars, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    )
+    SELECT lang,
+           MAX(n) AS n_docs,
+           MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT)
+                    THEN n_chars END) AS p50_chars,
+           MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT)
+                    THEN n_chars END) AS p90_chars
+    FROM ranked
+    GROUP BY lang
+    """)
+def q_text_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length quantiles by explicit rank selection
+    (rn == ceil(q*n) over a deterministic sort) — the same definition on
+    both engines, immune to quantile-interpolation drift between
+    implementations. One shuffle on lang."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("lang")
+    ranked = docs.select(
+        "lang", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"))
+    pick = lambda q: F.max(F.when(
+        F.col("rn") == F.ceil(q * F.col("n")).cast("long"),
+        F.col("n_chars")))
+    return (ranked.groupBy("lang")
+            .agg(F.max("n").alias("n_docs"),
+                 pick(F.lit(0.5)).alias("p50_chars"),
+                 pick(F.lit(0.9)).alias("p90_chars")))
