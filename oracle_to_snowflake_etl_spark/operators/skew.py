@@ -1,0 +1,68 @@
+"""Skew mitigation: salted two-phase aggregation.
+
+A groupBy on a skewed key sends every row of the hot key to ONE reduce
+task — the straggler that dominates wall-clock at 100 TB. AQE's
+skew-join split handles skewed JOINS; for a skewed AGGREGATION over
+high-row-count keys the classic fix is salting:
+
+    phase 1: groupBy(keys + salt)  — the hot key fans out over
+             ``buckets`` reduce tasks, each aggregating a slice;
+    phase 2: groupBy(keys)         — combine the per-salt partials
+             (a tiny input: |distinct keys| x buckets rows).
+
+Only ALGEBRAIC aggregates survive two-phase combining. This module
+wires the ones the engine uses — count, decimal sum, min, max — and
+derives avg as final sum/count. Results are IDENTICAL to the direct
+aggregation (decimal addition is associative; counts/extrema trivially
+combine), which the differential harness verifies outright: the oracle
+for the salted query is the plain GROUP BY.
+
+Note Spark's own hash aggregation already does map-side partial
+aggregation, which absorbs most key skew when upstream partitions are
+uniform. Salting earns its keep when the data arrives ALREADY
+PARTITIONED BY THE HOT KEY (e.g. post-join on that key, or a bucketed
+source) — then map-side combine sees whole-key partitions and the
+final shuffle still concentrates. The salt column is derived from a
+uniform hash of the full row id, never rand() (determinism contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.exact import DEC
+from ..functions.hashing import hash60
+
+
+def salted_agg(df: DataFrame, keys: list[str], salt_col: str,
+               buckets: int = 32,
+               count_alias: str = "n",
+               sum_cols: dict[str, str] | None = None,
+               min_cols: dict[str, str] | None = None,
+               max_cols: dict[str, str] | None = None) -> DataFrame:
+    """Two-phase salted aggregation over ``keys``.
+
+    salt_col: any column with distinct-ish values per row (a row id);
+    the salt is hash60(salt_col) % buckets — deterministic, uniform.
+    sum_cols/min_cols/max_cols: {input_col: output_alias}.
+    """
+    sum_cols = sum_cols or {}
+    min_cols = min_cols or {}
+    max_cols = max_cols or {}
+    salt = (hash60(F.col(salt_col).cast("string")) % buckets).alias("_salt")
+    phase1 = (
+        df.groupBy(*keys, salt)
+        .agg(F.count(F.lit(1)).alias("_pn"),
+             *[F.sum(F.col(c).cast(DEC)).alias(f"_ps_{c}") for c in sum_cols],
+             *[F.min(c).alias(f"_pmin_{c}") for c in min_cols],
+             *[F.max(c).alias(f"_pmax_{c}") for c in max_cols])
+    )
+    return (
+        phase1.groupBy(*keys)
+        .agg(F.sum("_pn").alias(count_alias),
+             *[F.sum(f"_ps_{c}").cast("double").alias(a)
+               for c, a in sum_cols.items()],
+             *[F.min(f"_pmin_{c}").alias(a) for c, a in min_cols.items()],
+             *[F.max(f"_pmax_{c}").alias(a) for c, a in max_cols.items()])
+    )

@@ -237,6 +237,33 @@ def q_merge_upsert_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_agg_status",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS {_DECU})) AS DOUBLE) AS total_price,
+           MIN(o_custkey) AS min_cust,
+           MAX(o_custkey) AS max_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """)
+def q_salted_agg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over the LOW-CARDINALITY, highly
+    skewed o_orderstatus key (operators/skew.py): the hot key fans out
+    across 32 salt buckets before the final combine. The oracle is the
+    PLAIN group-by — salting must be semantically invisible (decimal
+    sums associative, counts/extrema combinable)."""
+    from ..operators.skew import salted_agg
+
+    orders = load_table(spark, sf_dir, "orders")
+    return salted_agg(
+        orders, ["o_orderstatus"], salt_col="o_orderkey", buckets=32,
+        sum_cols={"o_totalprice": "total_price"},
+        min_cols={"o_custkey": "min_cust"},
+        max_cols={"o_custkey": "max_cust"})
+
+
+@register(
     "range_join_promo",
     """
     WITH promo AS (

@@ -137,6 +137,39 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def compact_parquet(spark: SparkSession, path: str,
+                    target_file_bytes: int = 128 * 1024 * 1024) -> int:
+    """Small-files compaction — the unglamorous operation that keeps a
+    100 TB lakehouse queryable. Streaming/incremental appends leave
+    thousands of KB-sized files per partition; every later scan then
+    pays per-file open/footer costs and the scheduler floods with tiny
+    tasks. Rewrite the directory into ~target-sized files:
+
+      1. size the input from FILE METADATA (no data read, no count job),
+      2. round-robin repartition to ceil(bytes / target) — uniform
+         output files regardless of source skew,
+      3. write to a sibling tmp dir, then atomically swap.
+
+    Returns the new file count. (Table formats do this as OPTIMIZE /
+    rewrite_data_files; this is the plain-parquet form.)
+    """
+    import shutil
+
+    files = [f for f in os.listdir(path)
+             if f.endswith(".parquet") or f.startswith("part-")]
+    total = sum(os.path.getsize(os.path.join(path, f)) for f in files)
+    n_out = max(1, -(-total // target_file_bytes))
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "._compact_tmp"
+    df.repartition(int(n_out)).write.mode("overwrite").parquet(tmp)
+    bak = path.rstrip("/") + "._compact_old"
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return len([f for f in os.listdir(path) if f.startswith("part-")])
+
+
 def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
                    num_buckets: int = 8, sort_cols: list[str] | None = None,
                    mode: str = "overwrite") -> None:
