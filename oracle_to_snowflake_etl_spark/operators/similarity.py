@@ -332,6 +332,33 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     )
 
 
+def label_centroids(df: DataFrame, vec_col: str = "embedding",
+                    label_col: str = "label") -> DataFrame:
+    """Per-label embedding centroid, exact across engines:
+    (label, dim, sum_q6, n, centroid_q) — every vector element is
+    quantized to an integer FIRST (floor(v*1e6+0.5), after an exact
+    float→double widening), then integer-summed. Integer addition is
+    associative, so the result is partitioning-independent and
+    bit-identical to any other engine — a double-sum of floats is
+    neither. centroid_q = sum_q6/n is one double division of exact
+    integers (single rounding, cross-engine deterministic).
+
+    Shape: posexplode to (label, dim, q) then ONE hash aggregate —
+    map-side combine reduces the shuffle to |labels| x dims rows per
+    input partition regardless of corpus size.
+    """
+    q = F.floor(F.col("v").cast("double") * 1_000_000 + F.lit(0.5)) \
+         .cast("long")
+    ex = df.select(F.col(label_col).alias("label"),
+                   F.posexplode(F.col(vec_col)).alias("dim", "v"))
+    return (ex.select("label", "dim", q.alias("q"))
+            .groupBy("label", "dim")
+            .agg(F.sum("q").alias("sum_q6"), F.count(F.lit(1)).alias("n"))
+            .select("label", "dim", "sum_q6", "n",
+                    (F.col("sum_q6").cast("double") / F.col("n"))
+                    .alias("centroid_q")))
+
+
 def embedding_near_dups(df: DataFrame, threshold_q6: int = 350_000,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:

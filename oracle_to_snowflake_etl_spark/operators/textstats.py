@@ -17,6 +17,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
+from .dedup import shingles
 from .util import ensure_parallelism
 
 # Tiny per-language function-word lists for the n-gram/stopword heuristic
@@ -180,6 +181,115 @@ def pack_bins(df: DataFrame, budget_tokens: int,
     return base.select(
         id_col, "n_tok",
         F.floor(prefix / F.lit(budget_tokens)).cast("long").alias("bin"))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals, per document, zero shuffles:
+
+      n_toks        whitespace token count
+      top_tok_q6    (most frequent token's count / n_toks), quantized
+      distinct_q6   (distinct tokens / n_toks), quantized
+      dup_bigram_q6 ((bigrams - distinct bigrams) / bigrams), quantized
+
+    The most-frequent-token count is a single ``aggregate`` fold over the
+    SORTED token array (equal tokens are adjacent after sort, so the max
+    run length IS the max multiplicity) — no explode, no per-doc groupBy,
+    one codegen pass. An exploded groupBy(doc, token) would shuffle every
+    token of a 100 TB corpus just to compute a per-row feature.
+    Ratios are quantized floor(x*1e6+0.5) per the determinism contract.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    n = F.size(toks)
+    st = F.sort_array(toks)
+    zero = F.struct(F.lit(None).cast("string").alias("prev"),
+                    F.lit(0).cast("long").alias("run"),
+                    F.lit(0).cast("long").alias("best"))
+
+    def _step(a, t):
+        run = F.when(t == a.prev, a.run + 1).otherwise(F.lit(1).cast("long"))
+        return F.struct(t.alias("prev"), run.alias("run"),
+                        F.greatest(a.best, run).alias("best"))
+
+    top = F.aggregate(st, zero, _step, lambda a: a.best)
+    bi_idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+              .otherwise(F.array().cast("array<int>"))
+    bis = F.transform(bi_idx, lambda i: F.concat_ws(
+        " ", F.element_at(toks, i), F.element_at(toks, i + 1)))
+    n_bi = F.size(bis)
+    dup_frac = F.when(n_bi == 0, F.lit(0.0)).otherwise(
+        (n_bi - F.size(F.array_distinct(bis))).cast("double") / n_bi)
+
+    def _q6(x):
+        return F.floor(x * 1_000_000 + F.lit(0.5)).cast("long")
+
+    return df.select(
+        F.col(id_col),
+        n.alias("n_toks"),
+        _q6(top.cast("double") / n).alias("top_tok_q6"),
+        _q6(F.size(F.array_distinct(toks)).cast("double") / n).alias("distinct_q6"),
+        _q6(dup_frac).alias("dup_bigram_q6"),
+    )
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  k: int = 3) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing k-word
+    shingles with an evaluation/benchmark set. Returns
+    (id, n_shingles, n_hits, overlap_q6) for every training doc with at
+    least one overlapping shingle.
+
+    Scale shape: the eval side (benchmarks are small — thousands of
+    docs) collapses to a DISTINCT shingle set and is broadcast; the
+    corpus side computes shingles in one codegen pass and streams
+    through a broadcast-hash semi-style join — the 100 TB side never
+    shuffles. Per-doc totals ride along the explode (size + explode in
+    one projection), so the text is shingled exactly once.
+    """
+    sh = shingles(tokens(F.col(text_col)), k)
+    ev = (eval_df.select(F.explode(sh).alias("sh")).distinct())
+    pre = train.select(F.col(id_col), sh.alias("shs"))
+    ex = pre.select(id_col, F.size("shs").alias("n_shingles"),
+                    F.explode("shs").alias("sh"))
+    hits = (ex.join(F.broadcast(ev), "sh")
+            .groupBy(id_col, "n_shingles")
+            .agg(F.count(F.lit(1)).alias("n_hits")))
+    q6 = F.floor(F.col("n_hits").cast("double") / F.col("n_shingles")
+                 * 1_000_000 + F.lit(0.5)).cast("long")
+    return hits.select(id_col, "n_shingles", "n_hits", q6.alias("overlap_q6"))
+
+
+#: PII patterns — deliberately RE2-compatible (no backrefs, no lookarounds)
+#: so the same literal works in Java regex (Spark) and RE2 (DuckDB).
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PHONE_RE = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def redact_pii(col: Column) -> tuple[Column, Column, Column]:
+    """(redacted, n_emails, n_phones): replace emails then phone numbers
+    with typed placeholders. Counts are taken BEFORE redaction (an email
+    never matches the phone pattern, so order does not bias counts).
+    Pure regexp_replace/regexp_count — JVM codegen, no UDF."""
+    n_email = F.regexp_count(col, F.lit(EMAIL_RE))
+    n_phone = F.regexp_count(col, F.lit(PHONE_RE))
+    red = F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>")
+    return red, n_email, n_phone
+
+
+def vocab_top_k(df: DataFrame, k: int = 20,
+                text_col: str = "text") -> DataFrame:
+    """Corpus-wide top-k tokens by frequency: explode → count → top-k.
+    Hot-token skew is absorbed by map-side partial aggregation (each
+    input partition emits each token once), and the final top-k is a
+    TakeOrderedAndProject, never a full sort. Total order (count desc,
+    token asc) makes the cut deterministic."""
+    return (df.select(F.explode(tokens(F.col(text_col))).alias("tok"))
+            .groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+            .orderBy(F.desc("n"), F.asc("tok"))
+            .limit(k))
 
 
 def char_grams(col: Column, k: int = WINNOW_K) -> Column:

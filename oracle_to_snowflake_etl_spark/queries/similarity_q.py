@@ -173,3 +173,30 @@ def q_ann_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_near_dups) — the O(corpus x bands) scale path."""
     return embedding_near_dups(load_table(spark, sf_dir, "embeddings"),
                                threshold_q6=NEARDUP_Q6)
+
+
+@register(
+    "emb_label_centroids",
+    """
+    WITH e AS (
+      SELECT label,
+             unnest(range(len(embedding))) AS dim,
+             embedding AS emb
+      FROM embeddings)
+    SELECT label, dim,
+           CAST(SUM(CAST(floor(CAST(emb[dim + 1] AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS sum_q6,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(floor(CAST(emb[dim + 1] AS DOUBLE) * 1000000 + 0.5)
+                         AS BIGINT)) AS DOUBLE) / COUNT(*) AS centroid_q
+    FROM e
+    GROUP BY label, dim
+    """)
+def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroids (operators/similarity.py
+    label_centroids): elementwise quantize-then-integer-sum, exact and
+    partitioning-independent; one map-combined hash aggregate on
+    (label, dim)."""
+    from ..operators.similarity import label_centroids
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))

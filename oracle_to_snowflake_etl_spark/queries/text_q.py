@@ -218,3 +218,129 @@ def q_text_corpus_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.max("n").alias("n_docs"),
                  pick(F.lit(0.5)).alias("p50_chars"),
                  pick(F.lit(0.9)).alias("p90_chars")))
+
+
+_Q6 = lambda e: f"CAST(floor(({e}) * 1000000 + 0.5) AS BIGINT)"  # noqa: E731
+
+@register(
+    "text_repetition",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    u AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+    c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM u GROUP BY doc_id, tok),
+    m AS (SELECT doc_id, MAX(cnt) AS top FROM c GROUP BY doc_id),
+    b AS (SELECT doc_id,
+                 CASE WHEN len(toks) >= 2
+                      THEN list_transform(range(1, len(toks)),
+                             i -> toks[i] || ' ' || toks[i+1])
+                      ELSE [] END AS bis
+          FROM t)
+    SELECT t.doc_id,
+           len(t.toks) AS n_toks,
+           {_Q6("CAST(m.top AS DOUBLE) / len(t.toks)")} AS top_tok_q6,
+           {_Q6("CAST(len(list_distinct(t.toks)) AS DOUBLE) / len(t.toks)")}
+             AS distinct_q6,
+           CASE WHEN len(b.bis) = 0 THEN 0
+                ELSE {_Q6("CAST(len(b.bis) - len(list_distinct(b.bis)) AS DOUBLE) / len(b.bis)")}
+           END AS dup_bigram_q6
+    FROM t JOIN m ON t.doc_id = m.doc_id JOIN b ON t.doc_id = b.doc_id
+    """)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals (operators/textstats.py
+    repetition_features): max-token-multiplicity via a sorted-array fold,
+    distinct-token and duplicate-bigram ratios — all per-row codegen, no
+    explode/shuffle (the DuckDB oracle uses the exploded groupBy form,
+    which is exactly the shape the Spark side avoids)."""
+    from ..operators.textstats import repetition_features
+
+    return repetition_features(load_table(spark, sf_dir, "documents"))
+
+
+_DECON_SHS = """
+    list_distinct(CASE WHEN len(toks) >= 3
+         THEN list_transform(range(1, len(toks) - 1),
+                i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])
+         ELSE [] END)
+"""
+
+@register(
+    "text_decontaminate",
+    f"""
+    WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    sh AS (SELECT doc_id, {_DECON_SHS} AS shs FROM t),
+    ev AS (SELECT DISTINCT unnest(shs) AS sh FROM sh WHERE doc_id % 50 = 0),
+    tr AS (SELECT doc_id, len(shs) AS n_shingles, unnest(shs) AS sh
+           FROM sh WHERE doc_id % 50 <> 0)
+    SELECT tr.doc_id, tr.n_shingles, COUNT(*) AS n_hits,
+           {_Q6("CAST(COUNT(*) AS DOUBLE) / tr.n_shingles")} AS overlap_q6
+    FROM tr JOIN ev ON tr.sh = ev.sh
+    GROUP BY tr.doc_id, tr.n_shingles
+    """)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (operators/textstats.py decontaminate):
+    training docs sharing 3-gram shingles with a stand-in eval set
+    (doc_id % 50 == 0). Eval shingle set is broadcast; the corpus side
+    never shuffles."""
+    from ..operators.textstats import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 50 == 0)
+    tr = docs.where(F.col("doc_id") % 50 != 0)
+    return decontaminate(tr, ev)
+
+
+@register(
+    "pii_redact_contacts",
+    """
+    WITH synth AS (
+      SELECT c_custkey,
+             'reach ' || c_name || ' at ' || lower(c_name) || '@corp.example'
+               || ' or +1-555-' || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+               AS contact
+      FROM customer)
+    SELECT c_custkey,
+           regexp_replace(
+             regexp_replace(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+             '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS redacted,
+           len(regexp_extract_all(contact,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(contact,
+               '\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}')) AS n_phones
+    FROM synth
+    """)
+def q_pii_redact_contacts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (operators/textstats.py redact_pii) over a
+    deterministically SYNTHESIZED contact string (the slim testdata has
+    no phone/comment columns — the synthesis is the fixture, the
+    redaction operator is the product). Patterns are RE2-compatible
+    literals shared verbatim with the DuckDB oracle."""
+    from ..operators.textstats import redact_pii
+
+    cust = load_table(spark, sf_dir, "customer")
+    contact = F.concat(
+        F.lit("reach "), F.col("c_name"), F.lit(" at "),
+        F.lower(F.col("c_name")), F.lit("@corp.example or +1-555-"),
+        F.lpad((F.col("c_custkey") % 10000).cast("string"), 4, "0"))
+    base = cust.select("c_custkey", contact.alias("contact"))
+    red, n_e, n_p = redact_pii(F.col("contact"))
+    return base.select("c_custkey", red.alias("redacted"),
+                       n_e.alias("n_emails"), n_p.alias("n_phones"))
+
+
+@register(
+    "vocab_heavy_hitters",
+    f"""
+    SELECT tok, COUNT(*) AS n
+    FROM (SELECT unnest({_TOKS}) AS tok FROM documents)
+    GROUP BY tok
+    ORDER BY n DESC, tok ASC
+    LIMIT 20
+    """)
+def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 token frequencies (operators/textstats.py
+    vocab_top_k): map-side partial agg absorbs hot-token skew, top-k is
+    TakeOrderedAndProject with a total order."""
+    from ..operators.textstats import vocab_top_k
+
+    return vocab_top_k(load_table(spark, sf_dir, "documents"), 20)

@@ -174,3 +174,119 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(qsum(F.col("l_extendedprice") * F.col("l_discount"), "revenue"),
              F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "tpch_q4_order_priority",
+    """
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """)
+def q_tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (order-priority checking): EXISTS decorrelates to a
+    LEFT SEMI join on l_orderkey with the correlated inequality as the
+    join condition — one shuffle pair, no subquery-per-row. The slim
+    lineitem has no commit/receipt dates, so the 'late line' predicate is
+    adapted to l_shipdate > o_orderdate (same correlated-EXISTS plan
+    shape as spec Q4)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    window = orders.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp")))
+    sel = window.join(
+        li, (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate")), "left_semi")
+    return (sel.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "tpch_q13_cust_distribution",
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS c_count
+          FROM customer c
+          LEFT OUTER JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY c.c_custkey)
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """)
+def q_tpch_q13_cust_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape (customer order-count distribution): left outer
+    join with a join-side filter (spec filters on comment pattern; the
+    slim schema filters o_orderpriority), two-level aggregation. The
+    first agg keys on c_custkey — near-unique, so partial agg does
+    little, but the second agg collapses to |distinct counts| rows; the
+    outer join preserves zero-order customers (COUNT of a NULL column
+    = 0, not 1)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = (cust.join(
+        orders.where(F.col("o_orderpriority") != "1-URGENT"),
+        cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy(cust.c_custkey)
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist"))
+            .orderBy(F.desc("custdist"), F.desc("c_count")))
+
+
+@register(
+    "tpch_q18_large_orders",
+    f"""
+    SELECT c_name, ck AS c_custkey, ok AS o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date,
+           CAST(CAST(o_totalprice AS {_DECU}) AS DOUBLE) AS total_price,
+           CAST(SUM(CAST(l_quantity AS {_DECU})) AS DOUBLE) AS sum_qty
+    FROM (SELECT c_name, c.c_custkey AS ck, o.o_orderkey AS ok,
+                 o_orderdate, o_totalprice, l_quantity
+          FROM customer c
+          JOIN orders o ON c.c_custkey = o.o_custkey
+          JOIN lineitem l ON o.o_orderkey = l.l_orderkey)
+    WHERE ok IN (SELECT l_orderkey FROM lineitem
+                 GROUP BY l_orderkey
+                 HAVING SUM(CAST(l_quantity AS {_DECU})) > 95)
+    GROUP BY c_name, ck, ok, o_orderdate, o_totalprice
+    ORDER BY total_price DESC, ok
+    LIMIT 100
+    """)
+def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape (large-volume customers): the IN-subquery
+    (orders whose total quantity exceeds a threshold) decorrelates to a
+    LEFT SEMI join against a grouped-HAVING aggregate; the threshold is
+    scaled to the slim data's quantity range (1..50, avg ~4 lines/order
+    => 95 keeps a selective tail as spec Q18 intends). Aggregate-then-
+    semi-join means the big lineitem table is aggregated ONCE on its
+    natural key before any join fans out."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_tq"))
+           .where(F.col("_tq") > 95)
+           .select("l_orderkey"))
+    joined = (cust.join(orders, cust.c_custkey == orders.o_custkey)
+              .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+              .join(big.withColumnRenamed("l_orderkey", "_bk"),
+                    F.col("o_orderkey") == F.col("_bk"), "left_semi"))
+    return (joined.groupBy("c_name", F.col("c_custkey"), F.col("o_orderkey"),
+                           "o_orderdate", "o_totalprice")
+            .agg(dsum("l_quantity", "sum_qty"))
+            .select("c_name", "c_custkey", "o_orderkey",
+                    F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+                    F.col("o_totalprice").cast(DEC).cast("double")
+                     .alias("total_price"),
+                    "sum_qty")
+            .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
+            .limit(100))

@@ -128,3 +128,34 @@ def test_bucketed_join_is_shuffle_free(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
         spark.sql("DROP TABLE IF EXISTS bkt_orders")
         spark.sql("DROP TABLE IF EXISTS bkt_customer")
+
+
+def test_repetition_features_is_scan_only(spark, sf_dir):
+    """The sorted-array fold computes per-doc repetition stats without
+    explode/groupBy: zero shuffles."""
+    df = queries()["text_repetition"](spark, sf_dir)
+    assert exchange_count(df) == 0
+
+
+def test_decontaminate_broadcasts_eval_side(spark, sf_dir):
+    """The eval shingle set must broadcast; the corpus side must not
+    shuffle for the join (only the per-doc count agg exchanges)."""
+    df = queries()["text_decontaminate"](spark, sf_dir)
+    assert has_broadcast_join(df)
+    assert not has_sort_merge_join(df)
+
+
+def test_vocab_heavy_hitters_is_topk(spark, sf_dir):
+    df = queries()["vocab_heavy_hitters"](spark, sf_dir)
+    assert has_top_k(df)
+    assert exchange_count(df) <= 1  # one token-count agg shuffle
+
+
+def test_tpch_q4_semi_join_no_nested_loop(spark, sf_dir):
+    """EXISTS with a correlated inequality must still plan as an
+    equi-semi-join on l_orderkey (inequality as residual condition)."""
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+    df = queries()["tpch_q4_order_priority"](spark, sf_dir)
+    p = plan_string(df)
+    assert "LeftSemi" in p or "left_semi" in p.lower()
+    assert "BroadcastNestedLoopJoin" not in p
