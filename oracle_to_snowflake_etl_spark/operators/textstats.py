@@ -245,12 +245,15 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
     docs) collapses to a DISTINCT shingle set and is broadcast; the
     corpus side computes shingles in one codegen pass and streams
     through a broadcast-hash semi-style join — the 100 TB side never
-    shuffles. Per-doc totals ride along the explode (size + explode in
-    one projection), so the text is shingled exactly once.
+    shuffles (beyond ensure_parallelism's small-input no-op guard: the
+    shingle+probe pass is expensive per row and must not run on the
+    1-2 tasks a small parquet file plans to). Per-doc totals ride along
+    the explode (size + explode in one projection), so the text is
+    shingled exactly once.
     """
     sh = shingles(tokens(F.col(text_col)), k)
     ev = (eval_df.select(F.explode(sh).alias("sh")).distinct())
-    pre = train.select(F.col(id_col), sh.alias("shs"))
+    pre = ensure_parallelism(train).select(F.col(id_col), sh.alias("shs"))
     ex = pre.select(id_col, F.size("shs").alias("n_shingles"),
                     F.explode("shs").alias("sh"))
     hits = (ex.join(F.broadcast(ev), "sh")

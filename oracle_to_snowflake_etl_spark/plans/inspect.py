@@ -66,6 +66,21 @@ def has_top_k(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in plan_string(df)
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """PartitionFilters entries of every file scan: predicates resolved
+    against the directory layout at PLANNING time — entire partition
+    directories are skipped before any file is opened. The cheapest scan
+    is the one that never happens; at 100 TB this is the difference
+    between reading one day and reading seven years."""
+    plan = plan_string(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters:\s*\[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Whole-stage-codegen span count — fewer, wider spans mean more of
     the query runs as generated JVM loops."""

@@ -137,6 +137,35 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
+                      sort_cols: list[str] | None = None,
+                      mode: str = "overwrite") -> None:
+    """Hive-style partitioned parquet layout — the at-rest half of
+    partition pruning. A filter on a partition column then prunes whole
+    directories at PLANNING time (scan shows non-empty PartitionFilters,
+    plan-asserted in tests/test_plans.py), so a one-day query over a
+    seven-year table opens one day's files.
+
+    Two layout disciplines baked in:
+      * repartition BY THE PARTITION COLUMNS first — otherwise every
+        task writes a file into every partition directory it touches
+        (tasks × partitions small files, the mess compact_parquet
+        exists to clean up);
+      * optional sortWithinPartitions gives row-group min/max locality
+        on the sort keys, so predicates on those columns skip row
+        groups inside the surviving partitions (the poor man's Z-order;
+        single-column clustering only).
+
+    Choose partition columns with BOUNDED cardinality (a date, a
+    region): thousands of directories are fine, millions of tiny ones
+    move the bottleneck to the file listing.
+    """
+    w = df.repartition(*[F.col(c) for c in partition_cols])
+    if sort_cols:
+        w = w.sortWithinPartitions(*sort_cols)
+    w.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
 def compact_parquet(spark: SparkSession, path: str,
                     target_file_bytes: int = 128 * 1024 * 1024) -> int:
     """Small-files compaction — the unglamorous operation that keeps a
