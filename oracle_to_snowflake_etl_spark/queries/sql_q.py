@@ -328,3 +328,51 @@ def q_asof_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         F.col("event_id_c").alias("click_id"),
         F.col("value_c").alias("click_value"))
+
+
+@register(
+    "cube_status_priority",
+    f"""
+    SELECT COALESCE(o_orderstatus, '<all>') AS status,
+           COALESCE(o_orderpriority, '<all>') AS priority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS gid,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS {_DECU})) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """)
+def q_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE with GROUPING() disambiguation (the ROLLUP sibling of
+    rollup_revenue): all four grouping sets in one pass — Spark expands
+    the sets map-side, so the shuffle is one hash-agg over the expanded
+    keys, not four scans."""
+    from ..functions.exact import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    return (orders.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 dsum("o_totalprice", "total_price"),
+                 (F.grouping("o_orderstatus") * 2
+                  + F.grouping("o_orderpriority")).alias("gid"))
+            .select(
+                F.coalesce("o_orderstatus", F.lit("<all>")).alias("status"),
+                F.coalesce("o_orderpriority", F.lit("<all>")).alias("priority"),
+                "gid", "n", "total_price"))
+
+
+@register("approx_order_stats", None)  # rows-only: sketch outputs are
+# implementation-defined (HLL++ / KLL internals differ per engine), so no
+# cross-engine value oracle exists BY CONSTRUCTION; the pytest asserts
+# error bounds against exact values instead (tests/test_maintenance.py).
+def q_approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The approximate-aggregation surface for 100 TB interactive use:
+    approx_count_distinct (HyperLogLog++, one pass, fixed memory) and
+    approx_percentile (KLL-style sketch) vs their exact forms, which
+    need a full distinct shuffle / sort respectively. Output includes
+    both approx and exact so the error is visible in the result."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", 0.02).alias("approx_custs"),
+        F.countDistinct("o_custkey").alias("exact_custs"),
+        F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx_p50"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"))

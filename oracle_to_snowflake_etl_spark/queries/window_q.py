@@ -185,3 +185,32 @@ def q_ev_tumbling_5m(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/windows.py tumbling_counts) — integer bucket ids hash
     identically across engines."""
     return tumbling_counts(load_table(spark, sf_dir, "events"), minutes=5)
+
+
+@register(
+    "w_ntile_quartiles",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           ntile(4) OVER w AS quartile,
+           CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS prank_q6,
+           CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT)
+             AS cdist_q6
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderstatus
+                 ORDER BY o_totalprice, o_orderkey)
+    """)
+def q_w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-rank window functions (ntile / percent_rank /
+    cume_dist) in one window pass — one shuffle on the partition key,
+    one per-partition sort, all three functions share the frame. The
+    unique (price, orderkey) order makes bucket boundaries deterministic;
+    the rank ratios are quantized like every cross-engine float."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    q6 = lambda c: F.floor(c * 1_000_000 + F.lit(0.5)).cast("long")  # noqa: E731
+    return orders.select(
+        "o_orderkey", "o_orderstatus",
+        F.ntile(4).over(w).alias("quartile"),
+        q6(F.percent_rank().over(w)).alias("prank_q6"),
+        q6(F.cume_dist().over(w)).alias("cdist_q6"))

@@ -54,3 +54,17 @@ def test_write_partitioned_prunes_partitions(spark, tmp_path):
     scanned = [r.f for r in
                one.select(F.input_file_name().alias("f")).distinct().collect()]
     assert len(scanned) == 1 and "day=3" in scanned[0]
+
+
+def test_approx_sketches_within_bounds(spark, sf_dir):
+    """approx_count_distinct must land within its configured 2% rsd
+    (generously 3x) of exact; approx_percentile within 5% of the exact
+    median. This is the correctness contract an approximate scale-path
+    offers — bounds, not equality."""
+    from oracle_to_snowflake_etl_spark.queries import queries
+
+    rows = queries()["approx_order_stats"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert abs(r.approx_custs - r.exact_custs) <= max(3, 0.06 * r.exact_custs), r
+        assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * abs(r.exact_p50), r

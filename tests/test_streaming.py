@@ -99,3 +99,68 @@ def test_user_running_stats_state(spark, tmp_path):
     expected = events.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     assert got.exceptAll(expected).count() == 0
     assert expected.exceptAll(got).count() == 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Late-data semantics, end to end: a row older than the watermark
+    arriving after its window was EVICTED must be dropped, not
+    re-aggregated (append mode would otherwise emit the same window
+    twice). Three files processed as ordered micro-batches
+    (maxFilesPerTrigger=1, mtimes forced): seed the window; advance the
+    watermark past its end so it finalizes and emits; then send a late
+    row into the dead window. A watermark is a *bound*, not an eager
+    filter — late data arriving while state is still live MAY still
+    count (observed), so the drop is only guaranteed one batch after
+    eviction; that is the case this pins down."""
+    import os
+    import time as _t
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "late_src"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(r, "click", 1.0) for r in rows], schema)
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    batches = {
+        # two rows in [10:00,10:05) + a 10:30 row -> watermark 10:20
+        "b1": [t(0), t(4), t(30)],
+        # next batch runs AT watermark 10:20 -> the 10:00 window (end
+        # 10:05) is evicted and emitted with n=2
+        "b2": [t(31)],
+        # late row at 10:02 targets the dead window -> dropped by the
+        # watermark (numRowsDroppedByWatermark) instead of resurrecting it
+        "b3": [t(2), t(32)],
+    }
+    now = _t.time()
+    for i, (d, rows) in enumerate(batches.items()):
+        mk(rows).coalesce(1).write.mode("append").parquet(str(src / d))
+        for f in os.listdir(src / d):
+            os.utime(src / d / f, (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(str(src / "*")))
+    agg = windowed_event_counts(stream)
+    q = (agg.writeStream.format("memory").queryName("late_demo")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    dropped = sum(
+        s["numRowsDroppedByWatermark"]
+        for p in q.recentProgress for s in p["stateOperators"])
+    got = sorted((r.w_start.minute, r.n)
+                 for r in spark.table("late_demo").collect())
+    # exactly one emission of the sealed window, without the late row,
+    # and the late row is accounted as dropped — not silently lost
+    assert got == [(0, 2)], got
+    assert dropped == 1, dropped
