@@ -156,6 +156,61 @@ def quality_score(df: DataFrame, text_col: str = "text",
     return feats.select(id_col, q6.alias("quality_q6"))
 
 
+def quality_q6_expr(c: Column) -> Column:
+    """quality_score's composite as a single column EXPRESSION (quantized
+    1e-6), for pipelines that filter mid-stream without a join — one
+    codegen pass, fuses with whatever projection it rides in."""
+    toks = tokens(c)
+    len_ok = F.when((F.size(toks) >= 10) & (F.size(toks) <= 1000),
+                    F.lit(1.0)).otherwise(F.lit(0.0))
+    alpha = (F.length(F.regexp_replace(c, "[^A-Za-z ]", "")).cast("double")
+             / F.length(c))
+    stop_sig = F.least(stopword_ratio(c) * 4.0, F.lit(1.0))
+    score = (len_ok + alpha + stop_sig) / 3.0
+    return F.floor(score * 1_000_000 + F.lit(0.5)).cast("long")
+
+
+def corpus_prep(df: DataFrame, quality_min_q6: int = 400_000,
+                budget_tokens: int = 4096,
+                text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """The end-to-end corpus-preparation pipeline, composed from this
+    module's operators — what a user actually runs before training:
+
+        exact dedup -> quality gate -> train-split selection -> packing
+
+    Returns (id, n_tok, bin): the packed training shards.
+
+    Shuffle inventory (the whole pipeline, at any scale):
+      1. content-hash aggregate for dedup keepers (bounded by distinct
+         count) + the keeper semi-join (AQE broadcasts the keeper side
+         when it fits, else SMJ);
+      2. the packing window's sort.
+    The quality gate and split assignment add ZERO shuffles — both are
+    pure column predicates (quality_q6_expr, hash-interval membership)
+    fused into the post-join projection, and both are deterministic
+    per-row decisions, so the pipeline is restartable and incremental
+    (a rerun with more docs never flips an existing doc's fate except
+    through dedup keeper changes, which content addressing makes
+    stable: the min-id keeper only changes if a SMALLER id arrives).
+    """
+    from .dedup import exact_dedup
+    from .sampling import split_assign as _split  # noqa: F401  (doc link)
+    from ..functions.hashing import hash60
+
+    keep = exact_dedup(df, text_col, id_col) \
+        .select(F.col("keep_id").alias(id_col))
+    surv = df.join(keep, id_col, "left_semi")
+    c = F.col(text_col)
+    # train interval for the {test:.1, train:.8, val:.1} weights, sorted
+    # label order (see sampling.split_assign): unit in [0.1, 0.9)
+    unit = hash60(F.concat_ws("|", F.lit("split"),
+                              F.col(id_col).cast("string"))) \
+        .cast("double") / F.lit(float(1 << 60))
+    gated = surv.where(quality_q6_expr(c) >= quality_min_q6) \
+                .where((unit >= 0.1) & (unit < 0.9))
+    return pack_bins(gated, budget_tokens, text_col, id_col)
+
+
 def pack_bins(df: DataFrame, budget_tokens: int,
               text_col: str = "text", id_col: str = "doc_id",
               shard_col: Column | None = None) -> DataFrame:

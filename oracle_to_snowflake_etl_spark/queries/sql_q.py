@@ -376,3 +376,39 @@ def q_approx_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("o_custkey").alias("exact_custs"),
         F.expr("approx_percentile(o_totalprice, 0.5, 1000)").alias("approx_p50"),
         F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"))
+
+
+@register(
+    "corr_subquery_premium",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(o_totalprice AS DECIMAL(28,4)) AS DOUBLE) AS price
+    FROM orders o
+    WHERE 2 * CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+            * (SELECT COUNT(*) FROM orders o2
+               WHERE o2.o_custkey = o.o_custkey)
+          > 3 * (SELECT CAST(SUM(CAST(floor(o2.o_totalprice * 10000 + 0.5)
+                                      AS BIGINT)) AS BIGINT)
+                 FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+    """)
+def q_corr_subquery_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries ("orders priced >1.5x their
+    customer's average"), run through spark.sql to exercise Catalyst's
+    decorrelation: each correlated aggregate rewrites to a grouped
+    aggregate joined on the correlation key — set-based plans, never a
+    per-row subquery execution (plan-asserted: no nested-loop join).
+    The comparison is pure integer arithmetic (quantized cents,
+    cross-multiplied 2*price*n > 3*sum) so both engines decide each row
+    exactly — a float AVG here would be partition-order-dependent."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               CAST(CAST(o_totalprice AS DECIMAL(28,4)) AS DOUBLE) AS price
+        FROM orders_v o
+        WHERE 2 * CAST(floor(o_totalprice * 10000 + 0.5) AS BIGINT)
+                * (SELECT COUNT(*) FROM orders_v o2
+                   WHERE o2.o_custkey = o.o_custkey)
+              > 3 * (SELECT SUM(CAST(floor(o2.o_totalprice * 10000 + 0.5)
+                                     AS BIGINT))
+                     FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
+    """)

@@ -344,3 +344,54 @@ def q_vocab_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import vocab_top_k
 
     return vocab_top_k(load_table(spark, sf_dir, "documents"), 20)
+
+
+_QUALITY_Q6 = f"""
+    CAST(floor((
+      (CASE WHEN len({_TOKS}) BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END
+       + CAST(length(regexp_replace(text, '[^A-Za-z ]', '', 'g')) AS DOUBLE)
+           / length(text)
+       + least({_duck_stop_ratio()} * 4.0, 1.0)) / 3.0) * 1000000 + 0.5)
+      AS BIGINT)
+"""
+
+@register(
+    "corpus_prep_pipeline",
+    f"""
+    WITH keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents
+      GROUP BY {duck_hash60_sql('text')}
+    ),
+    surv AS (
+      SELECT d.* FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+    ),
+    gated AS (
+      SELECT doc_id, text FROM surv
+      WHERE {_QUALITY_Q6} >= 400000
+        AND (CAST({duck_hash60_sql("'split' || '|' || CAST(doc_id AS VARCHAR)")}
+             AS DOUBLE) / {float(1 << 60)!r}) >= 0.1
+        AND (CAST({duck_hash60_sql("'split' || '|' || CAST(doc_id AS VARCHAR)")}
+             AS DOUBLE) / {float(1 << 60)!r}) < 0.9
+    ),
+    toks AS (
+      SELECT doc_id, len(regexp_extract_all(text, '{BPE_RE}')) AS n_tok
+      FROM gated
+    )
+    SELECT doc_id, n_tok,
+           CAST(FLOOR(COALESCE(SUM(n_tok) OVER (
+                  ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                / {PACK_BUDGET}) AS BIGINT) AS bin
+    FROM toks
+    """)
+def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed end-to-end training-corpus pipeline
+    (operators/textstats.py corpus_prep): exact dedup -> quality gate ->
+    train-split selection -> context-window packing, value-checked as
+    ONE query. This is the composability proof — the same operators that
+    pass their individual oracles compose into a pipeline that passes a
+    single end-to-end oracle."""
+    from ..operators.textstats import corpus_prep
+
+    return corpus_prep(load_table(spark, sf_dir, "documents"),
+                       budget_tokens=PACK_BUDGET)
