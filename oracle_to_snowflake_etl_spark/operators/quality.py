@@ -1,0 +1,71 @@
+"""Data-quality constraint checks — the declarative gate an ETL pipeline
+runs before publishing a table (uniqueness, not-null, referential
+integrity, accepted values), reported as one small violations summary.
+
+The reference validates by row-count reconciliation only
+(oracle_to_snowflake.py:118-123, SURVEY.md §5.1); this generalizes that
+"count what's wrong" idea to constraint classes, Spark-first:
+
+  - every check is a DataFrame aggregation (no row-at-a-time asserts);
+  - all checks UNION into one result, so one action evaluates the whole
+    contract — Spark runs the independent branches as parallel stages of
+    one job rather than N sequential jobs;
+  - each check's shuffle is bounded: uniqueness = hash-agg on the key
+    (map-side combine collapses to distinct count), referential = the
+    dim side broadcasts or AQE picks SMJ, null/values checks are pure
+    scan-aggregates (zero shuffle beyond the final 1-row combines).
+
+At 100 TB: run per-partition (e.g. per ingest day) and only on the
+partitions a load touched — the checks compose with partition pruning
+because they are plain filters/aggregations over the scanned slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _as_result(name: str, bad: Column) -> list[Column]:
+    return [F.lit(name).alias("check_name"), bad.alias("n_bad")]
+
+
+def check_unique(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Rows beyond the first per key (0 = key is unique)."""
+    return (df.groupBy(*cols).agg(F.count(F.lit(1)).alias("_n"))
+            .agg(*_as_result("unique:" + ",".join(cols),
+                             F.coalesce(F.sum(F.col("_n") - 1), F.lit(0))
+                             .cast("long"))))
+
+
+def check_not_null(df: DataFrame, col: str) -> DataFrame:
+    return df.agg(*_as_result(
+        f"not_null:{col}",
+        F.count(F.when(F.col(col).isNull(), 1)).cast("long")))
+
+
+def check_accepted_values(df: DataFrame, col: str,
+                          allowed: list[str]) -> DataFrame:
+    arr = F.array(*[F.lit(v) for v in allowed])
+    return df.agg(*_as_result(
+        f"accepted:{col}",
+        F.count(F.when(~F.array_contains(arr, F.col(col)), 1)).cast("long")))
+
+
+def check_references(child: DataFrame, child_key: str,
+                     parent: DataFrame, parent_key: str) -> DataFrame:
+    """Orphaned child rows (foreign key with no parent)."""
+    orphans = child.select(F.col(child_key)).join(
+        parent.select(F.col(parent_key).alias(child_key)).distinct(),
+        child_key, "left_anti")
+    return orphans.agg(*_as_result(
+        f"references:{child_key}", F.count(F.lit(1)).cast("long")))
+
+
+def run_checks(*checks: DataFrame) -> DataFrame:
+    """Union the per-check summaries into one (check_name, n_bad) frame —
+    a single action evaluates the whole contract."""
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out

@@ -412,3 +412,46 @@ def q_corr_subquery_premium(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      AS BIGINT))
                      FROM orders_v o2 WHERE o2.o_custkey = o.o_custkey)
     """)
+
+
+@register(
+    "dq_orders_contract",
+    """
+    SELECT 'unique:o_orderkey' AS check_name,
+           CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) AS n_bad
+    FROM (SELECT o_orderkey, COUNT(*) AS n FROM orders GROUP BY o_orderkey)
+    UNION ALL
+    SELECT 'not_null:o_totalprice',
+           CAST(COUNT(CASE WHEN o_totalprice IS NULL THEN 1 END) AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'accepted:o_orderstatus',
+           CAST(COUNT(CASE WHEN o_orderstatus NOT IN ('F','O','P') THEN 1 END)
+                AS BIGINT)
+    FROM orders
+    UNION ALL
+    SELECT 'references:o_custkey', CAST(COUNT(*) AS BIGINT)
+    FROM (SELECT o_custkey FROM orders
+          WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+    """)
+def q_dq_orders_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The orders table's publish contract (operators/quality.py):
+    key uniqueness, not-null, accepted status values, and referential
+    integrity against customer — one unioned summary, one action. The
+    testdata satisfies the contract, so every n_bad is 0; the oracle
+    recomputes each count independently in SQL."""
+    from ..operators.quality import (
+        check_accepted_values,
+        check_not_null,
+        check_references,
+        check_unique,
+        run_checks,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return run_checks(
+        check_unique(orders, ["o_orderkey"]),
+        check_not_null(orders, "o_totalprice"),
+        check_accepted_values(orders, "o_orderstatus", ["F", "O", "P"]),
+        check_references(orders, "o_custkey", customer, "c_custkey"))

@@ -214,3 +214,42 @@ def q_w_ntile_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.ntile(4).over(w).alias("quartile"),
         q6(F.percent_rank().over(w)).alias("prank_q6"),
         q6(F.cume_dist().over(w)).alias("cdist_q6"))
+
+
+@register(
+    "w_first_last_nth",
+    f"""
+    SELECT o_orderkey, o_custkey,
+           CAST(CAST(first_value(o_totalprice) OVER w AS {_DECU}) AS DOUBLE)
+             AS first_price,
+           CAST(CAST(last_value(o_totalprice) OVER w_full AS {_DECU}) AS DOUBLE)
+             AS last_price,
+           CAST(CAST(nth_value(o_totalprice, 2) OVER w_full AS {_DECU}) AS DOUBLE)
+             AS second_price
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           w_full AS (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """)
+def q_w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional window functions (first_value / last_value /
+    nth_value): per-customer first, latest, and second order value. The
+    frames are spelled explicitly because the defaults BITE here —
+    last_value over the default frame is just the current row; the
+    full-partition frame is what "latest order" means. Both windows
+    share one partitioning, so this still plans a single shuffle+sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+    pr = F.col("o_totalprice")
+    d = lambda c: c.cast(DEC).cast("double")  # noqa: E731
+    return orders.select(
+        "o_orderkey", "o_custkey",
+        d(F.first(pr).over(w)).alias("first_price"),
+        d(F.last(pr).over(wf)).alias("last_price"),
+        d(F.nth_value(pr, 2).over(wf)).alias("second_price"))

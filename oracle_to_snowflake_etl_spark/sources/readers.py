@@ -137,6 +137,40 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def read_json_lines(spark: SparkSession, path: str, schema: T.StructType,
+                    corrupt_col: str = "_corrupt_record") -> DataFrame:
+    """ndjson source with QUARANTINE semantics: explicit schema (never
+    inferred — inference is a full extra pass and schema drift becomes
+    silent), PERMISSIVE mode, and a corrupt-record column so malformed
+    lines survive into the result for routing to a dead-letter sink
+    instead of killing a 100 TB job (FAILFAST) or vanishing
+    (DROPMALFORMED). Callers split on ``corrupt_col IS NULL``.
+
+    Spark caveat baked in: a PERMISSIVE read cannot select ONLY the
+    corrupt column (QUERY_ONLY_CORRUPT_RECORD_COLUMN — column pruning
+    would leave the parser nothing to parse) — cache() the frame before
+    splitting it into good/dead-letter halves, or carry at least one
+    data column through the split.
+    """
+    full = T.StructType(
+        schema.fields + [T.StructField(corrupt_col, T.StringType())])
+    return (spark.read.schema(full)
+            .option("mode", "PERMISSIVE")
+            .option("columnNameOfCorruptRecord", corrupt_col)
+            .json(path))
+
+
+def read_parquet_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Parquet read with SCHEMA EVOLUTION: mergeSchema unions the
+    per-file schemas (files written before a column existed yield NULL
+    for it). The listed-files footer merge is a driver-side metadata
+    operation — no data read — but it scales with file count, which is
+    why production tables promote the merged schema into a catalog
+    (table format) instead of re-merging per query; this is the
+    raw-directory form."""
+    return spark.read.option("mergeSchema", True).parquet(path)
+
+
 def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
                       sort_cols: list[str] | None = None,
                       mode: str = "overwrite") -> None:

@@ -68,3 +68,100 @@ def test_approx_sketches_within_bounds(spark, sf_dir):
     for r in rows:
         assert abs(r.approx_custs - r.exact_custs) <= max(3, 0.06 * r.exact_custs), r
         assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * abs(r.exact_p50), r
+
+
+def test_read_json_lines_quarantines_corrupt(spark, tmp_path):
+    """Malformed ndjson lines land in _corrupt_record (dead-letter
+    routing), valid lines parse; nothing is silently dropped and nothing
+    fails the job."""
+    from pyspark.sql import types as T
+
+    from oracle_to_snowflake_etl_spark.sources.readers import read_json_lines
+
+    p = tmp_path / "in.jsonl"
+    p.write_text('\n'.join([
+        '{"id": 1, "name": "ok"}',
+        '{"id": 2, "name": "also ok"}',
+        'this is not json at all',
+        '{"id": "not a long", "name": "type clash"}',
+    ]))
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("name", T.StringType())])
+    # cache() is the documented workaround for Spark's "query only the
+    # corrupt column" restriction: a filter on _corrupt_record alone
+    # would otherwise prune the scan down to a column the parser can't
+    # produce in isolation (QUERY_ONLY_CORRUPT_RECORD_COLUMN)
+    df = read_json_lines(spark, str(p), schema).cache()
+    try:
+        good = df.where(F.col("_corrupt_record").isNull())
+        bad = df.where(F.col("_corrupt_record").isNotNull())
+        assert df.count() == 4
+        assert sorted(r.id for r in good.collect()) == [1, 2]
+        assert bad.count() == 2  # garbage line + type-clash line
+    finally:
+        df.unpersist()
+
+
+def test_csv_malformed_modes(spark, tmp_path):
+    """The three CSV malformed-row policies, pinned: PERMISSIVE nulls the
+    bad cell, DROPMALFORMED removes the row, FAILFAST raises."""
+    import pytest
+    from pyspark.sql import types as T
+
+    p = tmp_path / "in.csv"
+    p.write_text("id,qty\n1,10\n2,not_a_number\n3,30\n")
+    schema = T.StructType([T.StructField("id", T.LongType()),
+                           T.StructField("qty", T.LongType())])
+
+    def rd(mode):
+        return (spark.read.schema(schema).option("header", True)
+                .option("mode", mode).csv(str(p)))
+
+    perm = {r.id: r.qty for r in rd("PERMISSIVE").collect()}
+    assert perm == {1: 10, 2: None, 3: 30}
+    assert sorted(r.id for r in rd("DROPMALFORMED").collect()) == [1, 3]
+    with pytest.raises(Exception):
+        rd("FAILFAST").collect()
+
+
+def test_parquet_schema_evolution(spark, tmp_path):
+    """Files written before a column existed read back as NULL under
+    mergeSchema; new-file rows keep their values."""
+    from oracle_to_snowflake_etl_spark.sources.readers import (
+        read_parquet_evolved,
+    )
+
+    path = str(tmp_path / "evolve")
+    spark.range(0, 3).select(F.col("id")).write.parquet(path)
+    spark.range(3, 6).select(F.col("id"), (F.col("id") * 10).alias("score")) \
+        .write.mode("append").parquet(path)
+    df = read_parquet_evolved(spark, path)
+    assert set(df.columns) == {"id", "score"}
+    got = {r.id: r.score for r in df.collect()}
+    assert got == {0: None, 1: None, 2: None, 3: 30, 4: 40, 5: 50}
+
+
+def test_quality_checks_detect_violations(spark):
+    """The DQ contract detects planted violations — the harness query's
+    all-zero result proves parity, this proves detection."""
+    from oracle_to_snowflake_etl_spark.operators.quality import (
+        check_accepted_values,
+        check_not_null,
+        check_references,
+        check_unique,
+        run_checks,
+    )
+
+    orders = spark.createDataFrame(
+        [(1, 10.0, "F", 100), (1, 11.0, "O", 100), (1, 12.0, "O", 100),
+         (2, None, "O", 100), (3, 13.0, "X", 999)],
+        "o_orderkey long, o_totalprice double, o_orderstatus string, o_custkey long")
+    customer = spark.createDataFrame([(100,)], "c_custkey long")
+    got = {r.check_name: r.n_bad for r in run_checks(
+        check_unique(orders, ["o_orderkey"]),
+        check_not_null(orders, "o_totalprice"),
+        check_accepted_values(orders, "o_orderstatus", ["F", "O", "P"]),
+        check_references(orders, "o_custkey", customer, "c_custkey"),
+    ).collect()}
+    assert got == {"unique:o_orderkey": 2, "not_null:o_totalprice": 1,
+                   "accepted:o_orderstatus": 1, "references:o_custkey": 1}, got
