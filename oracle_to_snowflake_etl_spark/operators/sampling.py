@@ -86,3 +86,43 @@ def split_assign(df: DataFrame, key_col: str,
     last = items[-1][0]
     expr = expr.otherwise(F.lit(last)) if expr is not None else F.lit(last)
     return df.withColumn(out_col, expr)
+
+
+def minmax_scale_by_group(df: DataFrame, group_col: str, value_col: str,
+                          id_col: str) -> DataFrame:
+    """Per-group min-max scaling via **applyInPandas** (grouped-map
+    Arrow UDF) — the API surface for per-group Python that genuinely
+    needs the whole group in memory (sklearn-style fit/transform,
+    per-key model scoring). Returns (id, group, scaled_q6).
+
+    Scaling picked deliberately for cross-engine exactness: min/max are
+    order-independent (unlike float sums), and the scale is ONE double
+    division + quantize, so a SQL window oracle reproduces it bitwise
+    — the differential harness can value-check an applyInPandas
+    operator end to end.
+
+    Scale shape: one shuffle on the group key; each group must fit one
+    executor's memory (true by construction for per-language stats;
+    NOT true for groupBy(nothing) — that is what scan-aggregates are
+    for). Prefer built-in window functions when the transform is
+    expressible there; this exists for when it is not, and the
+    window-expressible scaling doubles as its oracle.
+    """
+    import pandas as pd
+
+    out_schema = (f"{id_col} long, {group_col} string, scaled_q6 long")
+
+    def scale(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        v = pdf[value_col].astype("float64")
+        lo, hi = v.min(), v.max()
+        span = hi - lo
+        if span == 0:
+            q = pd.Series([0] * len(v))
+        else:
+            import numpy as np
+            q = np.floor((v - lo) / span * 1_000_000 + 0.5).astype("int64")
+        return pd.DataFrame({id_col: pdf[id_col],
+                             group_col: pdf[group_col],
+                             "scaled_q6": q})
+
+    return df.groupBy(group_col).applyInPandas(scale, schema=out_schema)

@@ -104,6 +104,26 @@ def analytics_bundle(spark: SparkSession, anchor: str,
     }
 
 
+def analyze_table(spark: SparkSession, table: str,
+                  columns: list[str] | None = None) -> dict[str, str]:
+    """Collect catalog statistics after publishing a table — the step
+    that turns the cost-based optimizer on for everything downstream:
+    row counts / sizes drive join-side selection and broadcast
+    decisions from METADATA instead of runtime guesses, and column
+    min/max/ndv feed join reordering. (AQE corrects at runtime from
+    actual shuffle sizes; stats let the FIRST plan be right — at 100 TB
+    the difference is a re-planned stage vs a correct initial one.)
+    Returns the stats the catalog now holds, for logging/asserts.
+    """
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS "
+                  f"FOR COLUMNS {', '.join(columns)}")
+    rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    return {r.col_name: r.data_type for r in rows
+            if r.col_name in ("Statistics",)}
+
+
 def drop_all(spark: SparkSession) -> None:
     """Test/support helper: tear down pipeline objects (idempotent)."""
     spark.sql(f"DROP VIEW IF EXISTS {REPORT_VIEW}")

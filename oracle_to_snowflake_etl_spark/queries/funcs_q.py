@@ -93,3 +93,41 @@ def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         q6(F.log(p)).alias("ln_q6"),
         q6(F.exp(p / 600000)).alias("exp_q6"),
     )
+
+
+@register(
+    "array_funcs_portfolio",
+    """
+    WITH per_cust AS (
+      SELECT o_custkey,
+             list_reverse_sort(list(CAST(floor(o_totalprice * 10000 + 0.5)
+                                         AS BIGINT))) AS arr
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT o_custkey,
+           len(arr) AS n_orders,
+           CAST(arr[1] AS BIGINT) AS max_q4,
+           CAST(list_sum(arr[1:3]) AS BIGINT) AS top3_sum_q4,
+           CAST(len(list_filter(arr, x -> x > 2000000000)) AS BIGINT)
+             AS n_over_200k
+    FROM per_cust
+    """)
+def q_array_funcs_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array/HOF surface as an aggregation target: per-customer
+    price portfolio via collect_list -> sort_array(desc) (collect order
+    is nondeterministic, the sort canonicalizes it) -> slice/fold/filter.
+    Prices quantized before collection so every downstream op is integer
+    arithmetic — exact on both engines. One hash-agg shuffle; the array
+    ops run in codegen over grouped rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    q = F.floor(F.col("o_totalprice") * 10000 + F.lit(0.5)).cast("long")
+    arr = F.sort_array(F.collect_list(q), asc=False)
+    base = orders.groupBy("o_custkey").agg(arr.alias("arr"))
+    return base.select(
+        "o_custkey",
+        F.size("arr").alias("n_orders"),
+        F.element_at("arr", 1).alias("max_q4"),
+        F.aggregate(F.slice("arr", 1, 3), F.lit(0).cast("long"),
+                    lambda a, x: a + x).alias("top3_sum_q4"),
+        F.size(F.filter("arr", lambda x: x > 2_000_000_000))
+         .cast("long").alias("n_over_200k"))

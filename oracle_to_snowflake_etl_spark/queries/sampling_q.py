@@ -73,3 +73,29 @@ def q_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle checks every row's label, not just the split sizes."""
     docs = load_table(spark, sf_dir, "documents")
     return split_assign(docs, "doc_id", SPLIT_WEIGHTS).select("doc_id", "split")
+
+
+@register(
+    "grouped_minmax_scale",
+    """
+    SELECT doc_id, lang,
+           CASE WHEN MAX(n_chars) OVER (PARTITION BY lang)
+                     = MIN(n_chars) OVER (PARTITION BY lang) THEN 0
+                ELSE CAST(floor(
+                  (CAST(n_chars AS DOUBLE) - MIN(n_chars) OVER (PARTITION BY lang))
+                  / (CAST(MAX(n_chars) OVER (PARTITION BY lang) AS DOUBLE)
+                     - MIN(n_chars) OVER (PARTITION BY lang))
+                  * 1000000 + 0.5) AS BIGINT)
+           END AS scaled_q6
+    FROM documents
+    """)
+def q_grouped_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language min-max scaling of document length through
+    applyInPandas (operators/sampling.minmax_scale_by_group) — the
+    grouped-map Arrow surface, value-checked against a pure-SQL window
+    oracle (min/max are order-independent, so the Python path and the
+    window path agree bitwise)."""
+    from ..operators.sampling import minmax_scale_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return minmax_scale_by_group(docs, "lang", "n_chars", "doc_id")

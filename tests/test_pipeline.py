@@ -90,3 +90,18 @@ def test_full_refresh_matches_ctas(loaded):
     n_ctas = P.transform_to_curated(spark)
     n_refresh = P.full_refresh(spark)
     assert n_refresh == n_ctas
+
+
+def test_analyze_table_populates_stats(spark):
+    """ANALYZE must land row-count/size statistics in the catalog — the
+    metadata the CBO plans joins from."""
+    from oracle_to_snowflake_etl_spark.pipeline import analyze_table
+
+    spark.range(0, 1000).withColumnRenamed("id", "k") \
+        .write.mode("overwrite").saveAsTable("stats_demo")
+    try:
+        stats = analyze_table(spark, "stats_demo", ["k"])
+        assert "Statistics" in stats
+        assert "1000 rows" in stats["Statistics"], stats
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stats_demo")
