@@ -262,3 +262,50 @@ def tumbling_counts(events: DataFrame, minutes: int = 5,
         .agg(F.count(F.lit(1)).alias("n"),
              F.sum(F.col(value_col).cast(DEC)).cast("double").alias("value_sum"))
     )
+
+
+def gapfill(events: DataFrame, minutes: int = 60,
+            key_col: str = "event_type", ts_col: str = "ts",
+            value_col: str = "value") -> DataFrame:
+    """Time-series gap-fill (the hypertable companion of
+    tumbling_counts): bucket per key, GENERATE the missing buckets from
+    each key's observed [min, max] span, and carry the last observed
+    aggregate forward into the gaps. Returns
+    (key, window_id, n, value_sum, filled) — ``n`` is 0 on generated
+    rows, ``filled`` marks them, value_sum is the forward-filled carry
+    (dashboards/downsamplers want a dense series, not holes).
+
+    Plan shape: one bucket hash-agg; per-key span is a tiny re-agg of
+    its OUTPUT (bounded by keys x buckets, not events); the dense axis
+    comes from sequence()+explode on the span row — |buckets| generated
+    rows per key, no driver loop, no cross join against a calendar
+    table; one left join puts observations onto the axis (AQE
+    broadcasts the observed side when small); the forward-fill is ONE
+    window last(ignorenulls) per key ordered by bucket. Skew note: the
+    dense axis is uniform by construction — |span| rows per key — so
+    the window partitioning cannot be skewed worse than the span ratio.
+    """
+    bucket_us = minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    wid = ((us - ((us % bucket_us) + bucket_us) % bucket_us) / bucket_us) \
+        .cast("long")
+    observed = (events.groupBy(wid.alias("window_id"),
+                               F.col(key_col).alias("k"))
+                .agg(F.count(F.lit(1)).alias("n"),
+                     F.sum(F.col(value_col).cast(DEC)).alias("_vdec")))
+    spans = (observed.groupBy("k")
+             .agg(F.min("window_id").alias("_lo"),
+                  F.max("window_id").alias("_hi")))
+    axis = spans.select(
+        "k", F.explode(F.sequence(F.col("_lo"), F.col("_hi")))
+        .alias("window_id"))
+    joined = axis.join(observed, ["k", "window_id"], "left")
+    w = (Window.partitionBy("k").orderBy("window_id")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return joined.select(
+        F.col("k").alias(key_col),
+        "window_id",
+        F.coalesce("n", F.lit(0)).cast("long").alias("n"),
+        F.last("_vdec", ignorenulls=True).over(w).cast("double")
+         .alias("value_sum"),
+        F.col("n").isNull().alias("filled"))

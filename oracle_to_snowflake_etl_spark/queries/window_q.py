@@ -253,3 +253,34 @@ def q_w_first_last_nth(spark: SparkSession, sf_dir: str) -> DataFrame:
         d(F.first(pr).over(w)).alias("first_price"),
         d(F.last(pr).over(wf)).alias("last_price"),
         d(F.nth_value(pr, 2).over(wf)).alias("second_price"))
+
+
+@register(
+    "ev_gapfill_hourly",
+    f"""
+    WITH obs AS (
+      SELECT (epoch_us(ts) // 3600000000) AS window_id, event_type AS k,
+             COUNT(*) AS n,
+             SUM(CAST(value AS {_DECU})) AS vdec
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (SELECT k, MIN(window_id) AS lo, MAX(window_id) AS hi
+              FROM obs GROUP BY k),
+    axis AS (SELECT k, UNNEST(range(lo, hi + 1)) AS window_id FROM spans)
+    SELECT a.k AS event_type, a.window_id,
+           CAST(COALESCE(o.n, 0) AS BIGINT) AS n,
+           CAST(last_value(o.vdec IGNORE NULLS) OVER (
+                  PARTITION BY a.k ORDER BY a.window_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS DOUBLE) AS value_sum,
+           o.n IS NULL AS filled
+    FROM axis a LEFT JOIN obs o
+      ON a.k = o.k AND a.window_id = o.window_id
+    """)
+def q_ev_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense hourly series per event type with forward-filled gaps
+    (operators/windows.gapfill) — generate-missing-buckets + carry
+    semantics, the op TimescaleDB calls time_bucket_gapfill/locf."""
+    from ..operators.windows import gapfill
+
+    return gapfill(load_table(spark, sf_dir, "events"), minutes=60)

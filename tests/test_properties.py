@@ -1,0 +1,80 @@
+"""Property-based invariants (hypothesis): the algebraic claims the
+operator docstrings make, checked on adversarial small inputs rather
+than only the fixed testdata.
+
+Example counts are deliberately small — every example is a real Spark
+job; the properties target structure (skew, duplicates, ties, empties),
+not volume.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+SLOW = settings(max_examples=8, deadline=None,
+                suppress_health_check=list(HealthCheck))
+
+# rows: (status in 3 hot keys, price with 2 decimals, custkey)
+_row = st.tuples(st.sampled_from(["A", "B", "C"]),
+                 st.integers(0, 10_000),
+                 st.integers(1, 50))
+
+
+@given(st.lists(_row, min_size=1, max_size=60))
+@SLOW
+def test_salted_agg_equals_plain_agg(spark, rows):
+    """Salting must be semantically invisible for algebraic aggregates,
+    for ANY input including all-rows-one-key (maximum skew)."""
+    from oracle_to_snowflake_etl_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(
+        [(s, p / 100.0, c) for s, p, c in rows],
+        "status string, price double, cust long")
+    got = {r.status: (r.n, r.total, r.lo, r.hi)
+           for r in salted_agg(df, ["status"], salt_col="cust", buckets=4,
+                               sum_cols={"price": "total"},
+                               min_cols={"cust": "lo"},
+                               max_cols={"cust": "hi"}).collect()}
+    want = {r.status: (r.n, r.total, r.lo, r.hi)
+            for r in df.groupBy("status")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("price").cast("decimal(28,4)"))
+                  .cast("double").alias("total"),
+                 F.min("cust").alias("lo"),
+                 F.max("cust").alias("hi")).collect()}
+    assert got == want
+
+
+@given(st.lists(st.tuples(st.integers(0, 15), st.integers(0, 15)),
+                min_size=1, max_size=25))
+@SLOW
+def test_dedup_clusters_matches_union_find(spark, pairs):
+    """Min-label propagation must agree with a reference union-find on
+    arbitrary edge lists — including chains (worst-case diameter),
+    self-loops, and duplicate edges."""
+    from oracle_to_snowflake_etl_spark.operators.dedup import dedup_clusters
+
+    df = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    got = {r.doc: r.keep_id for r in dedup_clusters(df).collect()}
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+    comp: dict[int, int] = {}
+    for node in parent:
+        root = find(node)
+        comp[root] = min(comp.get(root, node), node)
+    want = {node: comp[find(node)] for node in parent}
+    assert got == want
