@@ -290,3 +290,69 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "sum_qty")
             .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
             .limit(100))
+
+
+@register(
+    "tpch_q7_volume_shipping",
+    """
+    SELECT supp_nation, cust_nation, yr,
+           CAST(SUM(CAST(floor(l_extendedprice * (1 - l_discount) * 10000
+                               + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0
+             AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS BIGINT) AS yr,
+             l_extendedprice, l_discount
+      FROM lineitem
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON n1.n_nationkey = s_nationkey
+      JOIN nation n2 ON n2.n_nationkey = c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    )
+    GROUP BY supp_nation, cust_nation, yr
+    ORDER BY supp_nation, cust_nation, yr
+    """)
+def q_tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape (volume shipping): the 5-way star — fact joined
+    through two independent dimension CHAINS (supplier->nation,
+    orders->customer->nation) with a symmetric nation-pair predicate.
+    Dims broadcast (nation twice under different aliases), so the
+    lineitem side never shuffles until the final small group-by; the
+    nation-pair filter applies at the broadcast-join probes, not as a
+    post-join filter over the full fact. Revenue uses the quantized
+    integer-sum convention (computed products drift per-engine under
+    decimal casts)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("_sk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("_ck"),
+                       F.col("n_name").alias("cust_nation"))
+    j = (li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+         .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
+         .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+         .join(F.broadcast(cust), F.col("c_custkey") == F.col("o_custkey"))
+         .join(F.broadcast(n1), F.col("_sk") == F.col("s_nationkey"))
+         .join(F.broadcast(n2), F.col("_ck") == F.col("c_nationkey"))
+         .where(((F.col("supp_nation") == "NATION_3")
+                 & (F.col("cust_nation") == "NATION_7"))
+                | ((F.col("supp_nation") == "NATION_7")
+                   & (F.col("cust_nation") == "NATION_3"))))
+    rev_q = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount"))
+                    * 10000 + F.lit(0.5)).cast("long")
+    return (j.select("supp_nation", "cust_nation",
+                     F.year("l_shipdate").cast("long").alias("yr"),
+                     rev_q.alias("_rq"))
+            .groupBy("supp_nation", "cust_nation", "yr")
+            .agg((F.sum("_rq").cast("double") / 10000.0).alias("revenue"))
+            .orderBy("supp_nation", "cust_nation", "yr"))
