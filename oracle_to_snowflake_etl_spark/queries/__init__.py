@@ -57,6 +57,7 @@ from . import multimodal_q  # noqa: E402,F401
 from . import window_q  # noqa: E402,F401
 from . import sql_q  # noqa: E402,F401
 from . import tpch_q  # noqa: E402,F401
+from . import tpch2_q  # noqa: E402,F401
 from . import funcs_q  # noqa: E402,F401
 from . import streaming_q  # noqa: E402,F401
 from . import sampling_q  # noqa: E402,F401

@@ -86,7 +86,12 @@ def test_no_cartesian_or_nested_loop_joins(spark, sf_dir):
     from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
 
     spark.catalog.clearCache()
-    allowed_cross = {"ann_brute_topk"}
+    # ann_brute_topk: broadcast-query-set crossJoin is the intended plan.
+    # tpch_q11/q22: a ONE-ROW broadcast scalar (total / avg gate) attached
+    # via crossJoin — the right plan for a scalar subquery; the guard is
+    # for accidental cartesians over data-sized sides.
+    allowed_cross = {"ann_brute_topk", "tpch_q11_important_stock",
+                     "tpch_q22_global_sales_opp"}
     skip = {"stream_tumbling_5m"}  # executing it drains a stream; its
     # batch result is a materialized memory table with no join plan
     for name, fn in queries().items():
@@ -149,6 +154,42 @@ def test_vocab_heavy_hitters_is_topk(spark, sf_dir):
     df = queries()["vocab_heavy_hitters"](spark, sf_dir)
     assert has_top_k(df)
     assert exchange_count(df) <= 1  # one token-count agg shuffle
+
+
+def test_tpch_q10_topk_and_broadcast_dims(spark, sf_dir):
+    """Q10: returnflag + date filters pushed to the scans, dims
+    broadcast, top-20 via TakeOrderedAndProject."""
+    df = queries()["tpch_q10_returned_items"](spark, sf_dir)
+    assert has_top_k(df)
+    assert has_broadcast_join(df)
+    filters = " ".join(pushed_filters(df))
+    assert "l_returnflag" in filters and "o_orderdate" in filters
+
+
+def test_tpch_q19_brand_pushdown(spark, sf_dir):
+    """Q19: Catalyst must extract the implied p_brand IN (...) from the
+    disjunction and push it into the part scan."""
+    df = queries()["tpch_q19_disjunctive_rev"](spark, sf_dir)
+    assert any("p_brand" in f for f in pushed_filters(df))
+
+
+def test_tpch_q21_single_fact_agg_no_self_joins(spark, sf_dir):
+    """Q21's double EXISTS/NOT EXISTS collapses to ONE per-order
+    aggregate joined back — no BroadcastNestedLoop, and the exchange
+    count stays bounded (agg + join + final group, not two extra
+    self-join shuffles)."""
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+    df = queries()["tpch_q21_waiting_supplier"](spark, sf_dir)
+    assert "BroadcastNestedLoopJoin" not in plan_string(df)
+    assert exchange_count(df) <= 5
+
+
+def test_tpch_q17_prunes_before_agg(spark, sf_dir):
+    """Q17's per-part AVG aggregate runs over the part-filtered
+    semi-join, not all of lineitem: the brand filter must appear as a
+    pushed filter on the part scan feeding the semi-join."""
+    df = queries()["tpch_q17_small_qty_revenue"](spark, sf_dir)
+    assert any("p_brand" in f for f in pushed_filters(df))
 
 
 def test_tpch_q4_semi_join_no_nested_loop(spark, sf_dir):
