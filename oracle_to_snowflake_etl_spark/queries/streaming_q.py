@@ -69,3 +69,41 @@ def q_stream_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     return drain_to_memory(user_running_stats(stream), "stream_user_stats",
                            output_mode="update")
+
+
+@register(
+    "stream_sliding_10m",
+    f"""
+    SELECT w_id * {5 * 60 * 1_000_000} AS w_start_us,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS {_DECU})) AS DOUBLE) AS value_sum
+    FROM (SELECT unnest([epoch_us(ts) // {5 * 60 * 1_000_000} - 1,
+                         epoch_us(ts) // {5 * 60 * 1_000_000}]) AS w_id,
+                 value
+          FROM events)
+    GROUP BY w_id
+    """)
+def q_stream_sliding_10m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 10-minute/5-minute window counts on the STREAMING engine
+    (streaming/jobs.sliding_event_counts). The oracle expands each event
+    into its two containing windows (unnest) and aggregates — the
+    overlap factor window/slide made explicit. Batch/stream equivalence,
+    value-hashed."""
+    from ..streaming.jobs import sliding_event_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    return drain_to_memory(sliding_event_counts(stream), "stream_sliding_10m")
+
+
+@register(
+    "stream_distinct_pairs",
+    "SELECT DISTINCT user_id, event_type FROM events")
+def q_stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (streaming/jobs.distinct_event_pairs:
+    dropDuplicates in append mode) must emit exactly the batch DISTINCT
+    key set — the ingest-time dedup gate, value-hashed against batch."""
+    from ..streaming.jobs import distinct_event_pairs
+
+    stream = read_events_stream(spark, sf_dir)
+    return drain_to_memory(distinct_event_pairs(stream),
+                           "stream_distinct_pairs", output_mode="append")

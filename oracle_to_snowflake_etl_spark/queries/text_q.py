@@ -395,3 +395,19 @@ def q_corpus_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return corpus_prep(load_table(spark, sf_dir, "documents"),
                        budget_tokens=PACK_BUDGET)
+
+
+from ..operators.retrieval import bm25_oracle_sql, bm25_topk  # noqa: E402
+
+_BM25_TERMS = ["spark", "hash", "merge"]
+
+
+@register("text_bm25_topk", bm25_oracle_sql(_BM25_TERMS, k=20))
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rational-idf BM25 top-20 for a fixed query-term set
+    (operators/retrieval.py): corpus stats fold to ONE broadcast row,
+    scoring is pure projection, top-k is TakeOrderedAndProject — the
+    corpus is scanned twice and never shuffled. The oracle SQL is
+    GENERATED from the same term list, so both expression trees stay in
+    lockstep by construction."""
+    return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=20)

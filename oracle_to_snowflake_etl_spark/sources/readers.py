@@ -253,6 +253,24 @@ def write_bucketed(df: DataFrame, table: str, bucket_cols: list[str],
     w.format("parquet").saveAsTable(table)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — the second columnar boundary format (Hive-ecosystem
+    interchange). Same pushdown properties as parquet: predicate
+    pushdown + column pruning reach the stripe reader, splittable for
+    partition-parallel scans."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
+              partition_by: list[str] | None = None) -> None:
+    """ORC sink. Engine-native storage stays parquet; ORC is for
+    Hive-stack consumers."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
 def write_parquet(df: DataFrame, path: str, mode: str = "overwrite",
                   partition_by: list[str] | None = None) -> None:
     """Engine-native sink. ``partition_by`` (e.g. ["dt"]) gives partition

@@ -144,6 +144,37 @@ def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
     )
 
 
+def sliding_event_counts(events: DataFrame, window: str = "10 minutes",
+                         slide: str = "5 minutes",
+                         watermark: str | None = None) -> DataFrame:
+    """Sliding-window count/sum: each event lands in window/slide
+    overlapping windows (2 here), so state and output are that factor
+    larger than the tumbling twin — the trade for smoother trend lines.
+    Emits the window start as epoch-µs so results are join/hash-stable.
+    """
+    src = events.withWatermark("ts", watermark) if watermark else events
+    return (src.groupBy(F.window("ts", window, slide).alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("value_sum"))
+            .select(F.unix_micros(F.col("w.start")).alias("w_start_us"),
+                    "n", "value_sum"))
+
+
+def distinct_event_pairs(events: DataFrame) -> DataFrame:
+    """Streaming exact dedup: dropDuplicates over the projected key
+    columns — the ingest-time "seen before?" gate. Projecting FIRST
+    matters twice: the dedup state stores only the keys, and the result
+    is deterministic (keeping 'whichever full row arrived first' is
+    run-order-dependent; the key set is not).
+
+    Unbounded state by design here (the batch-equivalence check needs
+    every key); production ingest bounds it with
+    ``dropDuplicatesWithinWatermark`` once keys stop recurring past the
+    watermark horizon."""
+    return events.select("user_id", "event_type").dropDuplicates()
+
+
 _USER_STATS_OUT = T.StructType([
     T.StructField("user_id", T.LongType()),
     T.StructField("n_events", T.LongType()),

@@ -165,3 +165,30 @@ def test_quality_checks_detect_violations(spark):
     ).collect()}
     assert got == {"unique:o_orderkey": 2, "not_null:o_totalprice": 1,
                    "accepted:o_orderstatus": 1, "references:o_custkey": 1}, got
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    """ORC boundary format: round-trips values exactly and pushes
+    filters/pruning to the stripe reader like parquet does."""
+    from oracle_to_snowflake_etl_spark.plans.inspect import pushed_filters
+    from oracle_to_snowflake_etl_spark.sources.readers import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    src = load_table(spark, sf_dir, "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(src, path)
+    back = read_orc(spark, path)
+    assert back.count() == src.count()
+    assert [f.name for f in back.schema.fields] == \
+        [f.name for f in src.schema.fields]
+    # value-level: checksum a stable projection on both sides
+    chk = lambda df: df.agg(  # noqa: E731
+        F.sum(F.col("o_orderkey") * F.col("o_custkey")).alias("s"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))).alias("p")
+    ).collect()[0]
+    assert chk(back) == chk(src)
+    filtered = back.where(F.col("o_orderstatus") == "F")
+    assert any("o_orderstatus" in f for f in pushed_filters(filtered))
