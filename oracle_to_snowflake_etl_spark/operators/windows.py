@@ -309,3 +309,31 @@ def gapfill(events: DataFrame, minutes: int = 60,
         F.last("_vdec", ignorenulls=True).over(w).cast("double")
          .alias("value_sum"),
         F.col("n").isNull().alias("filled"))
+
+
+def ewma_lag(df: DataFrame, part: str, order: list[str], val: str,
+             halvings: int = 8, out: str = "ewma") -> Column | DataFrame:
+    """Truncated exponentially-weighted moving average with decay 1/2,
+    expressed as a fixed LAG sum:
+
+        ewma_i = sum_{j=0..halvings-1}  v_{i-j} * 2^-j   (missing -> 0)
+
+    Two deliberate choices make this bit-reproducible across engines
+    (the recursive s_i = a*v + (1-a)*s_{i-1} form is NOT — it
+    accumulates engine-ordered float error, and Spark can't express the
+    recursion without a sequential pass anyway):
+      * decay 1/2: every weight 2^-j is an EXACT binary double, so each
+        product rounds identically everywhere;
+      * a fixed left-associated sum of COALESCE(lag(v, j), 0)*2^-j
+        terms — same expression tree in the oracle SQL, no fold-order
+        ambiguity.
+    One window sort per partition key, no extra state: the truncation
+    (weights below 2^-(halvings-1) dropped) is what bounds the frame —
+    the infinite-tail EWMA needs the sequential recursion by definition.
+    """
+    w = Window.partitionBy(part).orderBy(*order)
+    expr = F.col(val).cast("double")
+    for j in range(1, halvings):
+        expr = expr + F.coalesce(F.lag(F.col(val), j).over(w),
+                                 F.lit(0.0)) * F.lit(2.0 ** -j)
+    return df.withColumn(out, expr)

@@ -131,3 +131,66 @@ def q_array_funcs_portfolio(spark: SparkSession, sf_dir: str) -> DataFrame:
                     lambda a, x: a + x).alias("top3_sum_q4"),
         F.size(F.filter("arr", lambda x: x > 2_000_000_000))
          .cast("long").alias("n_over_200k"))
+
+
+@register(
+    "agg_argmax_median",
+    """
+    SELECT o_orderpriority,
+           arg_max(o_orderkey, pq) AS max_order,
+           arg_min(o_orderkey, pq) AS min_order,
+           CAST(median(pc) AS DOUBLE) AS median_price_c
+    FROM (SELECT o_orderpriority, o_orderkey,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS pc,
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                   * 4294967296 + o_orderkey AS pq
+          FROM orders)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """)
+def q_agg_argmax_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional aggregates: MAX_BY/MIN_BY (argmax/argmin) and exact
+    MEDIAN per group. The ordering key packs (quantized price, orderkey)
+    into ONE bigint — max_by on a non-unique ordering column is
+    nondeterministic on ties in BOTH engines, so determinism is made
+    structural, not assumed. Median of an even count is the midpoint
+    average: one (a+b)/2 double division, identical cross-engine when
+    computed over exact integer cents."""
+    o = load_table(spark, sf_dir, "orders")
+    pc = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    pq = pc * F.lit(4294967296).cast("long") + F.col("o_orderkey")
+    return (o.select("o_orderpriority", "o_orderkey", pc.alias("pc"),
+                     pq.alias("pq"))
+            .groupBy("o_orderpriority")
+            .agg(F.max_by("o_orderkey", "pq").alias("max_order"),
+                 F.min_by("o_orderkey", "pq").alias("min_order"),
+                 F.median("pc").cast("double").alias("median_price_c"))
+            .orderBy("o_orderpriority"))
+
+
+@register(
+    "unpivot_flag_metrics",
+    f"""
+    WITH w AS (
+      SELECT l_returnflag AS rf,
+             CAST(SUM(CAST(l_quantity AS {{DECU}})) AS DOUBLE) AS sum_qty,
+             CAST(COUNT(*) AS DOUBLE) AS n_lines
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT rf, 'sum_qty' AS metric, sum_qty AS val FROM w
+    UNION ALL
+    SELECT rf, 'n_lines' AS metric, n_lines AS val FROM w
+    ORDER BY rf, metric
+    """.replace("{DECU}", "DECIMAL(28,4)"))
+def q_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long UNPIVOT (melt): a grouped wide aggregate relaid as
+    (key, metric, value) rows — the inverse of pivot_priority_status.
+    Spark's unpivot is a zero-shuffle projection (each input row fans
+    out to |metrics| rows in place); the oracle is the equivalent
+    UNION ALL."""
+    from ..functions.exact import dsum
+
+    li = load_table(spark, sf_dir, "lineitem")
+    wide = (li.groupBy(F.col("l_returnflag").alias("rf"))
+            .agg(dsum("l_quantity", "sum_qty"),
+                 F.count(F.lit(1)).cast("double").alias("n_lines")))
+    return (wide.unpivot(["rf"], ["sum_qty", "n_lines"], "metric", "val")
+            .orderBy("rf", "metric"))

@@ -284,3 +284,29 @@ def q_ev_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import gapfill
 
     return gapfill(load_table(spark, sf_dir, "events"), minutes=60)
+
+
+_EWMA_TERMS = " + ".join(
+    [f"COALESCE(lag(value, {j}) OVER win, 0.0) * {2.0 ** -j!r}"
+     for j in range(1, 8)])
+
+
+@register(
+    "ev_ewma_value",
+    f"""
+    SELECT event_id, user_id,
+           value + {_EWMA_TERMS} AS ewma
+    FROM events
+    WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """)
+def q_ev_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated decay-1/2 EWMA per user (operators/windows.ewma_lag):
+    a fixed LAG sum whose weights are exact binary doubles, so the
+    smoothed value is bit-reproducible with NO quantization — the
+    recursive EWMA form is engine-ordered and unportable by design.
+    One window sort, zero extra shuffles."""
+    from ..operators.windows import ewma_lag
+
+    events = load_table(spark, sf_dir, "events")
+    return ewma_lag(events, "user_id", ["ts", "event_id"], "value",
+                    halvings=8).select("event_id", "user_id", "ewma")

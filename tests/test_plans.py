@@ -87,11 +87,12 @@ def test_no_cartesian_or_nested_loop_joins(spark, sf_dir):
 
     spark.catalog.clearCache()
     # ann_brute_topk: broadcast-query-set crossJoin is the intended plan.
-    # tpch_q11/q22: a ONE-ROW broadcast scalar (total / avg gate) attached
-    # via crossJoin — the right plan for a scalar subquery; the guard is
-    # for accidental cartesians over data-sized sides.
+    # tpch_q11/q22, text_bm25_topk: a ONE-ROW broadcast scalar (total /
+    # avg gate / corpus stats) attached via crossJoin — the right plan
+    # for a scalar subquery; the guard is for accidental cartesians over
+    # data-sized sides.
     allowed_cross = {"ann_brute_topk", "tpch_q11_important_stock",
-                     "tpch_q22_global_sales_opp"}
+                     "tpch_q22_global_sales_opp", "text_bm25_topk"}
     skip = {"stream_tumbling_5m"}  # executing it drains a stream; its
     # batch result is a materialized memory table with no join plan
     for name, fn in queries().items():
