@@ -582,12 +582,17 @@ def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = load_table(spark, sf_dir, "supplier")
     orders = load_table(spark, sf_dir, "orders").where(
         F.col("o_orderstatus") == "F")
-    ostats = (li.groupBy(F.col("l_orderkey").alias("_ok"))
+    # only 'F'-status orders are ever examined, so the per-order agg
+    # runs over the semi-pruned lineitems — plan-equivalent (the EXISTS
+    # tests are per-order) and it shrinks both agg and join inputs by
+    # the order-status selectivity
+    li_f = li.join(orders.select("o_orderkey"),
+                   F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+    ostats = (li_f.groupBy(F.col("l_orderkey").alias("_ok"))
               .agg(F.countDistinct("l_suppkey").alias("_ns"),
                    F.countDistinct(F.when(F.col("l_returnflag") == "R",
                                           F.col("l_suppkey"))).alias("_nr")))
-    return (li.where(F.col("l_returnflag") == "R")
-            .join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+    return (li_f.where(F.col("l_returnflag") == "R")
             .join(ostats, F.col("_ok") == F.col("l_orderkey"))
             .where((F.col("_ns") >= 2) & (F.col("_nr") == 1))
             .join(F.broadcast(supp), F.col("s_suppkey") == F.col("l_suppkey"))
