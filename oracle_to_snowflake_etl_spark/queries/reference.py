@@ -8,6 +8,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.exact import DEC, davg, dsum
+from ..functions.hashing import duck_hash60_sql
 from ..functions.kpis import safe_ratio
 from ..operators.analytics import top_n_by, trend
 from ..operators.incremental import incremental_delta
@@ -203,3 +204,46 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(dsum("o_totalprice", "revenue"), F.count(F.lit(1)).alias("n_orders"))
         .orderBy(F.desc("revenue"), F.asc("n_name"))
     )
+
+
+@register(
+    "recon_fingerprint_lineitem",
+    f"""
+    WITH canon AS (
+      SELECT {duck_hash60_sql(
+          "concat_ws('|', l_orderkey, l_linenumber, l_partkey, l_suppkey, "
+          "CAST(floor(l_quantity * 100 + 0.5) AS BIGINT), "
+          "CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT), "
+          "CAST(floor(l_discount * 10000 + 0.5) AS BIGINT), "
+          "CAST(floor(l_tax * 10000 + 0.5) AS BIGINT), "
+          "l_returnflag, l_linestatus, epoch_us(l_shipdate))")} AS h
+      FROM lineitem)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(bit_xor(h) AS BIGINT) AS xor60,
+           CAST(SUM(CAST(h AS HUGEINT)) AS VARCHAR) AS sum60
+    FROM canon
+    """)
+def q_recon_fingerprint_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-level migration reconciliation (operators/recon.py): the
+    reference's row-count check upgraded to a full-table content
+    fingerprint — count + XOR + exact SUM of per-row 60-bit hashes over
+    a CANONICAL projection (ids raw, floats quantized, dates epoch-µs).
+    Commutative folds make it partitioning/engine-independent: DuckDB
+    computing the same triple over the same parquet IS the migration
+    parity check. One scan, no shuffle."""
+    from ..operators.recon import table_fingerprint
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cols = [
+        F.col("l_orderkey"), F.col("l_linenumber"),
+        F.col("l_partkey"), F.col("l_suppkey"),
+        F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("long"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long"),
+        F.floor(F.col("l_discount") * 10000 + F.lit(0.5)).cast("long"),
+        F.floor(F.col("l_tax") * 10000 + F.lit(0.5)).cast("long"),
+        F.col("l_returnflag"), F.col("l_linestatus"),
+        # l_shipdate is TIMESTAMP_NTZ in the parquet; the session TZ is
+        # pinned UTC, so the cast is value-preserving on both engines
+        F.unix_micros(F.col("l_shipdate").cast("timestamp")),
+    ]
+    return table_fingerprint(li, cols)

@@ -201,3 +201,28 @@ def test_tpch_q4_semi_join_no_nested_loop(spark, sf_dir):
     p = plan_string(df)
     assert "LeftSemi" in p or "left_semi" in p.lower()
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
+    """A partitioned fact joined to a filtered dim must plan DYNAMIC
+    partition pruning: the dim filter's surviving keys become a runtime
+    PartitionFilter on the fact scan (dynamicpruningexpression), so at
+    scale only the partitions the dim selects are ever read — the
+    read-side complement of write_partitioned's static pruning."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+    from oracle_to_snowflake_etl_spark.sources.readers import (
+        load_table,
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "orders_by_status")
+    write_partitioned(load_table(spark, sf_dir, "orders"), path,
+                      ["o_orderstatus"])
+    fact = spark.read.parquet(path)
+    dim = spark.createDataFrame(
+        [("F", "closed"), ("O", "open"), ("P", "pending")], ["st", "label"])
+    j = fact.join(dim.where(F.col("label") == "closed"),
+                  F.col("o_orderstatus") == F.col("st"))
+    assert "dynamicpruning" in plan_string(j).lower()
