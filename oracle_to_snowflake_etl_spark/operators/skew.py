@@ -66,3 +66,37 @@ def salted_agg(df: DataFrame, keys: list[str], salt_col: str,
              *[F.min(f"_pmin_{c}").alias(a) for c, a in min_cols.items()],
              *[F.max(f"_pmax_{c}").alias(a) for c, a in max_cols.items()])
     )
+
+
+def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
+                salt_col: str, buckets: int = 16,
+                how: str = "inner") -> DataFrame:
+    """Skew-safe equi-join: salt the BIG side, replicate the small side.
+
+    A shuffled join on a skewed key concentrates the hot key's rows in
+    one task. AQE's skew-join split fixes this AFTER a shuffle exists;
+    when the plan must avoid concentrating in the first place (or AQE's
+    split is defeated — e.g. the skewed side arrives bucketed), the
+    classic rewrite:
+
+        big:   salt = hash(row id) % buckets          (one new column)
+        small: explode to all ``buckets`` salt values  (x buckets rows)
+        join on keys + salt                            (hot key now
+                                                        spreads over
+                                                        ``buckets`` tasks)
+
+    The small side must actually be small — its shuffle volume
+    multiplies by ``buckets``. Results are row-identical to the plain
+    join (each big row meets each matching small row exactly once, at
+    exactly one salt), which the differential harness checks against a
+    plain-SQL join oracle. Inner/left joins only: the replicated small
+    side would need per-salt existence logic for right/full outer.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    salt = (hash60(F.col(salt_col).cast("string")) % buckets)
+    b = big.withColumn("_salt", salt)
+    s = small.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i).cast("long")
+                                     for i in range(buckets)])))
+    return b.join(s, keys + ["_salt"], how).drop("_salt")

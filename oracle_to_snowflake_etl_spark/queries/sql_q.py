@@ -455,3 +455,63 @@ def q_dq_orders_contract(spark: SparkSession, sf_dir: str) -> DataFrame:
         check_not_null(orders, "o_totalprice"),
         check_accepted_values(orders, "o_orderstatus", ["F", "O", "P"]),
         check_references(orders, "o_custkey", customer, "c_custkey"))
+
+
+@register(
+    "salted_join_nation",
+    f"""
+    SELECT o_orderkey, n_name,
+           CAST(CAST(o_totalprice AS {_DECU}) AS DOUBLE) AS total_price
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    ORDER BY o_orderkey
+    """)
+def q_salted_join_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted join (operators/skew.salted_join): the big side
+    salts on its row id, the small side replicates x buckets, the hot
+    key spreads over ``buckets`` tasks. The oracle is the PLAIN join —
+    salting must be semantically invisible, same contract as
+    salted_agg_status."""
+    from ..operators.skew import salted_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer") \
+        .join(F.broadcast(load_table(spark, sf_dir, "nation")),
+              F.col("c_nationkey") == F.col("n_nationkey")) \
+        .select("c_custkey", "n_name")
+    j = salted_join(orders.withColumnRenamed("o_custkey", "c_custkey"),
+                    cust, ["c_custkey"], "o_orderkey", buckets=16)
+    return (j.select("o_orderkey", "n_name",
+                     F.col("o_totalprice").cast(DEC).cast("double")
+                     .alias("total_price"))
+            .orderBy("o_orderkey"))
+
+
+@register(
+    "scd2_user_status",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_et
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_et IS NULL OR event_type <> prev_et)
+    SELECT user_id, event_type,
+           epoch_us(ts) AS valid_from_us,
+           lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS valid_to_us
+    FROM changes
+    """)
+def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 versioning from a changelog (operators/scd.py): the
+    events stream becomes a per-user status-history dimension — change
+    compression then validity intervals, two window passes sharing ONE
+    partitioning (single shuffle). valid_to NULL = current state."""
+    from ..operators.scd import scd2_from_changelog
+
+    events = load_table(spark, sf_dir, "events")
+    return scd2_from_changelog(events, "user_id", "ts", "event_id",
+                               ["event_type"])
