@@ -515,3 +515,31 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return scd2_from_changelog(events, "user_id", "ts", "event_id",
                                ["event_type"])
+
+
+from ..operators.zorder import zorder_sql, zorder_value  # noqa: E402
+
+_Z_CUST = "o_custkey & 65535"
+_Z_PRICE = "(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) >> 8) & 65535"
+
+
+@register(
+    "zorder_orders",
+    f"""
+    SELECT o_orderkey,
+           {zorder_sql([_Z_CUST, _Z_PRICE])} AS zval
+    FROM orders
+    """)
+def q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton Z-values over (custkey, price-bucket)
+    (operators/zorder.py) — the multi-column clustering key behind
+    OPTIMIZE ZORDER, checked value-for-value (pure integer bit math,
+    engine-independent). The layout benefit (per-file footer ranges
+    tighten on BOTH columns) is measured in test_maintenance.py."""
+    orders = load_table(spark, sf_dir, "orders")
+    pc = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
+    return orders.select(
+        "o_orderkey",
+        zorder_value([F.col("o_custkey").bitwiseAND(F.lit(65535)),
+                      F.shiftright(pc, 8).bitwiseAND(F.lit(65535))])
+        .alias("zval"))
