@@ -543,3 +543,26 @@ def q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         zorder_value([F.col("o_custkey").bitwiseAND(F.lit(65535)),
                       F.shiftright(pc, 8).bitwiseAND(F.lit(65535))])
         .alias("zval"))
+
+
+from ..operators.graph import bipartite_edges_sql, pagerank_int  # noqa: E402
+
+
+@register("pagerank_supplier_orders", bipartite_edges_sql(iterations=3, k=20))
+def q_pagerank_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Integer PageRank (operators/graph.py) over the orders<->suppliers
+    bipartite graph (one shipping year), 3 fixed iterations, top-20. All-integer
+    recurrence -> bit-identical to the DuckDB unrolled-CTE oracle on any
+    partitioning; the float form would drift per iteration and be
+    uncheckable. The numeric fixed-point twin of dedup_clusters'
+    transitive closure."""
+    li = load_table(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    fwd = (li.select((F.col("l_orderkey") * 2).alias("src"),
+                     (F.col("l_suppkey") * 2 + 1).alias("dst"))
+           .distinct())
+    edges = fwd.unionByName(fwd.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst")))
+    ranks = pagerank_int(edges, iterations=3)
+    return (ranks.orderBy(F.desc("rank_q"), F.asc("node")).limit(20))
