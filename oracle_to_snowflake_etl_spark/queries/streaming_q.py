@@ -19,6 +19,7 @@ on the aggregation keys, same as batch; state is bounded by
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..functions.exact import DEC
 from ..operators.windows import tumbling_counts
@@ -107,3 +108,66 @@ def q_stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     return drain_to_memory(distinct_event_pairs(stream),
                            "stream_distinct_pairs", output_mode="append")
+
+
+@register(
+    "stream_session_windows",
+    f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w)
+                       > {30 * 60 * 1_000_000}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (
+                    PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS session_id
+      FROM s
+    )
+    SELECT user_id, MIN(epoch_us(ts)) AS session_start_us,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS {_DECU})) AS DOUBLE) AS value_sum
+    FROM numbered
+    GROUP BY user_id, session_id
+    """)
+def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING gap-based session windows (F.session_window state
+    merging) checked value-for-value against the batch lag-comparison
+    sessionization oracle — the stream/batch equivalence contract for
+    the third window family (tumbling/sliding/session)."""
+    from ..streaming.jobs import session_window_counts
+
+    stream = read_events_stream(spark, sf_dir)
+    return drain_to_memory(session_window_counts(stream),
+                           "stream_session_windows")
+
+
+@register(
+    "stream_enrich_user_tier",
+    """
+    WITH tiers AS (
+      SELECT user_id AS uid, CAST(COUNT(*) // 10 AS BIGINT) AS tier
+      FROM events GROUP BY user_id)
+    SELECT event_id, user_id, event_type, tier
+    FROM events JOIN tiers ON user_id = uid
+    """)
+def q_stream_enrich_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join (streaming/jobs.enrich_with_static):
+    the event stream joins a STATIC per-user tier dimension (itself a
+    batch aggregate) with zero streaming state; append mode, no
+    watermark needed. Oracle: the equivalent batch join."""
+    from ..sources.readers import load_table as _lt
+    from ..streaming.jobs import enrich_with_static
+
+    dim = (_lt(spark, sf_dir, "events").groupBy("user_id")
+           .agg((F.count(F.lit(1)) / 10).cast("long").alias("tier")))
+    stream = read_events_stream(spark, sf_dir) \
+        .select("event_id", "user_id", "event_type")
+    return drain_to_memory(enrich_with_static(stream, dim),
+                           "stream_enrich_user_tier", output_mode="append")

@@ -210,3 +210,33 @@ def user_running_stats(events: DataFrame) -> DataFrame:
     return events.groupBy("user_id").applyInPandasWithState(
         update, _USER_STATS_OUT, _USER_STATS_STATE,
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes",
+                          user_col: str = "user_id") -> DataFrame:
+    """Gap-based SESSION windows on the streaming engine
+    (F.session_window): state merges an event into its neighbor session
+    when intervals [ts, ts+gap) overlap, exactly the batch sessionize
+    contract (operators/windows.py) up to the boundary case — an event
+    at EXACTLY prev+gap starts a new streaming session but merges in
+    the batch lag-comparison form (diff > gap). µs timestamps make that
+    boundary measure-zero; the differential check would surface it.
+    Emits the session start (epoch-µs) as the session key."""
+    return (events.groupBy(F.session_window("ts", gap).alias("w"),
+                           user_col)
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.col("value").cast(DEC)).cast("double")
+                 .alias("value_sum"))
+            .select(user_col,
+                    F.unix_micros(F.col("w.start")).alias("session_start_us"),
+                    "n_events", "value_sum"))
+
+
+def enrich_with_static(events: DataFrame, dim: DataFrame,
+                       key: str = "user_id") -> DataFrame:
+    """Stream-static join: every micro-batch hash-joins against the
+    static dimension snapshot — no streaming state at all (the static
+    side is re-planned per batch, so a Delta/refreshable dim picks up
+    updates between batches). The canonical enrich-events-with-
+    dimension shape; broadcast when the dim is small."""
+    return events.join(F.broadcast(dim), key)
