@@ -411,3 +411,28 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     GENERATED from the same term list, so both expression trees stay in
     lockstep by construction."""
     return bm25_topk(load_table(spark, sf_dir, "documents"), _BM25_TERMS, k=20)
+
+
+@register(
+    "lateral_token_positions",
+    f"""
+    SELECT doc_id,
+           unnest(list_transform({_TOKS},
+                  (x, i) -> struct_pack(pos := CAST(i - 1 AS INT),
+                                        tok := x)),
+                  recursive := true)
+    FROM documents
+    WHERE doc_id < 20
+    """)
+def q_lateral_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator/UDTF surface: POSEXPLODE — one row per (position,
+    token) — the lateral-view table function every tokenization
+    pipeline leans on. Spark plans a Generate node inside the scan
+    stage (zero shuffle); the oracle is DuckDB's recursive struct
+    unnest (its lambda index is 1-based, Spark's posexplode 0-based)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") < 20)
+    from ..operators.textstats import tokens as _toks
+
+    return docs.select(
+        "doc_id",
+        F.posexplode(_toks(F.col("text"))).alias("pos", "tok"))

@@ -310,3 +310,38 @@ def q_ev_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     return ewma_lag(events, "user_id", ["ts", "event_id"], "value",
                     halvings=8).select("event_id", "user_id", "ewma")
+
+
+@register(
+    "w_range_1h_value",
+    f"""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(value AS {_DECU})) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN {60 * 60 * 1_000_000} PRECEDING
+                            AND CURRENT ROW) AS DOUBLE) AS sum_1h,
+           CAST(COUNT(*) OVER (
+                  PARTITION BY user_id ORDER BY epoch_us(ts)
+                  RANGE BETWEEN {60 * 60 * 1_000_000} PRECEDING
+                            AND CURRENT ROW) AS BIGINT) AS n_1h
+    FROM events
+    """)
+def q_w_range_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based window frame (RANGE BETWEEN 1h PRECEDING): trailing
+    per-user hourly volume computed by frame scan, not self-join or
+    bucket explode — the third frame family next to ROWS and
+    session-gap. RANGE frames need a NUMERIC ordering key, so the frame
+    orders by epoch-µs; ties (same user, same ts) are frame-identical
+    by RANGE semantics on both engines, so no tiebreak is needed —
+    peer rows share the frame. One shuffle + one sort per user."""
+    from pyspark.sql import Window
+
+    events = load_table(spark, sf_dir, "events")
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.unix_micros(F.col("ts")))
+         .rangeBetween(-60 * 60 * 1_000_000, 0))
+    return events.select(
+        "event_id", "user_id",
+        F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+        .alias("sum_1h"),
+        F.count(F.lit(1)).over(w).alias("n_1h"))
