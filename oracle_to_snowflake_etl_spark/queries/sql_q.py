@@ -566,3 +566,69 @@ def q_pagerank_supplier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
                                        F.col("src").alias("dst")))
     ranks = pagerank_int(edges, iterations=3)
     return (ranks.orderBy(F.desc("rank_q"), F.asc("node")).limit(20))
+
+
+@register(
+    "set_ops_all",
+    """
+    WITH recent AS (SELECT o_custkey FROM orders
+                    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'),
+    big AS (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+    SELECT 'intersect_all' AS op, o_custkey FROM (
+        SELECT o_custkey FROM recent
+        INTERSECT ALL SELECT o_custkey FROM big)
+    UNION ALL
+    SELECT 'except_all', o_custkey FROM (
+        SELECT o_custkey FROM recent
+        EXCEPT ALL SELECT o_custkey FROM big)
+    """)
+def q_set_ops_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BAG-semantics set ops (INTERSECT ALL / EXCEPT ALL): multiplicity
+    min / difference per key — the multiset complement of set_ops'
+    distinct forms. Spark plans both as a single aggregate computing
+    per-side counts, never a join explosion."""
+    orders = load_table(spark, sf_dir, "orders")
+    recent = orders.where(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp")
+    ).select("o_custkey")
+    big = orders.where(F.col("o_totalprice") > 200000).select("o_custkey")
+    parts = [
+        ("intersect_all", recent.intersectAll(big)),
+        ("except_all", recent.exceptAll(big)),
+    ]
+    out = None
+    for label, df in parts:
+        piece = df.select(F.lit(label).alias("op"), "o_custkey")
+        out = piece if out is None else out.unionAll(piece)
+    return out
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS {_DECU})) AS DOUBLE) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                AS BIGINT) AS gid
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
+def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the irregular-lattice form ROLLUP/CUBE
+    can't express (two independent single-column groupings + grand
+    total, no pairwise cells). GROUPING() ids disambiguate real NULLs
+    from subtotal NULLs. Spark expands the sets in ONE pass (Expand +
+    single hash agg), not one scan per set. GROUPING SETS has no
+    DataFrame API, so this is a spark.sql surface."""
+    orders = load_table(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("_gs_orders")
+    return spark.sql(f"""
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(SUM(CAST(o_totalprice AS {DEC})) AS DOUBLE) AS revenue,
+               COUNT(*) AS n,
+               CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+                    AS BIGINT) AS gid
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """)
