@@ -632,3 +632,27 @@ def q_grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _gs_orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """)
+
+
+@register(
+    "fuzzy_name_pairs",
+    """
+    SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+           a.c_name AS name_a, b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INT) AS dist
+    FROM customer a JOIN customer b
+      ON substr(a.c_name, 1, 17) = substr(b.c_name, 1, 17)
+     AND a.c_custkey < b.c_custkey
+    WHERE levenshtein(a.c_name, b.c_name) <= 1
+    """)
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (operators/entity.py): name pairs
+    within a prefix block at edit distance <= 1 — BLOCK -> PAIR ->
+    SCORE, the only shape edit-distance matching survives at scale (the
+    oracle's self-join is the semantic spec; the engine runs the
+    group-collect pair generator, one shuffle, output-bounded)."""
+    from ..operators.entity import blocked_fuzzy_pairs
+
+    cust = load_table(spark, sf_dir, "customer")
+    return blocked_fuzzy_pairs(cust, "c_custkey", "c_name",
+                               F.substring(F.col("c_name"), 1, 17))
