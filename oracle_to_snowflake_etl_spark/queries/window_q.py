@@ -345,3 +345,32 @@ def q_w_range_1h_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast(DEC)).over(w).cast("double")
         .alias("sum_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"))
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH s1 AS (SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+                WHERE event_type = 'view' GROUP BY user_id),
+    s2 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2 FROM events e
+           JOIN s1 ON e.user_id = s1.user_id
+           WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+           GROUP BY e.user_id),
+    s3 AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3 FROM events e
+           JOIN s2 ON e.user_id = s2.user_id
+           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+           GROUP BY e.user_id)
+    SELECT s1.user_id, s1.t1, s2.t2, s3.t3
+    FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+            LEFT JOIN s3 ON s1.user_id = s3.user_id
+    """)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view -> click -> purchase funnel (operators/funnel.py): earliest
+    strictly-ordered step times per user in ONE shuffle (sorted-array
+    fold) vs the oracle's aggregation-per-step CTE chain (k shuffles) —
+    the single-pass form is the 100 TB path and must hash-match the
+    per-step spec exactly."""
+    from ..operators.funnel import funnel_times
+
+    events = load_table(spark, sf_dir, "events")
+    return funnel_times(events, ["view", "click", "purchase"])
