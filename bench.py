@@ -16,7 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from oracle_to_snowflake_etl_spark.queries import queries  # noqa: E402
+from oracle_to_snowflake_etl_spark.queries import PRIORITY, queries  # noqa: E402
 from oracle_to_snowflake_etl_spark.session import get_spark  # noqa: E402
 
 
@@ -48,13 +48,28 @@ def main() -> None:
         timings[name] = round(best, 4)
         total += best
 
-    print(json.dumps({
+    # Full per-query detail for local iteration.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_DETAIL.json"), "w") as fh:
+        json.dump({"total": round(total, 4), "sf": sf, "queries": timings}, fh,
+                  indent=1, sort_keys=True)
+
+    # The driver captures only the final ~2000 chars of stdout, so the JSON
+    # line must stay well under that. `value` totals ALL queries; the
+    # per-query dict reports the PRIORITY (headline) subset — the same 50
+    # queries the driver's oracle harness checks. Everything is in
+    # BENCH_DETAIL.json.
+    headline = {k: round(timings[k], 3) for k in PRIORITY if k in timings}
+    line = json.dumps({
         "metric": "total_query_seconds",
         "value": round(total, 4),
         "unit": "sec",
-        "queries": timings,
+        "queries": headline,
         "sf": sf,
-    }))
+        "n_queries": len(timings),
+    })
+    assert len(line) < 1900, f"bench JSON line too long ({len(line)} chars)"
+    print(line)
 
 
 if __name__ == "__main__":

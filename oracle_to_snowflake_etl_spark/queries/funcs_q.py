@@ -194,3 +194,33 @@ def q_unpivot_flag_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.count(F.lit(1)).cast("double").alias("n_lines")))
     return (wide.unpivot(["rf"], ["sum_qty", "n_lines"], "metric", "val")
             .orderBy("rf", "metric"))
+
+
+@register(
+    "udtf_token_counts",
+    """
+    SELECT doc_id, tok, COUNT(*) AS n
+    FROM (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text), '[a-z]{4,}')) AS tok
+          FROM documents WHERE doc_id % 10 = 0)
+    GROUP BY doc_id, tok
+    """)
+def q_udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF surface (SURVEY.md §2.10): a @udtf table function
+    (functions/udtfs.TokenCounts) called via SQL LATERAL — 0..N output
+    rows per document. The oracle computes the same (doc_id, tok, n)
+    set with regexp unnest + GROUP BY. Deliberately run on a 10%
+    document slice: UDTFs are the Python slow path; the JVM-side twin
+    of this computation at full scale is vocab_heavy_hitters
+    (explode(split()) + groupBy)."""
+    from ..functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    (load_table(spark, sf_dir, "documents")
+     .where(F.col("doc_id") % 10 == 0)
+     .select("doc_id", "text")
+     .createOrReplaceTempView("_docs_udtf"))
+    return spark.sql("""
+        SELECT d.doc_id, t.tok, t.n
+        FROM _docs_udtf d, LATERAL token_counts(d.text) t
+    """)

@@ -149,6 +149,35 @@ def q_stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stream_stream_attrib",
+    """
+    SELECT v.event_id AS view_id,
+           p.event_id AS purchase_id,
+           v.user_id,
+           epoch_us(v.ts) AS view_us,
+           epoch_us(p.ts) AS purchase_us
+    FROM events v
+    JOIN events p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+    """)
+def q_stream_stream_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM watermarked interval join (view->purchase
+    attribution within 30 minutes, streaming/jobs.
+    stream_stream_attribution) drained with AvailableNow and value-hashed
+    against the batch self-join oracle — the fourth streaming family
+    (agg / dedup / stream-static / stream-stream) on the equivalence
+    contract."""
+    from ..streaming.jobs import stream_stream_attribution
+
+    stream = read_events_stream(spark, sf_dir)
+    return drain_to_memory(stream_stream_attribution(stream),
+                           "stream_stream_attrib", output_mode="append")
+
+
+@register(
     "stream_enrich_user_tier",
     """
     WITH tiers AS (

@@ -21,22 +21,34 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata table. Parquet scans are columnar and
     filter/projection-pushdown-capable — check `.explain("formatted")` for
     ``PushedFilters``/``ReadSchema`` when composing queries on top."""
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects by default
-    # (PARQUET_TYPE_ILLEGAL). nanosAsLong is a runtime-settable SQL conf, so
-    # set it here rather than in the session factory: load_table must work
-    # under ANY caller-provided SparkSession, not just get_spark()'s.
+    # events.ts has shipped in two physical shapes across testdata
+    # generations: parquet TIMESTAMP(NANOS) (Spark rejects it by default —
+    # PARQUET_TYPE_ILLEGAL; nanosAsLong reads it as an epoch-nanos long)
+    # and plain timestamp[us] with isAdjustedToUTC=false (arrives as
+    # TIMESTAMP_NTZ). Both confs are runtime-settable, so set them here
+    # rather than in the session factory: load_table must work under ANY
+    # caller-provided SparkSession, not just get_spark()'s. UTC session
+    # time keeps the NTZ->LTZ normalization value-exact (the engine's
+    # cross-engine determinism contract; the DuckDB oracle treats these
+    # timestamps as naive).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     _exclude_generate_filter_rule(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
-    # With nanosAsLong the ts column arrives as epoch-nanos long — convert
-    # to a microsecond timestamp (matches the DuckDB oracle, which also
-    # truncates ns -> µs on fetch).
     for field in df.schema.fields:
-        if field.name == "ts" and field.dataType.simpleString() == "bigint":
-            # integer `div`, NOT `/`: float division of epoch-nanos
-            # (~1.7e18 > 2^53) drops low bits and lands ±1 µs off
+        if field.name != "ts":
+            continue
+        kind = field.dataType.simpleString()
+        if kind == "bigint":
+            # nanos-as-long: integer `div`, NOT `/` — float division of
+            # epoch-nanos (~1.7e18 > 2^53) drops low bits, ±1 µs off
             df = df.withColumn(
                 "ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif kind == "timestamp_ntz":
+            # µs-precision naive timestamp: reinterpret in UTC so
+            # epoch-based window ids (unix_micros) resolve; value-exact
+            # under the UTC session timezone set above.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -79,17 +79,15 @@ def incremental_append_stream(stream: DataFrame, target_path: str,
     )
 
 
-#: the driver's events table with ts as epoch-NANOS long — the raw shape
-#: a parquet TIMESTAMP(NANOS) column arrives in under nanosAsLong (file-
-#: source streams need an explicit schema; they never infer)
-EVENTS_RAW_NANOS = T.StructType([
-    T.StructField("event_id", T.LongType()),
-    T.StructField("ts", T.LongType()),
-    T.StructField("user_id", T.LongType()),
-    T.StructField("event_type", T.StringType()),
-    T.StructField("value", T.DoubleType()),
-    T.StructField("props", T.StringType()),
-])
+def _events_raw_schema(ts_type: T.DataType) -> T.StructType:
+    return T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", ts_type),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ])
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -97,15 +95,30 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same µs-timestamp shape sources/readers.load_table produces for
     batch — so every batch operator that groups/aggregates (e.g.
     operators/windows.tumbling_counts) runs unchanged on the stream.
+
+    File-source streams need an explicit schema (they never infer), and
+    the testdata's ts column has shipped both as TIMESTAMP(NANOS)
+    (epoch-nanos long under nanosAsLong) and as timestamp[us]
+    (TIMESTAMP_NTZ) — probe the footer with a one-file batch read and
+    build the matching stream schema + normalization.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    import os
+
+    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    ts_kind = {f.name: f.dataType.simpleString() for f in probe}["ts"]
     # file-source streams list a DIRECTORY; the glob filter narrows it to
     # the events table (the testdata dir holds one file per table)
-    raw = (spark.readStream.schema(EVENTS_RAW_NANOS)
-           .option("pathGlobFilter", "events.parquet")
-           .parquet(sf_dir))
-    # integer `div`, not `/`: float division of epoch-nanos drops low bits
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    reader = (spark.readStream
+              .option("pathGlobFilter", "events.parquet"))
+    if ts_kind == "bigint":
+        raw = reader.schema(_events_raw_schema(T.LongType())).parquet(sf_dir)
+        # integer `div`, not `/`: float division of epoch-nanos drops low bits
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    raw = reader.schema(
+        _events_raw_schema(T.TimestampNTZType())).parquet(sf_dir)
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def drain_to_memory(df: DataFrame, name: str,
@@ -230,6 +243,44 @@ def session_window_counts(events: DataFrame, gap: str = "30 minutes",
             .select(user_col,
                     F.unix_micros(F.col("w.start")).alias("session_start_us"),
                     "n_events", "value_sum"))
+
+
+def stream_stream_attribution(events: DataFrame,
+                              horizon_minutes: int = 30,
+                              watermark: str = "2 hours") -> DataFrame:
+    """STREAM-STREAM event-time interval join: attribute each purchase to
+    every view by the same user within the preceding ``horizon_minutes``.
+
+    Both sides are watermarked and the join carries an explicit event-time
+    range constraint — that pair is what lets the engine bound state: a
+    buffered view can be evicted once the watermark passes
+    ``view_ts + horizon`` (no purchase can match it anymore), so state is
+    O(events within watermark+horizon), not O(stream). Inner join in
+    append mode: a match emits exactly when both sides have arrived.
+
+    Batch equivalence: with AvailableNow over a static source the result
+    must equal the batch self-join with the same predicate — the oracle.
+    """
+    views = (events.where(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     "user_id",
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", watermark))
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return (views.join(purchases, cond)
+            .select("view_id", "purchase_id", "user_id",
+                    F.unix_micros("view_ts").alias("view_us"),
+                    F.unix_micros("purchase_ts").alias("purchase_us")))
 
 
 def enrich_with_static(events: DataFrame, dim: DataFrame,

