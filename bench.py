@@ -9,6 +9,7 @@ returned DataFrame after a write-free action) — not just planned.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -47,6 +48,20 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 4)
         total += best
+        # Streaming queries leave their memory-sink table registered;
+        # drop it so 100+ queries don't accumulate result sets in the
+        # driver heap (measured: late-bench timings inflate 2-4x under
+        # that GC pressure).
+        try:
+            spark.catalog.dropTempView(name)
+        except Exception:
+            pass
+        # Release dead DataFrame refs promptly: localCheckpoint blocks
+        # (iterative queries) stay pinned in the block manager until
+        # Python GC drops the py4j handles and the ContextCleaner runs —
+        # without this, queries that FOLLOW an iterative one time 2-3x
+        # slower under the leaked memory.
+        gc.collect()
 
     # Full per-query detail for local iteration.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -88,6 +88,40 @@ def split_assign(df: DataFrame, key_col: str,
     return df.withColumn(out_col, expr)
 
 
+def weighted_sample(df: DataFrame, weight_col: str, key_col: str,
+                    salt: str = "wsample",
+                    max_weight: int | None = None) -> DataFrame:
+    """Weight-proportional Bernoulli sample: P(keep) = w / w_max, for an
+    INTEGER weight column (quality score, token count, …) — the corpus
+    rebalancer that keeps high-quality documents preferentially while
+    staying per-row deterministic (same guarantees as hash_sample).
+
+    The membership test is exact integer arithmetic — no float ever:
+
+        keep  iff  h * w_max < w * 2^60        (h = 60-bit hash, U[0,2^60))
+
+    Both sides fit DECIMAL(38,0) (Spark) / HUGEINT (DuckDB), so the
+    decision is bit-identical across engines and partitionings; a float
+    formulation (h/2^60 < w/w_max) would diverge in the last ulp right
+    at the acceptance boundary.
+
+    ``max_weight=None`` computes w_max with a 1-row aggregate broadcast
+    back onto the scan (one extra tiny job, no shuffle of the fact);
+    pass it explicitly when known (e.g. a documented score ceiling) to
+    keep the sample a pure single-scan predicate.
+    """
+    h = hash60(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    if max_weight is None:
+        wmax = df.agg(F.max(weight_col).cast("decimal(12,0)").alias("_wmax"))
+        out = df.crossJoin(F.broadcast(wmax))
+    else:
+        out = df.withColumn("_wmax", F.lit(int(max_weight)).cast("decimal(12,0)"))
+    keep = (h.cast("decimal(20,0)") * F.col("_wmax")
+            < F.col(weight_col).cast("decimal(20,0)")
+            * F.lit(1 << 60).cast("decimal(20,0)"))
+    return out.where(keep).drop("_wmax")
+
+
 def minmax_scale_by_group(df: DataFrame, group_col: str, value_col: str,
                           id_col: str) -> DataFrame:
     """Per-group min-max scaling via **applyInPandas** (grouped-map

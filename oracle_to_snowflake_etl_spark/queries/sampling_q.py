@@ -99,3 +99,29 @@ def q_grouped_minmax_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     return minmax_scale_by_group(docs, "lang", "n_chars", "doc_id")
+
+
+_H60 = duck_hash60_sql("'wsample' || '|' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "sample_weighted_nchars",
+    f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents,
+         (SELECT MAX(n_chars) AS wmax FROM documents)
+    WHERE CAST({_H60} AS HUGEINT) * wmax
+          < CAST(n_chars AS HUGEINT) * 1152921504606846976
+    """)
+def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-proportional deterministic sampling (P(keep) =
+    n_chars / max(n_chars), operators/sampling.weighted_sample): longer
+    documents kept preferentially. The membership test is exact integer
+    arithmetic (DECIMAL(38) / HUGEINT) so the per-row decision — not
+    just the rate — is identical across engines; the oracle checks every
+    row's fate."""
+    from ..operators.sampling import weighted_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return weighted_sample(docs, "n_chars", "doc_id") \
+        .select("doc_id", "lang", "n_chars")

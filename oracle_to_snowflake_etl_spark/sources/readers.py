@@ -212,6 +212,34 @@ def write_partitioned(df: DataFrame, path: str, partition_cols: list[str],
     w.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def overwrite_partitions_dynamic(df: DataFrame, path: str,
+                                 partition_cols: list[str]) -> None:
+    """Incremental partition refresh: replace ONLY the partitions present
+    in ``df``, leaving every other partition's files untouched — the
+    reprocess-one-day operation on a partitioned lakehouse table
+    (reference semantics: truncate-reload, but scoped to the affected
+    partitions instead of the whole table).
+
+    Uses ``partitionOverwriteMode=dynamic`` (set per-write via
+    DataFrameWriter option, so the session default stays STATIC — a
+    static-mode ``overwrite`` on the same path would silently drop every
+    partition NOT in ``df``, which is the classic footgun this wrapper
+    exists to fence off).
+
+    At 100 TB: the rewrite cost is proportional to the data being
+    replaced, never to table size; readers of untouched partitions are
+    unaffected (their files are never rewritten). For concurrent-writer
+    or snapshot-isolation needs this is the hand-rolled precursor of
+    Delta/Iceberg ``replaceWhere`` / ``overwritePartitions`` (README
+    MERGE position).
+    """
+    (df.repartition(*[F.col(c) for c in partition_cols])
+       .write.mode("overwrite")
+       .option("partitionOverwriteMode", "dynamic")
+       .partitionBy(*partition_cols)
+       .parquet(path))
+
+
 def compact_parquet(spark: SparkSession, path: str,
                     target_file_bytes: int = 128 * 1024 * 1024) -> int:
     """Small-files compaction — the unglamorous operation that keeps a

@@ -121,8 +121,24 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
+#: Streaming state partitions for the verification drains. Stateful
+#: operators allocate one state store per shuffle partition (a
+#: stream-stream join allocates FOUR), and every store pays a fixed
+#: per-commit checkpoint cost — so partition count must be sized to
+#: STATE VOLUME (keys per partition), never to core count. At the bench
+#: scale (1e5 events) 32 partitions is pure store overhead: measured
+#: 6.8s -> 2.5s on the stream-stream join and 1.8x on the whole
+#: streaming suite by dropping to 8. At 100 TB the same knob goes the
+#: other way (thousands of partitions to bound per-store memory); a
+#: production job sets it from estimated key cardinality x state row
+#: size / target partition bytes.
+STREAM_STATE_PARTITIONS = 8
+
+
 def drain_to_memory(df: DataFrame, name: str,
-                    output_mode: str = "complete") -> DataFrame:
+                    output_mode: str = "complete",
+                    shuffle_partitions: int | None = STREAM_STATE_PARTITIONS,
+                    ) -> DataFrame:
     """Run a streaming aggregation to completion with Trigger.AvailableNow
     and return the final result as a batch DataFrame (in-memory sink).
     This is the TEST/verification sink: it materializes the full result
@@ -134,11 +150,21 @@ def drain_to_memory(df: DataFrame, name: str,
     "update" for applyInPandasWithState operators (which cannot run in
     complete mode — each key's LAST emission is its final state, and a
     single-batch static source emits each key exactly once).
+
+    shuffle_partitions temporarily resizes the state partitioning for
+    this query (see STREAM_STATE_PARTITIONS); the session conf is
+    restored afterward so batch queries keep their own sizing.
     """
     spark = df.sparkSession
-    q = (df.writeStream.format("memory").queryName(name)
-         .outputMode(output_mode).trigger(availableNow=True).start())
-    q.awaitTermination()
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    if shuffle_partitions is not None:
+        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    try:
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode(output_mode).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
     return spark.table(name)
 
 

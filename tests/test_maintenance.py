@@ -239,3 +239,38 @@ def test_zorder_layout_tightens_both_columns(spark, sf_dir, tmp_path):
     assert coverage(zd, "o_custkey") < 0.6 * coverage(nd, "o_custkey")
     price_span = float(b[3] - b[2]) / 100.0
     assert coverage(zd, "o_totalprice") < 0.4 * price_span
+
+
+def test_overwrite_partitions_dynamic_touches_only_written(spark, tmp_path):
+    """Dynamic partition overwrite must replace exactly the partitions in
+    the incoming frame: untouched partitions keep their original data
+    files byte-for-byte (no rewrite), touched ones are fully replaced
+    (not appended)."""
+    import os
+
+    from oracle_to_snowflake_etl_spark.sources.readers import (
+        overwrite_partitions_dynamic, write_partitioned)
+
+    path = str(tmp_path / "dynpart")
+    base = spark.range(0, 700).select(
+        (F.col("id") % 7).alias("day"), F.col("id").alias("v"))
+    write_partitioned(base, path, ["day"])
+
+    def files_of(day: int) -> set[str]:
+        d = os.path.join(path, f"day={day}")
+        return {f for f in os.listdir(d) if f.startswith("part-")}
+
+    before = {d: files_of(d) for d in range(7)}
+    # reprocess day 3 only, with different values
+    fix = spark.range(0, 50).select(
+        F.lit(3).alias("day"), (F.col("id") + 10_000).alias("v"))
+    overwrite_partitions_dynamic(fix, path, ["day"])
+
+    out = spark.read.parquet(path)
+    # day 3 fully replaced (50 new rows, none of the old 100)
+    assert out.where("day = 3").count() == 50
+    assert out.where("day = 3 AND v < 10000").count() == 0
+    # every other partition's files untouched on disk
+    for d in (0, 1, 2, 4, 5, 6):
+        assert files_of(d) == before[d], f"day={d} was rewritten"
+    assert out.count() == 600 + 50
