@@ -92,7 +92,8 @@ def test_no_cartesian_or_nested_loop_joins(spark, sf_dir):
     # for a scalar subquery; the guard is for accidental cartesians over
     # data-sized sides.
     allowed_cross = {"ann_brute_topk", "tpch_q11_important_stock",
-                     "tpch_q22_global_sales_opp", "text_bm25_topk"}
+                     "tpch_q22_global_sales_opp", "text_bm25_topk",
+                     "sample_weighted_nchars"}  # 1-row w_max broadcast
     skip = {"stream_tumbling_5m"}  # executing it drains a stream; its
     # batch result is a materialized memory table with no join plan
     for name, fn in queries().items():
@@ -226,3 +227,20 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, sf_dir, tmp_path):
     j = fact.join(dim.where(F.col("label") == "closed"),
                   F.col("o_orderstatus") == F.col("st"))
     assert "dynamicpruning" in plan_string(j).lower()
+
+
+def test_weighted_sample_is_scan_predicate(spark, sf_dir):
+    """The membership test must stay a scan-side predicate: the corpus
+    never shuffles — the only plan additions are the 1-row w_max
+    aggregate, its broadcast back onto the scan (planned as a
+    BroadcastNestedLoopJoin over the one-row build side — a filter in
+    effect), and the membership condition itself."""
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+
+    df = queries()["sample_weighted_nchars"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "BroadcastExchange" in plan
+    assert not has_sort_merge_join(df)
+    # exchanges: the w_max single-partition agg + its broadcast; the
+    # corpus side contributes none
+    assert exchange_count(df) <= 2

@@ -164,3 +164,62 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     # and the late row is accounted as dropped — not silently lost
     assert got == [(0, 2)], got
     assert dropped == 1, dropped
+
+
+def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
+    """The production-bounded form of streaming dedup: duplicates within
+    the watermark horizon are suppressed, and keys older than the
+    watermark are EVICTED from state — a duplicate arriving after
+    eviction is treated as new (the documented trade vs the unbounded
+    dropDuplicates in distinct_event_pairs). This pins the semantics and
+    confirms state actually shrinks."""
+    import os
+    import time as _t
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    batches = {
+        # key 1 twice inside one batch -> in-horizon dup suppressed
+        "b1": [(1, t(0)), (1, t(1)), (2, t(2))],
+        # advance the watermark far past key 1's expiry (ts + 10 min
+        # delay). Eviction is lazy — expired keys leave the map at the
+        # END of the batch that runs under the advanced watermark — so
+        # b3 is the batch where key 1's state actually goes away...
+        "b2": [(3, t(40))],
+        "b3": [(4, t(42))],
+        # ...and only now is a key-1 duplicate treated as NEW output
+        "b4": [(1, t(43))],
+    }
+    now = _t.time()
+    for i, (d, rows) in enumerate(batches.items()):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src / d))
+        for f in os.listdir(src / d):
+            os.utime(src / d / f, (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(str(src / "*")))
+    dedup = (stream.withWatermark("ts", "10 minutes")
+             .dropDuplicatesWithinWatermark(["k"]))
+    q = (dedup.writeStream.format("memory").queryName("dd_demo")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r.k, r.ts.minute)
+                 for r in spark.table("dd_demo").collect())
+    # key 1 emitted TWICE: once at 10:00 (dup at 10:01 suppressed), and
+    # again at 10:43 after its state aged out past the watermark
+    assert got == [(1, 0), (1, 43), (2, 2), (3, 40), (4, 42)], got
+    final_state = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
+    # state must NOT hold all six input keys' rows — eviction happened
+    assert final_state <= 3, final_state
