@@ -69,3 +69,31 @@ def run_checks(*checks: DataFrame) -> DataFrame:
     for c in checks[1:]:
         out = out.unionByName(c)
     return out
+
+
+def observed_write(df: DataFrame, path: str, name: str = "dq",
+                   metrics: dict[str, Column] | None = None,
+                   mode: str = "overwrite") -> dict:
+    """Write ``df`` to parquet while collecting data-quality metrics IN
+    THE SAME PASS via ``DataFrame.observe`` — zero extra scans, zero
+    extra shuffles (metrics accumulate on executors during the write
+    job, like Spark's own task metrics).
+
+    This is the publish-time half of the DQ contract: ``run_checks``
+    gates before publish with its own action; ``observed_write`` attaches
+    free metrics to the publish action itself — at 100 TB the difference
+    is a whole extra table scan.
+
+    Default metrics: row count + per-column null counts. Returns the
+    observed metric row as a dict.
+    """
+    from pyspark.sql import Observation
+
+    if metrics is None:
+        metrics = {"n_rows": F.count(F.lit(1))}
+        for c in df.columns:
+            metrics[f"nulls_{c}"] = F.count(F.when(F.col(c).isNull(), 1))
+    obs = Observation(name)
+    out = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
+    out.write.mode(mode).parquet(path)
+    return obs.get

@@ -224,3 +224,28 @@ def q_udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT d.doc_id, t.tok, t.n
         FROM _docs_udtf d, LATERAL token_counts(d.text) t
     """)
+
+
+@register(
+    "variant_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.k') AS k_str
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """)
+def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): parse_json once into a
+    VariantType value, then typed variant_get extractions — the
+    binary-encoded, parse-once successor to per-path get_json_object
+    string re-parsing (json_props is the legacy twin). At 100 TB the
+    difference compounds: N extractions re-parse the JSON N times with
+    get_json_object but once with VARIANT."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    out = ev.select(
+        "event_id",
+        F.variant_get(v, "$.k", "long").alias("k"),
+        F.variant_get(v, "$.k", "string").alias("k_str"))
+    return out.where(F.col("k") >= 50)

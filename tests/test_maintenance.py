@@ -274,3 +274,19 @@ def test_overwrite_partitions_dynamic_touches_only_written(spark, tmp_path):
     for d in (0, 1, 2, 4, 5, 6):
         assert files_of(d) == before[d], f"day={d} was rewritten"
     assert out.count() == 600 + 50
+
+
+def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
+    """DataFrame.observe metrics must arrive with the write action
+    itself (no second scan) and match an explicit recount."""
+    from oracle_to_snowflake_etl_spark.operators.quality import observed_write
+
+    path = str(tmp_path / "obs")
+    df = spark.range(0, 1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id")).alias("v"))
+    got = observed_write(df, path)
+    assert got["n_rows"] == 1000
+    assert got["nulls_id"] == 0
+    assert got["nulls_v"] == 100
+    assert spark.read.parquet(path).count() == 1000
