@@ -14,13 +14,14 @@ partition-parallel JDBC:
     :func:`key_projection_subquery` builds the explicit form);
   - writes batch ``batchsize`` rows per round-trip per partition.
 
-No JDBC driver jars ship in this environment, so execution is untestable
-here; the OPTION CONSTRUCTION is pure and unit-tested
-(tests/test_jdbc_options.py), and the call sites raise Spark's own clear
-error if the driver class is absent. The local pipeline runs on parquet
-via the same DataFrame contracts (SURVEY.md §7.2 build order #6:
-adapters behind an interface; the pipeline code doesn't know which is
-underneath).
+No Oracle/Snowflake driver jars ship in this environment, but Spark
+bundles embedded Derby — tests/test_jdbc_roundtrip.py executes the
+batched sink, the partition-parallel ranged scan, and the S6 pushdown
+subquery against a real JDBC database in-process; the option
+construction is additionally unit-tested driver-free
+(tests/test_jdbc_options.py). The local pipeline runs on parquet via the
+same DataFrame contracts (SURVEY.md §7.2 build order #6: adapters behind
+an interface; the pipeline code doesn't know which is underneath).
 """
 
 from __future__ import annotations
