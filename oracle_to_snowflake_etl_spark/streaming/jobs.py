@@ -251,6 +251,61 @@ def user_running_stats(events: DataFrame) -> DataFrame:
         outputMode="update", timeoutConf=GroupStateTimeout.NoTimeout)
 
 
+def user_running_stats_tws(events: DataFrame) -> DataFrame:
+    """:func:`user_running_stats` on the transformWithStateInPandas API —
+    Spark 4's successor to applyInPandasWithState (typed state variables
+    via getValueState/getListState/getMapState, timers, initial state,
+    state schema evolution). Same contract: per-user running count +
+    last-seen µs, emitted on update.
+
+    GATED on two environment requirements the engine cannot assume:
+    the RocksDB state store provider (set automatically here — the only
+    provider transformWithState supports) and the ``protobuf`` package
+    (the driver<->worker state protocol; ImportError raised with
+    instructions when absent — this container ships without it, so
+    coverage is pytest-skipped and applyInPandasWithState remains the
+    tested arbitrary-state path).
+    """
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError as exc:  # pragma: no cover - environment gate
+        raise ImportError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pip install protobuf); use user_running_stats "
+            "(applyInPandasWithState) where it is unavailable") from exc
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    events.sparkSession.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider")
+
+    class _UserStats(StatefulProcessor):
+        def init(self, handle) -> None:  # noqa: ANN001
+            self._s = handle.getValueState("s", "n BIGINT, last_us BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            n, last = self._s.get() if self._s.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                if len(pdf):
+                    last = max(last,
+                               int(pdf["ts"].astype("int64").max()) // 1000)
+            self._s.update((n, last))
+            yield pd.DataFrame({"user_id": [key[0]], "n_events": [n],
+                                "last_seen_us": [last]})
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        _UserStats(),
+        outputStructType="user_id BIGINT, n_events BIGINT, "
+                         "last_seen_us BIGINT",
+        outputMode="Update", timeMode="None")
+
+
 def session_window_counts(events: DataFrame, gap: str = "30 minutes",
                           user_col: str = "user_id") -> DataFrame:
     """Gap-based SESSION windows on the streaming engine

@@ -223,3 +223,27 @@ def test_drop_duplicates_within_watermark_bounds_state(spark, tmp_path):
     final_state = q.recentProgress[-1]["stateOperators"][0]["numRowsTotal"]
     # state must NOT hold all six input keys' rows — eviction happened
     assert final_state <= 3, final_state
+
+
+def test_user_running_stats_tws_matches_batch(spark, tmp_path):
+    """transformWithStateInPandas twin of user_running_stats must equal
+    the batch aggregate. Skipped where protobuf (the API's state
+    protocol dependency) is not installed — the applyInPandasWithState
+    twin covers the arbitrary-state contract there."""
+    import pytest as _pytest
+
+    _pytest.importorskip("google.protobuf")
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        drain_to_memory,
+        read_events_stream,
+        user_running_stats_tws,
+    )
+
+    stream = read_events_stream(spark, SF)
+    got = drain_to_memory(user_running_stats_tws(stream), "tws_stats",
+                          output_mode="update")
+    batch = (load_table(spark, SF, "events").groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.max(F.unix_micros("ts")).alias("last_seen_us")))
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
