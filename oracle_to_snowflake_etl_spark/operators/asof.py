@@ -72,3 +72,43 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
     out_cols = [F.col(c) for c in left.columns] + [
         F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in payload]
     return carried.where(F.col("_side") == 1).select(*out_cols)
+
+
+def asof_join_forward(left: DataFrame, right: DataFrame, key: str,
+                      left_ts: str = "ts", right_ts: str = "ts",
+                      payload: list[str] | None = None,
+                      suffix: str = "_r") -> DataFrame:
+    """FORWARD as-of join: every ``left`` row plus the payload of the
+    EARLIEST ``right`` row at-or-after its timestamp (NULL when none
+    follows) — "next event" attribution (click -> next purchase,
+    sensor reading -> next maintenance).
+
+    Same union-sort construction and cost as :func:`asof_join` (one
+    shuffle + one sort), with the scan direction reversed: the window
+    orders ts DESCENDING so ``last(ignorenulls)`` carries the nearest
+    FOLLOWING right row backward onto each left row. Tie conventions
+    mirror the backward form: a right row at exactly left.ts is visible
+    (>= semantics, DuckDB's ``ON l.ts <= r.ts`` ASOF), and equal-(key,
+    ts) right rows resolve to the greatest payload struct.
+    """
+    if payload is None:
+        payload = [c for c in right.columns if c not in (key, right_ts)]
+
+    l_tagged = left.withColumn("_side", F.lit(1)) \
+                   .withColumn("_ts", F.col(left_ts))
+    r_tagged = (right.select(
+        F.col(key), F.col(right_ts).alias("_ts"),
+        F.struct(*[F.col(c) for c in payload]).alias("_rpay"))
+        .withColumn("_side", F.lit(0)))
+    merged = l_tagged.unionByName(r_tagged, allowMissingColumns=True)
+    # desc ts scan: at equal ts, side=0 first keeps the right row visible
+    # to the left row; ascending _rpay makes the greatest payload the
+    # last one seen among right ties (the backward form's convention).
+    w = (Window.partitionBy(key)
+         .orderBy(F.col("_ts").desc(), "_side", "_rpay")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    carried = merged.withColumn(
+        "_carry", F.last("_rpay", ignorenulls=True).over(w))
+    out_cols = [F.col(c) for c in left.columns] + [
+        F.col(f"_carry.{c}").alias(f"{c}{suffix}") for c in payload]
+    return carried.where(F.col("_side") == 1).select(*out_cols)

@@ -369,3 +369,28 @@ def embedding_near_dups(df: DataFrame, threshold_q6: int = 350_000,
     'embedding-cosine near-dup')."""
     pairs = srp_band_pairs(df, vec_col, id_col)
     return pairs.where(F.col("sim_q6") >= threshold_q6)
+
+
+def quantize_int8(vec: Column, out_scale: str = "scale",
+                  out_q: str = "q") -> list[Column]:
+    """Per-vector symmetric int8 quantization: q_i = round(x_i * 127 /
+    max|x|), scale = max|x| / 127 — the storage form that shrinks an
+    embedding table 4x (float32 -> int8) at <0.5% cosine error for
+    unit-ish vectors.
+
+    At 100 TB of embeddings this is the difference between scanning 25
+    and 100 TB for every ANN sweep; rescoring against the original
+    floats happens only on the candidate set (the SRP/IVF pattern).
+
+    All math is double-precision elementwise with floor(x+0.5) rounding
+    — deterministic and engine-portable (the DuckDB oracle reproduces it
+    bit-for-bit); the all-zero vector maps to scale=0, q=all-zero.
+    """
+    absmax = F.array_max(F.transform(vec, lambda x: F.abs(x))) \
+        .cast("double")
+    safe = F.when(absmax == 0.0, F.lit(1.0)).otherwise(absmax)
+    q = F.transform(
+        vec,
+        lambda x: F.floor(x.cast("double") * 127.0 / safe + 0.5)
+        .cast("int"))
+    return [(absmax / 127.0).alias(out_scale), q.alias(out_q)]

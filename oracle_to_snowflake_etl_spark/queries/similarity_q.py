@@ -11,6 +11,7 @@ embedded in BOTH plans — so even the LSH candidate sets match exactly.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.similarity import (
     IVF_CELLS,
@@ -200,3 +201,35 @@ def q_emb_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import label_centroids
 
     return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "emb_quantize_int8",
+    """
+    WITH m AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(x)))
+                  AS DOUBLE) AS absmax,
+             embedding
+      FROM embeddings
+    )
+    SELECT vec_id,
+           absmax / 127.0 AS scale,
+           list_transform(
+             embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                             / (CASE WHEN absmax = 0 THEN 1.0
+                                     ELSE absmax END) + 0.5)
+                       AS INTEGER)) AS q
+    FROM m
+    """)
+def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 embedding quantization
+    (operators/similarity.quantize_int8): 4x storage reduction for the
+    at-rest embedding table; floats are kept only for candidate
+    rescoring. Pure elementwise array math — zero shuffles, zero Python
+    — and the oracle reproduces every quantized component exactly."""
+    from ..operators.similarity import quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select("vec_id", *quantize_int8(F.col("embedding")))

@@ -656,3 +656,39 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return blocked_fuzzy_pairs(cust, "c_custkey", "c_name",
                                F.substring(F.col("c_name"), 1, 17))
+
+
+@register(
+    "asof_next_purchase",
+    """
+    WITH purchases AS (
+      SELECT user_id, ts, event_id, value
+      FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+    )
+    SELECT c.user_id, c.event_id,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM clicks c
+    ASOF LEFT JOIN purchases p
+      ON c.user_id = p.user_id AND c.ts <= p.ts
+    """)
+def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join (operators/asof.asof_join_forward): attach to
+    each click the user's NEXT purchase at-or-after it — the
+    look-ahead direction DuckDB expresses natively as
+    ``ASOF ... ON l.ts <= r.ts``, which is the oracle."""
+    from ..operators.asof import asof_join_forward
+
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.where(F.col("event_type") == "purchase") \
+                      .select("user_id", "ts", "event_id", "value")
+    clicks = events.where(F.col("event_type") == "click") \
+                   .select("user_id", "ts", "event_id")
+    out = asof_join_forward(clicks, purchases, key="user_id",
+                            payload=["event_id", "value"], suffix="_p")
+    return out.select(
+        "user_id", "event_id",
+        F.col("event_id_p").alias("purchase_id"),
+        F.col("value_p").alias("purchase_value"))
