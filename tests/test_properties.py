@@ -78,3 +78,64 @@ def test_dedup_clusters_matches_union_find(spark, pairs):
         comp[root] = min(comp.get(root, node), node)
     want = {node: comp[find(node)] for node in parent}
     assert got == want
+
+
+_ev = st.tuples(st.integers(0, 3),        # key
+                st.integers(0, 100),      # ts (µs scale irrelevant)
+                st.integers(0, 999))      # payload id
+
+
+@given(st.lists(_ev, min_size=0, max_size=20),
+       st.lists(_ev, min_size=0, max_size=20))
+@SLOW
+def test_asof_forward_matches_bruteforce(spark, lrows, rrows):
+    """asof_join_forward must pick, per left row, the right row with the
+    MINIMAL ts >= left.ts (greatest payload among full ties) — checked
+    against a brute-force python reference on adversarial inputs:
+    duplicate timestamps, empty sides, all-one-key."""
+    from oracle_to_snowflake_etl_spark.operators.asof import asof_join_forward
+
+    left = spark.createDataFrame(
+        [(k, t, i) for k, t, i in lrows] or [(0, -1, -1)],
+        "k long, ts long, lid long")
+    right = spark.createDataFrame(
+        [(k, t, i) for k, t, i in rrows] or [(99, -1, -1)],
+        "k long, ts long, rid long")
+    got = {(r.k, r.ts, r.lid): r.rid_r
+           for r in asof_join_forward(left, right, key="k",
+                                      payload=["rid"]).collect()}
+
+    def expect(k, t):
+        cands = [(rt, ri) for rk, rt, ri in rrows if rk == k and rt >= t]
+        if not cands:
+            return None
+        lo = min(c[0] for c in cands)
+        return max(ri for rt, ri in cands if rt == lo)
+
+    lrows_eff = lrows or [(0, -1, -1)]
+    for k, t, lid in lrows_eff:
+        assert got[(k, t, lid)] == expect(k, t), (k, t)
+
+
+@given(st.lists(st.tuples(st.integers(0, 500), st.integers(1, 40)),
+                min_size=1, max_size=40, unique_by=lambda r: r[0]))
+@SLOW
+def test_weighted_sample_deterministic_and_monotone(spark, rows):
+    """weighted_sample invariants: (a) identical membership on any
+    partitioning; (b) rows at w == w_max are ALWAYS kept (P=1);
+    (c) explicit max_weight equal to the true max changes nothing."""
+    from oracle_to_snowflake_etl_spark.operators.sampling import (
+        weighted_sample,
+    )
+
+    wmax = max(w for _, w in rows)
+    df1 = spark.createDataFrame(rows, "id long, w long").repartition(1)
+    df8 = spark.createDataFrame(rows, "id long, w long").repartition(8)
+    keep1 = {r.id for r in weighted_sample(df1, "w", "id").collect()}
+    keep8 = {r.id for r in weighted_sample(df8, "w", "id").collect()}
+    assert keep1 == keep8
+    top = {i for i, w in rows if w == wmax}
+    assert top <= keep1
+    keep_explicit = {r.id for r in weighted_sample(
+        df8, "w", "id", max_weight=wmax).collect()}
+    assert keep_explicit == keep1
