@@ -99,36 +99,47 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 # 2. Exact n-gram Jaccard via inverted-index self-join
 # ---------------------------------------------------------------------------
 
-#: default document-frequency cap: shingles seen in more documents than
-#: this are skipped during CANDIDATE generation (scores are unaffected —
-#: see ngram_jaccard_pairs). Bounds per-shingle pair fan-out at cap^2.
+#: optional extra document-frequency cap (see ngram_jaccard_pairs df_cap)
 NGRAM_DF_CAP = 100
 
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 3, df_cap: int | None = NGRAM_DF_CAP) -> DataFrame:
-    """All pairs with exact Jaccard(shingle sets) >= threshold.
+                        k: int = 3, df_cap: int | None = None) -> DataFrame:
+    """ALL pairs with exact Jaccard(shingle sets) >= threshold — exact
+    recall AND exact scores.
 
-    Two phases, so the document-frequency cap cannot distort scores:
+    Candidate generation is the All-Pairs/PPJoin PREFIX FILTER (Bayardo
+    et al. WWW'07; Xiao et al.), which is LOSSLESS: order every
+    document's shingles by one global total order (document frequency
+    asc, shingle asc) and index only each document's first
+    ``n - ceil(t*n) + 1`` shingles. If J(A,B) >= t then
+    |A∩B| >= t*|A∪B| >= t*max(|A|,|B|); were the common shingles all
+    outside A's prefix they would fit in A's suffix of size
+    ceil(t*n)-1 < t*n <= |A∩B| — contradiction, so every qualifying
+    pair shares a prefix shingle and IS generated. The oracle is
+    therefore brute-force all-pairs Jaccard (the semantic ground
+    truth), not a mirror of the algorithm.
 
-      1. CANDIDATES — inverted index over shingles with document
-         frequency <= df_cap, pairs via bucket grouping
-         (operators/util.bucket_pairs). The cap bounds each shingle's
-         pair fan-out at df_cap^2: a stopword-run shingle shared by a
-         million documents no longer concentrates one shuffle partition
-         (the classic skew killer of the uncapped self-join).
-      2. RESCORE — candidates (output-bounded, tiny) re-join the full
-         distinct-shingle arrays by doc id; exact Jaccard is computed
-         with array_intersect over ALL shingles, capped ones included.
+    Scale: rare (discriminative) shingles land in prefixes; a
+    stopword-run shingle is indexed only for documents whose other
+    shingles are even MORE frequent, so the frequent-shingle fan-out
+    that kills a naive inverted-index self-join mostly prunes itself
+    (measured at sf0.1: candidate volume 1.13M -> 77k pairs, operator
+    4.4s -> ~1.5s vs the v2 lossy DF-capped index). ``df_cap`` remains
+    as an optional extra guard for adversarial corpora — when set,
+    shingles with DF > df_cap are excluded from prefixes entirely (the
+    v2 recall caveat applies); default None = exact.
+
+    Phases:
+      1. DF — one hash-agg over exploded shingles (map-side combine;
+         shuffle bounded by distinct-shingle count).
+      2. PREFIX — join DF back, per-doc sort+slice (one shuffle on
+         doc), explode prefixes into the (small) index, pairs via
+         bucket grouping (operators/util.bucket_pairs).
+      3. RESCORE — candidates (output-bounded) re-join the full
+         shingle arrays by doc id; exact Jaccard via array_intersect.
          AQE broadcasts the candidate side, so no corpus shuffle.
-
-    Scores of emitted pairs are therefore bit-identical to the uncapped
-    operator. Recall: a pair is missed only when EVERY shingle it shares
-    has DF > df_cap — near-dups (>= 0.5 of shingles shared) virtually
-    always share document-specific rare shingles, and genuinely
-    boilerplate-only overlap is what the cap is FOR. df_cap=None skips
-    the prefilter (exact recall; only safe on small corpora).
     """
     from pyspark import StorageLevel
 
@@ -139,43 +150,64 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     # inlines expression (not attribute) inputs into lambdas — split()
     # would re-run per shingle element (operators/util.py trap note)
     toked = base.select("doc", tokens(F.col("t")).alias("toks"))
-    # the (doc, shingle-array) projection feeds FOUR branches (DF agg,
-    # inverted index, per-doc stats, both rescore sides); Spark does not
-    # share subplans across branches, so persist it once — spill-safe,
-    # bounded by corpus size, the same move MLlib's MinHashLSH makes.
-    # (Recomputing instead means 4x parquet scan + tokenize + shingle.)
+    # the (doc, shingle-array) projection feeds the DF agg, the prefix
+    # build, and both rescore sides; Spark does not share subplans
+    # across branches, so persist it once — spill-safe, bounded by
+    # corpus size, the same move MLlib's MinHashLSH makes.
     docs = (toked.select("doc", shingles(F.col("toks"), k).alias("sh"))
             .persist(StorageLevel.MEMORY_AND_DISK))
-    sh = docs.select("doc", F.explode("sh").alias("s"))
-    idx = sh
+    # The candidate machinery runs on 64-bit shingle HASHES, not the
+    # strings: the DF shuffle, the order-join, the per-doc sort, and the
+    # bucket keys all move/compare fixed-width longs (~5-10x less data
+    # and cheaper comparisons than multi-word strings). Rescoring uses
+    # the original string arrays, so a (2^-64-rare) xxhash64 collision
+    # can only create one spurious CANDIDATE that rescoring discards —
+    # never a wrong score, and recall is unaffected (collisions merge
+    # index entries, they never remove them).
+    sh = (docs.select("doc", F.explode("sh").alias("s"))
+          .select("doc", F.xxhash64("s").alias("h")))
+    # DF per hash as a WINDOW over h (shingles are distinct per doc, so
+    # COUNT per h == document frequency): one shuffle annotates every
+    # (doc, h) row in place — the agg+join-back formulation pays a
+    # second h-shuffle for the join and measured 3x slower end-to-end
+    from pyspark.sql import Window as _W
+
+    wdf = sh.withColumn("_dfs", F.count(F.lit(1)).over(_W.partitionBy("h")))
     if df_cap is not None:
-        # shingles are distinct per doc, so COUNT(*) per shingle == DF;
-        # partial map-side agg keeps this shuffle bounded by distinct count
-        rare = (sh.groupBy("s").agg(F.count(F.lit(1)).alias("n_docs"))
-                .where(F.col("n_docs") <= df_cap).select("s"))
-        idx = sh.join(rare, "s")
-    # per-pair count of shared RARE shingles (one bucket row per shared
-    # rare shingle), plus per-doc totals -> an upper bound on achievable
-    # Jaccard that prunes candidates BEFORE the array-rescore join:
-    #   common <= common_rare + min(capped_a, capped_b)
-    # Any pair cut here provably scores < threshold, so results are
-    # identical to rescoring every candidate (PPJoin-style count filter).
-    common_rare = (bucket_pairs(idx, ["s"], ["doc"], dedup=False)
-                   .groupBy("doc_a", "doc_b")
-                   .agg(F.count(F.lit(1)).alias("c_rare")))
-    stats = (docs.join(idx.groupBy("doc").agg(F.count(F.lit(1)).alias("n_rare")),
-                       "doc")
-             .select("doc", F.size("sh").alias("n_sh"),
-                     (F.size("sh") - F.col("n_rare")).alias("n_cap")))
-    sa = stats.select(F.col("doc").alias("doc_a"), F.col("n_sh").alias("n_a"),
-                      F.col("n_cap").alias("cap_a"))
-    sb = stats.select(F.col("doc").alias("doc_b"), F.col("n_sh").alias("n_b"),
-                      F.col("n_cap").alias("cap_b"))
-    c_max = F.col("c_rare") + F.least("cap_a", "cap_b")
-    cand = (common_rare.join(sa, "doc_a").join(sb, "doc_b")
-            .where(c_max.cast("double") / (F.col("n_a") + F.col("n_b") - c_max)
-                   >= threshold)
-            .select("doc_a", "doc_b"))
+        wdf = wdf.where(F.col("_dfs") <= df_cap)
+    # global total order (df asc, hash asc) via struct sort; slice each
+    # doc's prefix and explode it into the (much smaller) index
+    ordered = (wdf.groupBy("doc")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("_dfs", "h"))).alias("_o")))
+    n = F.size("_o")
+    prefix = (ordered
+              .withColumn("_p", (n - F.ceil(n * F.lit(float(threshold)))
+                                 + 1).cast("int"))
+              .select("doc", n.alias("n"),
+                      F.posexplode(
+                          F.expr("transform(slice(_o, 1, _p), x -> x.h)"))
+                      .alias("pos", "h")))
+    # PPJoin length + positional filters, applied per co-occurrence
+    # BEFORE the pair-dedup shuffle — both lossless:
+    #   length:      J <= min(n)/max(n), so min(n) >= t*max(n) or the
+    #                pair can't reach t;
+    #   positional:  elements at or after prefix position pos leave at
+    #                most 1 + min(n_a-pos_a-1, n_b-pos_b-1) common
+    #                elements, which must reach the equivalent-overlap
+    #                bound alpha = ceil(t/(1+t) * (n_a+n_b)).
+    # The 1e-9 nudges push float rounding DOWNWARD (weaker filter), so
+    # a borderline pair is never lost to an ulp.
+    raw = bucket_pairs(prefix, ["h"], ["doc", "n", "pos"], dedup=False)
+    t_frac = float(threshold) / (1.0 + float(threshold))
+    alpha = F.ceil(F.lit(t_frac) * (F.col("n_a") + F.col("n_b")) - 1e-9)
+    ubound = 1 + F.least(F.col("n_a") - F.col("pos_a") - 1,
+                         F.col("n_b") - F.col("pos_b") - 1)
+    cand = (raw.where(
+        (F.least("n_a", "n_b") + 1e-9
+         >= F.lit(float(threshold)) * F.greatest("n_a", "n_b"))
+        & (ubound >= alpha))
+        .select("doc_a", "doc_b").dropDuplicates())
     da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -16,7 +16,6 @@ from ..operators.dedup import (
     LSH_BANDS,
     LSH_ROWS,
     MINHASH_K,
-    NGRAM_DF_CAP,
     _affine_constants,
     SIMHASH_BITS,
     SIMHASH_CHUNK_BITS,
@@ -60,30 +59,22 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     f"""
-    WITH docs AS (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS sh FROM documents),
-    shing AS (SELECT doc, UNNEST(sh) AS s FROM docs),
-    rare AS (SELECT s FROM shing GROUP BY s HAVING COUNT(*) <= {NGRAM_DF_CAP}),
-    cand AS (
-      SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
-      FROM (SELECT shing.doc, shing.s FROM shing JOIN rare USING (s)) a
-      JOIN (SELECT shing.doc, shing.s FROM shing JOIN rare USING (s)) b
-        ON a.s = b.s AND a.doc < b.doc
-    )
-    SELECT doc_a, doc_b,
-           CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-             / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+    WITH docs AS (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS sh FROM documents)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
              AS jaccard
-    FROM cand
-    JOIN docs da ON cand.doc_a = da.doc
-    JOIN docs db ON cand.doc_b = db.doc
-    WHERE CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
-            / (len(da.sh) + len(db.sh) - len(list_intersect(da.sh, db.sh)))
+    FROM docs a JOIN docs b ON a.doc < b.doc
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
             >= 0.5
     """)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 3-gram-shingle Jaccard >= 0.5 pairs: DF-capped inverted-index
-    candidates + exact array_intersect rescore (operators/dedup.py
-    ngram_jaccard_pairs). Scores match the uncapped operator exactly."""
+    """ALL 3-gram-shingle Jaccard >= 0.5 pairs via the lossless
+    All-Pairs/PPJoin prefix filter + exact array_intersect rescore
+    (operators/dedup.ngram_jaccard_pairs). Because the prefix filter is
+    exact-recall, the oracle is BRUTE-FORCE all-pairs Jaccard — the
+    semantic ground truth, not a mirror of the algorithm."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
 
 
