@@ -276,10 +276,14 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_tq"))
            .where(F.col("_tq") > 95)
            .select("l_orderkey"))
-    joined = (cust.join(orders, cust.c_custkey == orders.o_custkey)
-              .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-              .join(big.withColumnRenamed("l_orderkey", "_bk"),
-                    F.col("o_orderkey") == F.col("_bk"), "left_semi"))
+    # Semi-filter ORDERS first: the HAVING tail is tiny, so every
+    # downstream join fans out over the few surviving orders (AQE
+    # broadcasts them into the lineitem probe) instead of joining the
+    # full customer x orders x lineitem tree and filtering last.
+    sel = (orders.join(big.withColumnRenamed("l_orderkey", "_bk"),
+                       F.col("o_orderkey") == F.col("_bk"), "left_semi"))
+    joined = (sel.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+              .join(cust, cust.c_custkey == sel.o_custkey))
     return (joined.groupBy("c_name", F.col("c_custkey"), F.col("o_orderkey"),
                            "o_orderdate", "o_totalprice")
             .agg(dsum("l_quantity", "sum_qty"))
