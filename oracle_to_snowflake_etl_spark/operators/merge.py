@@ -35,6 +35,7 @@ cluster with Delta/Iceberg on the classpath, replace a
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from .incremental import incremental_delta
 
@@ -45,3 +46,39 @@ def merge_upsert(source: DataFrame, target: DataFrame,
     plus the ``target`` rows whose key the source does not touch."""
     kept = incremental_delta(target, source.select(*key_cols), key_cols)
     return source.unionByName(kept)
+
+
+def apply_changes(target: DataFrame, changes: DataFrame,
+                  key_cols: list[str], seq_col: str,
+                  op_col: str = "op") -> DataFrame:
+    """CDC changelog application (the APPLY CHANGES INTO shape): fold a
+    stream of keyed (op, seq, payload) change rows onto a snapshot.
+
+    Contract per key: the change with the HIGHEST sequence wins — 'D'
+    deletes the key, anything else ('I'/'U') replaces the row with the
+    change's payload; keys the changelog never mentions pass through
+    untouched. Ties on seq resolve by (op desc, payload desc) struct
+    comparison, so out-of-order and duplicate delivery produce the same
+    final state (the idempotent-replay property CDC consumers need).
+
+    Plan: ONE window (row_number over key, ordered by seq desc) reduces
+    the changelog to its per-key head — the changelog, not the target,
+    pays the sort, and it is output-bounded by |distinct changed keys|.
+    The target pays exactly one anti-join against those keys (AQE
+    broadcasts them when small) plus a shuffle-free union. At 100 TB
+    this is the same cost profile as merge_upsert; on Delta/Iceberg the
+    equivalent is MERGE with whenMatchedDelete/Update/whenNotMatchedInsert.
+    """
+    from pyspark.sql import Window
+
+    payload_cols = [c for c in changes.columns
+                    if c not in (*key_cols, seq_col, op_col)]
+    w = (Window.partitionBy(*key_cols)
+         .orderBy(F.col(seq_col).desc(), F.col(op_col).desc(),
+                  F.struct(*payload_cols).desc()))
+    latest = (changes.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1).drop("_rn", seq_col))
+    untouched = target.join(latest.select(*key_cols), key_cols, "left_anti")
+    upserts = (latest.where(F.col(op_col) != "D").drop(op_col)
+               .select(*target.columns))
+    return untouched.unionByName(upserts)

@@ -692,3 +692,48 @@ def q_asof_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id",
         F.col("event_id_p").alias("purchase_id"),
         F.col("value_p").alias("purchase_value"))
+
+
+@register(
+    "cdc_apply_changes",
+    """
+    WITH t AS (SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    ch AS (
+      SELECT o_orderkey, 1 AS seq, 'U' AS op, o_orderstatus,
+             o_totalprice + 1.0 AS p
+      FROM orders WHERE o_orderkey % 10 < 3
+      UNION ALL
+      SELECT o_orderkey, 2,
+             CASE WHEN o_orderkey % 3 = 0 THEN 'D' ELSE 'U' END,
+             o_orderstatus, o_totalprice + 2.0
+      FROM orders WHERE o_orderkey % 10 < 3),
+    latest AS (
+      SELECT * FROM ch
+      QUALIFY row_number() OVER (
+          PARTITION BY o_orderkey ORDER BY seq DESC, op DESC) = 1)
+    SELECT * FROM t
+    WHERE o_orderkey NOT IN (SELECT o_orderkey FROM latest)
+    UNION ALL
+    SELECT o_orderkey, o_orderstatus, p AS o_totalprice
+    FROM latest WHERE op != 'D'
+    """)
+def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC changelog fold (operators/merge.apply_changes — the APPLY
+    CHANGES INTO shape): a deterministic two-version changelog over 30%
+    of orders (v1 updates price+1, v2 updates price+2 or deletes every
+    third key); the highest sequence wins per key, deletes drop the
+    key, untouched keys pass through. Oracle: the same fold in SQL."""
+    from ..operators.merge import apply_changes
+
+    orders = load_table(spark, sf_dir, "orders")
+    target = orders.select("o_orderkey", "o_orderstatus", "o_totalprice")
+    base = orders.where(F.col("o_orderkey") % 10 < 3)
+    ch1 = base.select(
+        "o_orderkey", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        "o_orderstatus", (F.col("o_totalprice") + 1.0).alias("o_totalprice"))
+    ch2 = base.select(
+        "o_orderkey", F.lit(2).alias("seq"),
+        F.when(F.col("o_orderkey") % 3 == 0, "D").otherwise("U").alias("op"),
+        "o_orderstatus", (F.col("o_totalprice") + 2.0).alias("o_totalprice"))
+    return apply_changes(target, ch1.unionByName(ch2),
+                         key_cols=["o_orderkey"], seq_col="seq")

@@ -139,3 +139,45 @@ def test_weighted_sample_deterministic_and_monotone(spark, rows):
     keep_explicit = {r.id for r in weighted_sample(
         df8, "w", "id", max_weight=wmax).collect()}
     assert keep_explicit == keep1
+
+
+_chg = st.tuples(st.integers(0, 5),       # key
+                 st.integers(0, 8),       # seq
+                 st.sampled_from(["I", "U", "D"]),
+                 st.integers(0, 99))      # payload
+
+
+@given(st.lists(st.tuples(st.integers(0, 5), st.integers(0, 99)),
+                min_size=0, max_size=8, unique_by=lambda r: r[0]),
+       st.lists(_chg, min_size=0, max_size=16))
+@SLOW
+def test_apply_changes_matches_reference_and_replays(spark, tgt, chg):
+    """apply_changes invariants on adversarial changelogs (duplicate
+    seqs, out-of-order delivery, unknown keys): final state matches a
+    python reference fold, and replaying the changelog SHUFFLED gives
+    the identical result (idempotent-replay)."""
+    from oracle_to_snowflake_etl_spark.operators.merge import apply_changes
+
+    target = spark.createDataFrame(tgt or [(999, -1)], "k long, v long")
+    changes = spark.createDataFrame(
+        chg or [(998, 0, "U", 0)], "k long, seq long, op string, v long")
+    got = {(r.k, r.v) for r in apply_changes(
+        target, changes, key_cols=["k"], seq_col="seq").collect()}
+    re_got = {(r.k, r.v) for r in apply_changes(
+        target, changes.orderBy(F.rand(7)), key_cols=["k"],
+        seq_col="seq").collect()}
+    assert got == re_got
+
+    chg_eff = chg or [(998, 0, "U", 0)]
+    ref = dict(tgt or [(999, -1)])
+    latest: dict = {}
+    for k, seq, op, v in chg_eff:
+        cur = latest.get(k)
+        if cur is None or (seq, op, v) > cur:
+            latest[k] = (seq, op, v)
+    for k, (seq, op, v) in latest.items():
+        if op == "D":
+            ref.pop(k, None)
+        else:
+            ref[k] = v
+    assert got == set(ref.items())
