@@ -19,7 +19,7 @@ predicate — filter-pushdown-friendly and restartable.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.hashing import hash60
@@ -160,3 +160,28 @@ def minmax_scale_by_group(df: DataFrame, group_col: str, value_col: str,
                              "scaled_q6": q})
 
     return df.groupBy(group_col).applyInPandas(scale, schema=out_schema)
+
+
+def sample_n_per_group(df: DataFrame, n: int, group_col: str, key_col: str,
+                       salt: str = "npg") -> DataFrame:
+    """Deterministic fixed-size-per-group sample: keep exactly
+    min(n, |group|) rows per group, chosen by hash order — the bounded
+    alternative to fractional stratified_sample when downstream needs a
+    HARD per-group budget (eval slices, per-language caps, debugging
+    samples).
+
+    Same determinism contract as the rest of the module: membership
+    depends only on (salt, key), so reruns and repartitionings agree.
+    Unlike a true reservoir it is also STABLE under corpus growth for
+    the kept set's ORDER — but not membership: a new row can hash below
+    an existing member and displace it (fixed-size budgets make that
+    unavoidable; fractional hash_sample is the no-displacement option).
+
+    One window shuffle on the group key; skew bounded by group size —
+    at 100 TB pre-aggregate pathological groups or cap with a
+    WHERE-hash prefilter before the window.
+    """
+    w = Window.partitionBy(group_col).orderBy(
+        _unit(F.col(key_col), salt).asc(), F.col(key_col).asc())
+    return (df.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") <= n).drop("_rn"))

@@ -125,3 +125,26 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return weighted_sample(docs, "n_chars", "doc_id") \
         .select("doc_id", "lang", "n_chars")
+
+
+_NPG_U = _duck_unit("npg", "doc_id")
+
+
+@register(
+    "sample_n_per_lang",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    QUALIFY row_number() OVER (
+        PARTITION BY lang ORDER BY {_NPG_U} ASC, doc_id ASC) <= 25
+    """)
+def q_sample_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HARD per-group budget (operators/sampling.
+    sample_n_per_group): exactly min(25, |group|) documents per
+    language, chosen by hash order — per-row membership checked by the
+    identical window in the oracle."""
+    from ..operators.sampling import sample_n_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    return sample_n_per_group(docs, 25, "lang", "doc_id") \
+        .select("doc_id", "lang")
