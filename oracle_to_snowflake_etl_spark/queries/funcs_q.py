@@ -249,3 +249,30 @@ def q_variant_props(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.variant_get(v, "$.k", "long").alias("k"),
         F.variant_get(v, "$.k", "string").alias("k_str"))
     return out.where(F.col("k") >= 50)
+
+
+@register(
+    "hist_order_totals",
+    """
+    SELECT LEAST(GREATEST(CAST(floor(o_totalprice / 30000.0) AS BIGINT),
+                          0), 19) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """)
+def q_hist_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of order totals (20 x 30k buckets, clamped
+    tails) — the single-pass profiling aggregate behind data-exploration
+    bucket charts. The bucket id is explicit floor arithmetic rather
+    than width_bucket so both engines evaluate the identical double
+    expression; one hash-agg shuffle bounded by bucket count."""
+    orders = load_table(spark, sf_dir, "orders")
+    b = F.least(F.greatest(
+        F.floor(F.col("o_totalprice") / 30000.0).cast("long"),
+        F.lit(0)), F.lit(19))
+    return (orders.groupBy(b.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.min("o_totalprice").alias("lo"),
+                 F.max("o_totalprice").alias("hi")))

@@ -737,3 +737,46 @@ def q_cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus", (F.col("o_totalprice") + 2.0).alias("o_totalprice"))
     return apply_changes(target, ch1.unionByName(ch2),
                          key_cols=["o_orderkey"], seq_col="seq")
+
+
+@register(
+    "share_of_total_by_nation",
+    f"""
+    WITH r AS (
+      SELECT n.n_name AS nation,
+             CAST(SUM(CAST(o.o_totalprice AS {_DECU})) AS DOUBLE) AS rev
+      FROM orders o
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      GROUP BY n.n_name)
+    SELECT nation, rev,
+           CAST(floor(rev / CAST(SUM(CAST(rev AS DECIMAL(28,4))) OVER () AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS share_q6
+    FROM r
+    """)
+def q_share_of_total_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ratio-to-report: each nation's revenue share of the global total
+    via an unpartitioned window over the (tiny) aggregate — the share
+    computation never touches the fact table a second time. Numerator
+    and denominator are exact decimal sums cast once, so the quantized
+    share is engine-identical."""
+    from ..functions.exact import dsum
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    rev = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+           .join(F.broadcast(nation),
+                 cust.c_nationkey == nation.n_nationkey)
+           .groupBy(F.col("n_name").alias("nation"))
+           .agg(dsum("o_totalprice", "rev")))
+    from pyspark.sql import Window as _W
+    # decimal window sum: double addition is order-dependent across
+    # partitionings; the decimal fold is exact, so the quantized share
+    # can never flip at a rounding boundary
+    total = F.sum(F.col("rev").cast(DEC)).over(_W.partitionBy()) \
+        .cast("double")
+    return rev.select(
+        "nation", "rev",
+        F.floor(F.col("rev") / total * 1_000_000 + 0.5).cast("long")
+        .alias("share_q6"))
