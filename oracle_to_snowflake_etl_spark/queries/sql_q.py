@@ -780,3 +780,42 @@ def q_share_of_total_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation", "rev",
         F.floor(F.col("rev") / total * 1_000_000 + 0.5).cast("long")
         .alias("share_q6"))
+
+
+@register(
+    "recursive_key_depth",
+    """
+    WITH RECURSIVE keys AS (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderkey <= 4000),
+    r(k, depth) AS (
+      SELECT k, 0 FROM keys
+      WHERE k // 2 NOT IN (SELECT k FROM keys)
+      UNION ALL
+      SELECT c.k, r.depth + 1
+      FROM keys c JOIN r ON c.k // 2 = r.k)
+    SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+    FROM r GROUP BY depth
+    """)
+def q_recursive_key_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RECURSIVE CTE on the SQL surface (Spark 4's WITH RECURSIVE):
+    root-distance over the implicit binary-tree hierarchy parent(k) =
+    k div 2 restricted to existing order keys — roots are keys whose
+    parent is absent; each key has exactly one parent, so the recursion
+    terminates in O(log max_key) rounds. The declarative twin of the
+    DataFrame-loop iteration in operators/graph.py (which remains the
+    scale path: a loop controls per-round checkpointing and partition
+    sizing; the CTE delegates both to the engine). Oracle: the same
+    recursion in DuckDB."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("_rec_orders")
+    return spark.sql("""
+        WITH RECURSIVE keys AS (
+          SELECT o_orderkey AS k FROM _rec_orders WHERE o_orderkey <= 4000),
+        r(k, depth) AS (
+          SELECT k, 0 FROM keys
+          WHERE k div 2 NOT IN (SELECT k FROM keys)
+          UNION ALL
+          SELECT c.k, r.depth + 1
+          FROM keys c JOIN r ON c.k div 2 = r.k)
+        SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
+        FROM r GROUP BY depth
+    """)
