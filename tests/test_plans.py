@@ -244,3 +244,26 @@ def test_weighted_sample_is_scan_predicate(spark, sf_dir):
     # exchanges: the w_max single-partition agg + its broadcast; the
     # corpus side contributes none
     assert exchange_count(df) <= 2
+
+
+def test_round3_operators_plan_shapes(spark, sf_dir):
+    """Plan locks for the round-3 operator additions — the SCALE.md
+    claims as assertions: quantization is a pure scan pass; forward
+    as-of is the same single-shuffle union-sort as backward; the CDC
+    fold pays one changelog window + one target anti-join; histogram is
+    one agg shuffle; ratio-to-report adds only the tiny window exchange.
+    None of them may plan a nested loop."""
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+
+    budgets = {
+        "emb_quantize_int8": 0,
+        "asof_next_purchase": 1,
+        "cdc_apply_changes": 2,
+        "hist_order_totals": 1,
+        "share_of_total_by_nation": 2,
+    }
+    qs = queries()
+    for name, budget in budgets.items():
+        df = qs[name](spark, sf_dir)
+        assert exchange_count(df) <= budget, name
+        assert "BroadcastNestedLoopJoin" not in plan_string(df), name
