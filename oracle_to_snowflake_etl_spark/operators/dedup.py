@@ -466,3 +466,66 @@ def simhash_pairs(df: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING,
                 F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def containment_pairs(df: DataFrame, threshold: float = 0.8,
+                      text_col: str = "text", id_col: str = "doc_id",
+                      k: int = 3, df_cap: int | None = None) -> DataFrame:
+    """ALL ordered pairs (a, b), a != b, with containment
+    |A∩B| / |A| >= threshold — the ASYMMETRIC near-dup relation that
+    catches doc-in-doc duplication (a page embedded in a larger page,
+    quote-heavy posts, boilerplate-wrapped articles) which symmetric
+    Jaccard misses whenever the containing side is much larger.
+
+    Candidate generation adapts the prefix filter to the asymmetric
+    case: containment >= t bounds the overlap against |A| ONLY, so the
+    CONTAINED side indexes just its n - ceil(t*n) + 1 rarest shingles
+    (same suffix-counting argument as ngram_jaccard_pairs — lossless)
+    while the containing side must index ALL its shingles (no bound
+    exists on its size). Exact rescore on the full arrays follows.
+
+    Skew note: the full-side index reintroduces frequent-shingle
+    fan-out (prefix hits x full-index DF per shingle). The prefix side
+    keeps it small in practice (rare shingles dominate prefixes);
+    for adversarial corpora set ``df_cap`` to drop full-index shingles
+    with DF above the cap — lossy in exactly the ngram_jaccard_pairs
+    sense, documented there.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window as _W
+
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")))
+    toked = base.select("doc", tokens(F.col("t")).alias("toks"))
+    docs = (toked.select("doc", shingles(F.col("toks"), k).alias("sh"))
+            .where(F.size("sh") > 0)
+            .persist(StorageLevel.MEMORY_AND_DISK))
+    sh = (docs.select("doc", F.explode("sh").alias("s"))
+          .select("doc", F.xxhash64("s").alias("h")))
+    wdf = sh.withColumn("_dfs", F.count(F.lit(1)).over(_W.partitionBy("h")))
+    full_idx = wdf.select(F.col("doc").alias("doc_b"), "h")
+    if df_cap is not None:
+        full_idx = (wdf.where(F.col("_dfs") <= df_cap)
+                    .select(F.col("doc").alias("doc_b"), "h"))
+    ordered = (wdf.groupBy("doc")
+               .agg(F.sort_array(
+                   F.collect_list(F.struct("_dfs", "h"))).alias("_o")))
+    n = F.size("_o")
+    prefix = (ordered
+              .withColumn("_p", (n - F.ceil(n * F.lit(float(threshold)))
+                                 + 1).cast("int"))
+              .select(F.col("doc").alias("doc_a"), F.explode(
+                  F.expr("transform(slice(_o, 1, _p), x -> x.h)"))
+                  .alias("h")))
+    cand = (prefix.join(full_idx, "h")
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b").dropDuplicates())
+    da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(da, "doc_a").join(db, "doc_b")
+        .withColumn("containment", inter.cast("double") / F.size("sh_a"))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

@@ -190,3 +190,25 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """60-bit SimHash near-dup pairs at Hamming <= 3, candidates via
     lossless 15-bit chunk banding (operators/dedup.py simhash_pairs)."""
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH docs AS (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS sh FROM documents)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+             AS containment
+    FROM docs a JOIN docs b ON a.doc != b.doc
+    WHERE len(a.sh) > 0 AND len(b.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
+    """)
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup (operators/dedup.
+    containment_pairs): ordered pairs where >= 80% of A's shingles also
+    appear in B — doc-in-doc duplication symmetric Jaccard misses. The
+    contained side uses the lossless prefix filter; the containing side
+    indexes fully; oracle is brute-force ordered-pairs containment."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"))
