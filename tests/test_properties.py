@@ -181,3 +181,34 @@ def test_apply_changes_matches_reference_and_replays(spark, tgt, chg):
         else:
             ref[k] = v
     assert got == set(ref.items())
+
+
+_doc = st.tuples(st.integers(0, 9),
+                 st.lists(st.sampled_from("abcdefgh"), min_size=3,
+                          max_size=12))
+
+
+@given(st.lists(_doc, min_size=0, max_size=8, unique_by=lambda d: d[0]))
+@SLOW
+def test_containment_pairs_lossless_vs_bruteforce(spark, docs):
+    """containment_pairs' prefix filter must be lossless: every ordered
+    pair at containment >= 0.8 on adversarial tiny corpora (heavy
+    shingle overlap, identical docs, sub-3-token docs) matches a python
+    brute force over the same shingle definition."""
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in docs] or [(0, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in containment_pairs(df).collect()}
+
+    def sh(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    shs = {i: sh(t) for i, t in rows}
+    want = {(a, b) for a in shs for b in shs
+            if a != b and shs[a]
+            and len(shs[a] & shs[b]) / len(shs[a]) >= 0.8}
+    assert got == want
