@@ -212,3 +212,32 @@ def test_containment_pairs_lossless_vs_bruteforce(spark, docs):
             if a != b and shs[a]
             and len(shs[a] & shs[b]) / len(shs[a]) >= 0.8}
     assert got == want
+
+
+@given(st.lists(_doc, min_size=0, max_size=8, unique_by=lambda d: d[0]))
+@SLOW
+def test_ngram_jaccard_lossless_vs_bruteforce(spark, docs):
+    """The Jaccard prefix filter's exact-recall claim, adversarially:
+    every unordered pair at J >= 0.5 must be found."""
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    rows = [(i, " ".join(toks)) for i, toks in docs] or [(0, "a b")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(df).collect()}
+
+    def sh(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    shs = {i: sh(t) for i, t in rows}
+    want = set()
+    for a in shs:
+        for b in shs:
+            if a < b and (shs[a] or shs[b]):
+                inter = len(shs[a] & shs[b])
+                union = len(shs[a] | shs[b])
+                if union and inter / union >= 0.5:
+                    want.add((a, b))
+    assert got == want
