@@ -247,3 +247,65 @@ def test_user_running_stats_tws_matches_batch(spark, tmp_path):
                   F.max(F.unix_micros("ts")).alias("last_seen_us")))
     assert got.exceptAll(batch).count() == 0
     assert batch.exceptAll(got).count() == 0
+
+
+def test_stream_stream_left_outer_emits_after_eviction(spark, tmp_path):
+    """LEFT OUTER stream-stream join semantics, end to end: a matched
+    pair emits as soon as both sides arrive; an UNMATCHED left row can
+    only emit (with NULL right side) after the watermark passes its
+    join horizon — the engine must prove no future match is possible.
+    Ordered micro-batches (maxFilesPerTrigger=1) drive the watermark."""
+    import os
+    import time as _t
+    from datetime import datetime
+
+    from pyspark.sql import types as T
+
+    src = tmp_path / "sj_src"
+    src.mkdir()
+    schema = T.StructType([
+        T.StructField("side", T.StringType()),
+        T.StructField("k", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    t = lambda m: datetime(2024, 1, 1, 10, m)  # noqa: E731
+    batches = {
+        # left key 1 (will match) + left key 2 (never matches)
+        "b1": [("l", 1, t(0)), ("l", 2, t(1))],
+        # right for key 1 inside the 10-min horizon -> inner emission
+        "b2": [("r", 1, t(5))],
+        # watermark pushers on BOTH sides: the join's global watermark is
+        # the MIN of the two sides', so each side needs far-future rows
+        # to advance it past key 2's horizon end (10:01 + 10 min range
+        # + 10 min delay); pusher keys are disjoint so they never match
+        "b3": [("l", 9, t(50)), ("r", 7, t(50))],
+        "b4": [("l", 8, t(55)), ("r", 6, t(55))],
+    }
+    now = _t.time()
+    for i, (d, rows) in enumerate(batches.items()):
+        spark.createDataFrame(rows, schema).coalesce(1) \
+            .write.mode("append").parquet(str(src / d))
+        for f in os.listdir(src / d):
+            os.utime(src / d / f, (now + i * 10, now + i * 10))
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1)
+              .option("pathGlobFilter", "*.parquet")
+              .parquet(str(src / "*")))
+    left = (stream.where("side = 'l'")
+            .select(F.col("k").alias("lk"), F.col("ts").alias("lts"))
+            .withWatermark("lts", "10 minutes"))
+    right = (stream.where("side = 'r'")
+             .select(F.col("k").alias("rk"), F.col("ts").alias("rts"))
+             .withWatermark("rts", "10 minutes"))
+    joined = left.join(
+        right,
+        F.expr("lk = rk AND rts >= lts AND rts <= lts + INTERVAL 10 MINUTES"),
+        "left_outer")
+    q = (joined.writeStream.format("memory").queryName("sj_outer")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r.lk, r.rk) for r in spark.table("sj_outer").collect()}
+    # key 1 matched; key 2 emitted with NULL right only after eviction
+    assert (1, 1) in got, got
+    assert (2, None) in got, got
