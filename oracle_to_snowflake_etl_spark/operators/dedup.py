@@ -105,7 +105,8 @@ NGRAM_DF_CAP = 100
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 3, df_cap: int | None = None) -> DataFrame:
+                        k: int = 3, df_cap: int | None = None,
+                        materialize: bool = True) -> DataFrame:
     """ALL pairs with exact Jaccard(shingle sets) >= threshold — exact
     recall AND exact scores.
 
@@ -140,6 +141,16 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
       3. RESCORE — candidates (output-bounded) re-join the full
          shingle arrays by doc id; exact Jaccard via array_intersect.
          AQE broadcasts the candidate side, so no corpus shuffle.
+
+    Cache lifecycle (``materialize``, default True): the shingle
+    projection is persisted only for the duration of the call — the
+    result is eagerly computed (``localCheckpoint``) and the cache
+    released before returning, so a long-lived session running many
+    operators never accumulates corpus-sized leaked caches (round-3
+    lesson: two leaked MEMORY_AND_DISK string-array caches inflated
+    every subsequent query's timing ~1.4x). ``materialize=False``
+    returns the un-executed lazy plan (no persist, no checkpoint) for
+    plan inspection/tests; the caller then owns execution cost.
     """
     from pyspark import StorageLevel
 
@@ -153,9 +164,11 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     # the (doc, shingle-array) projection feeds the DF agg, the prefix
     # build, and both rescore sides; Spark does not share subplans
     # across branches, so persist it once — spill-safe, bounded by
-    # corpus size, the same move MLlib's MinHashLSH makes.
-    docs = (toked.select("doc", shingles(F.col("toks"), k).alias("sh"))
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    # corpus size, the same move MLlib's MinHashLSH makes. Released in
+    # the finally below (materialize path).
+    docs = toked.select("doc", shingles(F.col("toks"), k).alias("sh"))
+    if materialize:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     # The candidate machinery runs on 64-bit shingle HASHES, not the
     # strings: the DF shuffle, the order-join, the per-doc sort, and the
     # bucket keys all move/compare fixed-width longs (~5-10x less data
@@ -211,7 +224,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
+    out = (
         cand.join(da, "doc_a").join(db, "doc_b")
         .withColumn("jaccard",
                     inter.cast("double")
@@ -219,6 +232,21 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         .where(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
     )
+    if not materialize:
+        return out
+    try:
+        # Populate the shared cache FIRST: inside a single job, the
+        # plan's multiple docs branches (prefix chain, rescore a-side,
+        # rescore b-side) race on a cold cache and each recomputes the
+        # shingle pass; one count() materializes it once, then every
+        # branch reads the cache. Then eagerly compute the (tiny,
+        # output-bounded) pair set so lineage is truncated and the
+        # corpus cache can be released before the caller ever executes
+        # the returned frame.
+        docs.count()
+        return out.localCheckpoint(eager=True)
+    finally:
+        docs.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -470,7 +498,8 @@ def simhash_pairs(df: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING,
 
 def containment_pairs(df: DataFrame, threshold: float = 0.8,
                       text_col: str = "text", id_col: str = "doc_id",
-                      k: int = 3, df_cap: int | None = None) -> DataFrame:
+                      k: int = 3, df_cap: int | None = None,
+                      materialize: bool = True) -> DataFrame:
     """ALL ordered pairs (a, b), a != b, with containment
     |A∩B| / |A| >= threshold — the ASYMMETRIC near-dup relation that
     catches doc-in-doc duplication (a page embedded in a larger page,
@@ -481,15 +510,35 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     case: containment >= t bounds the overlap against |A| ONLY, so the
     CONTAINED side indexes just its n - ceil(t*n) + 1 rarest shingles
     (same suffix-counting argument as ngram_jaccard_pairs — lossless)
-    while the containing side must index ALL its shingles (no bound
-    exists on its size). Exact rescore on the full arrays follows.
+    while the containing side indexes its shingles. Exact rescore on
+    the full arrays follows.
 
-    Skew note: the full-side index reintroduces frequent-shingle
-    fan-out (prefix hits x full-index DF per shingle). The prefix side
-    keeps it small in practice (rare shingles dominate prefixes);
-    for adversarial corpora set ``df_cap`` to drop full-index shingles
-    with DF above the cap — lossy in exactly the ngram_jaccard_pairs
-    sense, documented there.
+    Full-side bound (lossless): a candidate pair by definition shares a
+    shingle with some document's PREFIX, so the containing-side index
+    only needs shingles that occur in at least one prefix. Both
+    memberships are computed on ONE annotated (doc, h) frame:
+
+      _r    rank of h within its doc by (DF asc, h asc) — row_number
+            over the doc partition (replaces the old collect_list/
+            sort_array/slice/explode round-trip: no array build, and
+            rank + count come off the same exchange+sort);
+      _pf   prefix flag: _r <= n - ceil(t*n) + 1;
+      _any  "h occurs in some prefix": max(_pf) over the h partition —
+            the lossless containing-side bound, computed in-pass
+            instead of via a distinct + semi-join (measured: the
+            join formulation was 4x slower end-to-end at sf0.1).
+
+    Since prefixes hold each document's RAREST shingles, a frequent
+    (boilerplate) shingle survives into the full index only when some
+    document consists almost entirely of frequent shingles; the index
+    collapses from Σ|doc shingles| to Σ_{h in some prefix} DF(h). The
+    residual adversarial case (frequent shingles that DO land in
+    prefixes) is exactly what ``df_cap`` guards — lossy in the
+    ngram_jaccard_pairs sense, documented there.
+
+    Cache lifecycle: same materialize-then-release contract as
+    ngram_jaccard_pairs (eager result + unpersist before returning;
+    ``materialize=False`` = lazy plan for inspection, no caching).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window as _W
@@ -497,35 +546,60 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     base = ensure_parallelism(
         df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")))
     toked = base.select("doc", tokens(F.col("t")).alias("toks"))
-    docs = (toked.select("doc", shingles(F.col("toks"), k).alias("sh"))
-            .where(F.size("sh") > 0)
-            .persist(StorageLevel.MEMORY_AND_DISK))
+    # drop shingle-less docs by TOKEN count (equivalent: shingles() is
+    # non-empty iff tokens >= k) — a where(size(sh) > 0) filter gets
+    # pushed below the projection and re-runs the whole shingle pipeline
+    # per row as a predicate (measured: 2x the dominant stage)
+    docs = (toked.where(F.size("toks") >= k)
+            .select("doc", shingles(F.col("toks"), k).alias("sh")))
+    if materialize:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     sh = (docs.select("doc", F.explode("sh").alias("s"))
           .select("doc", F.xxhash64("s").alias("h")))
     wdf = sh.withColumn("_dfs", F.count(F.lit(1)).over(_W.partitionBy("h")))
-    full_idx = wdf.select(F.col("doc").alias("doc_b"), "h")
+    nn = F.count(F.lit(1)).over(_W.partitionBy("doc"))
+    rr = F.row_number().over(_W.partitionBy("doc").orderBy("_dfs", "h"))
+    ranked = (wdf.withColumn("_n", nn).withColumn("_r", rr)
+              .withColumn("_pf", F.col("_r")
+                          <= (F.col("_n")
+                              - F.ceil(F.col("_n") * F.lit(float(threshold)))
+                              + 1))
+              .withColumn("_any",
+                          F.max(F.col("_pf").cast("int"))
+                          .over(_W.partitionBy("h")) == 1))
+    # the annotated frame feeds both index sides; fixed-width rows
+    # (2 longs + counters), bounded by corpus shingle count — persist it
+    # so the three-window chain runs once, released in the finally
+    if materialize:
+        ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
+    prefix = ranked.where("_pf").select(F.col("doc").alias("doc_a"), "h")
+    full_idx = ranked.where("_any").select(F.col("doc").alias("doc_b"), "h")
     if df_cap is not None:
-        full_idx = (wdf.where(F.col("_dfs") <= df_cap)
+        full_idx = (ranked.where(F.col("_any") & (F.col("_dfs") <= df_cap))
                     .select(F.col("doc").alias("doc_b"), "h"))
-    ordered = (wdf.groupBy("doc")
-               .agg(F.sort_array(
-                   F.collect_list(F.struct("_dfs", "h"))).alias("_o")))
-    n = F.size("_o")
-    prefix = (ordered
-              .withColumn("_p", (n - F.ceil(n * F.lit(float(threshold)))
-                                 + 1).cast("int"))
-              .select(F.col("doc").alias("doc_a"), F.explode(
-                  F.expr("transform(slice(_o, 1, _p), x -> x.h)"))
-                  .alias("h")))
     cand = (prefix.join(full_idx, "h")
             .where(F.col("doc_a") != F.col("doc_b"))
             .select("doc_a", "doc_b").dropDuplicates())
     da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    return (
+    out = (
         cand.join(da, "doc_a").join(db, "doc_b")
         .withColumn("containment", inter.cast("double") / F.size("sh_a"))
         .where(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+    if not materialize:
+        return out
+    try:
+        # materialize caches in dependency order (see ngram_jaccard_pairs:
+        # cold-cache branches race inside a single job and recompute the
+        # shared stage): one shingle pass, one three-window chain; the
+        # final job then reads both caches for the candidate join and
+        # rescore. Measured at sf0.1: 12.5s (racing) -> ~5s.
+        docs.count()
+        ranked.count()
+        return out.localCheckpoint(eager=True)
+    finally:
+        docs.unpersist()
+        ranked.unpersist()

@@ -48,6 +48,55 @@ def merge_upsert(source: DataFrame, target: DataFrame,
     return source.unionByName(kept)
 
 
+def merge_upsert_partitioned(source: DataFrame, target_path: str,
+                             key_cols: list[str],
+                             partition_cols: list[str]) -> list[tuple]:
+    """Partition-scoped upsert onto a Hive-partitioned parquet table:
+    only the partitions the ``source`` touches are read, merged
+    (source wins on key collision — :func:`merge_upsert` semantics) and
+    rewritten via dynamic partition overwrite; every other partition's
+    files are never opened, never rewritten (byte-identical on disk —
+    pytest-asserted in tests/test_maintenance.py).
+
+    This is the no-table-format answer to Delta's ``MERGE`` file
+    pruning: at 100 TB, upserting one day into a date-partitioned
+    table costs one day's read + rewrite, not a full-table rewrite
+    (contrast :func:`merge_upsert`, which is partition-agnostic and
+    rewrites everything it is given). Assumes the usual partitioned-
+    upsert invariant: a key's partition-column values are immutable (a
+    row never migrates between partitions) — the same assumption a
+    Delta MERGE with a partition-pruning predicate encodes.
+
+    The touched-partition set is collected to the driver — bounded by
+    the number of affected PARTITIONS (a handful of days), never by
+    rows — and turned into a literal IN-filter, so the target scan
+    prunes at PLANNING time (PartitionFilters, no file listing outside
+    the touched directories). Returns the touched partition tuples.
+    """
+    spark = source.sparkSession
+    touched = [tuple(r) for r in
+               source.select(*partition_cols).distinct().collect()]
+    if not touched:
+        return []
+    target = spark.read.parquet(target_path)
+    if len(partition_cols) == 1:
+        pred = F.col(partition_cols[0]).isin([t[0] for t in touched])
+    else:
+        pred = F.lit(False)
+        for t in touched:
+            clause = F.lit(True)
+            for c, v in zip(partition_cols, t):
+                clause = clause & (F.col(c) == F.lit(v))
+            pred = pred | clause
+    scoped = target.where(pred)
+    merged = merge_upsert(source, scoped, key_cols)
+    from ..sources.readers import overwrite_partitions_dynamic
+
+    overwrite_partitions_dynamic(merged.select(*target.columns),
+                                 target_path, partition_cols)
+    return touched
+
+
 def apply_changes(target: DataFrame, changes: DataFrame,
                   key_cols: list[str], seq_col: str,
                   op_col: str = "op") -> DataFrame:

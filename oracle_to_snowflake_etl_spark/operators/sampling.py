@@ -111,11 +111,15 @@ def weighted_sample(df: DataFrame, weight_col: str, key_col: str,
     keep the sample a pure single-scan predicate.
     """
     h = hash60(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    # decimal(18,0): weights up to 10^18 stay exact (a 12,0 cast would
+    # overflow to NULL under non-ANSI mode for weights >= 10^12 and
+    # silently drop every row); the keep product h(20,0) * wmax(18,0)
+    # still fits decimal(38,0)
     if max_weight is None:
-        wmax = df.agg(F.max(weight_col).cast("decimal(12,0)").alias("_wmax"))
+        wmax = df.agg(F.max(weight_col).cast("decimal(18,0)").alias("_wmax"))
         out = df.crossJoin(F.broadcast(wmax))
     else:
-        out = df.withColumn("_wmax", F.lit(int(max_weight)).cast("decimal(12,0)"))
+        out = df.withColumn("_wmax", F.lit(int(max_weight)).cast("decimal(18,0)"))
     keep = (h.cast("decimal(20,0)") * F.col("_wmax")
             < F.col(weight_col).cast("decimal(20,0)")
             * F.lit(1 << 60).cast("decimal(20,0)"))

@@ -662,8 +662,17 @@ def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_next_purchase",
     """
     WITH purchases AS (
+      -- pre-reduce to ONE row per (user_id, ts), keeping the greatest
+      -- (event_id, value) payload: DuckDB's ASOF tie-pick among
+      -- equal-timestamp matches is unspecified, so the oracle pins the
+      -- same winner the engine's tie convention produces
       SELECT user_id, ts, event_id, value
-      FROM events WHERE event_type = 'purchase'
+      FROM (
+        SELECT user_id, ts, event_id, value,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC, value DESC) AS rn
+        FROM events WHERE event_type = 'purchase')
+      WHERE rn = 1
     ),
     clicks AS (
       SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'

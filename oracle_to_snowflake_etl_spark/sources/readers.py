@@ -20,7 +20,17 @@ from pyspark.sql import types as T
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one driver testdata table. Parquet scans are columnar and
     filter/projection-pushdown-capable — check `.explain("formatted")` for
-    ``PushedFilters``/``ReadSchema`` when composing queries on top."""
+    ``PushedFilters``/``ReadSchema`` when composing queries on top.
+
+    SESSION SIDE EFFECT (part of this function's contract): sets
+    ``spark.sql.session.timeZone=UTC`` and
+    ``spark.sql.legacy.parquet.nanosAsLong=true`` on the caller's
+    session — the engine's cross-engine determinism contract pins all
+    timestamp semantics to UTC (epoch-based window ids, DuckDB-oracle
+    parity), and the testdata's ``events.ts`` physical type requires the
+    nanos conf (see below). Callers embedding this reader in a session
+    whose other queries rely on a non-UTC session timezone should save
+    and restore ``spark.sql.session.timeZone`` around engine use."""
     # events.ts has shipped in two physical shapes across testdata
     # generations: parquet TIMESTAMP(NANOS) (Spark rejects it by default —
     # PARQUET_TYPE_ILLEGAL; nanosAsLong reads it as an epoch-nanos long)

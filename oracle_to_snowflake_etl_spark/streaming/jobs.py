@@ -138,6 +138,7 @@ STREAM_STATE_PARTITIONS = 8
 def drain_to_memory(df: DataFrame, name: str,
                     output_mode: str = "complete",
                     shuffle_partitions: int | None = STREAM_STATE_PARTITIONS,
+                    extra_confs: dict[str, str] | None = None,
                     ) -> DataFrame:
     """Run a streaming aggregation to completion with Trigger.AvailableNow
     and return the final result as a batch DataFrame (in-memory sink).
@@ -154,18 +155,41 @@ def drain_to_memory(df: DataFrame, name: str,
     shuffle_partitions temporarily resizes the state partitioning for
     this query (see STREAM_STATE_PARTITIONS); the session conf is
     restored afterward so batch queries keep their own sizing.
+    ``extra_confs`` are query-scoped the same way — set before start,
+    restored (or unset, if previously unset) after termination; use for
+    confs a specific operator needs at stream START, e.g. the RocksDB
+    state-store provider transformWithState requires
+    (:data:`ROCKSDB_PROVIDER_CONFS`), without leaking provider choice
+    into every later streaming query on the shared session.
     """
     spark = df.sparkSession
-    old = spark.conf.get("spark.sql.shuffle.partitions")
+    saved: dict[str, str | None] = {}
+    to_set = dict(extra_confs or {})
     if shuffle_partitions is not None:
-        spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        to_set["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for key, val in to_set.items():
+        saved[key] = spark.conf.get(key, None)
+        spark.conf.set(key, val)
     try:
         q = (df.writeStream.format("memory").queryName(name)
              .outputMode(output_mode).trigger(availableNow=True).start())
         q.awaitTermination()
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
     return spark.table(name)
+
+
+#: confs transformWithStateInPandas requires at stream start; pass to
+#: :func:`drain_to_memory` via ``extra_confs`` (query-scoped, restored).
+ROCKSDB_PROVIDER_CONFS = {
+    "spark.sql.streaming.stateStore.providerClass":
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+}
 
 
 def windowed_event_counts(events: DataFrame, window: str = "5 minutes",
@@ -259,8 +283,12 @@ def user_running_stats_tws(events: DataFrame) -> DataFrame:
     last-seen µs, emitted on update.
 
     GATED on two environment requirements the engine cannot assume:
-    the RocksDB state store provider (set automatically here — the only
-    provider transformWithState supports) and the ``protobuf`` package
+    the RocksDB state store provider (the only provider
+    transformWithState supports — NOT set here, because conf mutation at
+    plan-build time would leak the provider onto every later streaming
+    query in the shared session; run the query via
+    ``drain_to_memory(..., extra_confs=ROCKSDB_PROVIDER_CONFS)`` so the
+    setting is query-scoped and restored) and the ``protobuf`` package
     (the driver<->worker state protocol; ImportError raised with
     instructions when absent — this container ships without it, so
     coverage is pytest-skipped and applyInPandasWithState remains the
@@ -275,11 +303,6 @@ def user_running_stats_tws(events: DataFrame) -> DataFrame:
             "(applyInPandasWithState) where it is unavailable") from exc
     import pandas as pd
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
-
-    events.sparkSession.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
-        "org.apache.spark.sql.execution.streaming.state."
-        "RocksDBStateStoreProvider")
 
     class _UserStats(StatefulProcessor):
         def init(self, handle) -> None:  # noqa: ANN001

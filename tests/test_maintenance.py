@@ -276,6 +276,51 @@ def test_overwrite_partitions_dynamic_touches_only_written(spark, tmp_path):
     assert out.count() == 600 + 50
 
 
+def test_merge_upsert_partitioned_scopes_rewrite(spark, tmp_path):
+    """Partition-scoped upsert: result equals plain merge_upsert over the
+    whole table (same semantics), but only the partitions present in the
+    source are rewritten — untouched partitions keep their data files
+    byte-for-byte."""
+    import os
+
+    from oracle_to_snowflake_etl_spark.operators.merge import (
+        merge_upsert, merge_upsert_partitioned)
+    from oracle_to_snowflake_etl_spark.sources.readers import write_partitioned
+
+    path = str(tmp_path / "mup")
+    base = spark.range(0, 700).select(
+        (F.col("id") % 7).alias("day"), F.col("id").alias("k"),
+        F.lit("old").alias("val"))
+    write_partitioned(base, path, ["day"])
+
+    def files_of(day: int) -> set[str]:
+        d = os.path.join(path, f"day={day}")
+        return {f for f in os.listdir(d) if f.startswith("part-")}
+
+    before = {d: files_of(d) for d in range(7)}
+    # source: update 10 existing keys in day 3 + insert 5 new keys there
+    source = spark.createDataFrame(
+        [(3, k, "new") for k in range(3, 73, 7)]      # existing day-3 keys
+        + [(3, 10_000 + i, "new") for i in range(5)],  # brand-new keys
+        "day INT, k BIGINT, val STRING")
+    expected = merge_upsert(source, spark.read.parquet(path)
+                            .select("day", "k", "val"), ["k"])
+    expected_rows = {tuple(r) for r in expected.collect()}
+
+    touched = merge_upsert_partitioned(source, path, ["k"], ["day"])
+    assert touched == [(3,)]
+    got = {tuple(r) for r in spark.read.parquet(path)
+           .select("day", "k", "val").collect()}
+    assert got == expected_rows
+    for d in (0, 1, 2, 4, 5, 6):
+        assert files_of(d) == before[d], f"day={d} was rewritten"
+    # day 3: updates applied, inserts present, no duplicate keys
+    day3 = spark.read.parquet(path).where("day = 3")
+    assert day3.where("val = 'new'").count() == 15
+    assert day3.count() == 105
+    assert day3.select("k").distinct().count() == 105
+
+
 def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
     """DataFrame.observe metrics must arrive with the write action
     itself (no second scan) and match an explicit recount."""

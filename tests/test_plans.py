@@ -68,15 +68,29 @@ def test_lsh_candidate_paths_stay_narrow(spark, sf_dir):
     pair dedup), IVF broadcasts the probe set (1 exchange: top-k
     window), MinHash stays at its banding/pair shuffles, and the
     DF-capped ngram plan stays bounded."""
-    # earlier tests may have populated the cache (ngram persists its
-    # shingle projection; CacheManager matches by plan) — clear it so
-    # the asserted shapes are the cold plans
+    # earlier tests may have populated the cache (CacheManager matches
+    # by plan) — clear it so the asserted shapes are the cold plans
     spark.catalog.clearCache()
     bounds = {"ann_srp_neardup": 2, "ann_ivf_topk": 1,
-              "dedup_minhash_lsh": 3, "dedup_ngram_jaccard": 8}
+              "dedup_minhash_lsh": 3}
     for name, bound in bounds.items():
         df = queries()[name](spark, sf_dir)
         assert exchange_count(df) <= bound, name
+    # the prefix-filter dedups eagerly checkpoint their (tiny) result and
+    # release the shingle cache (round-4 lifecycle fix), so the query
+    # registry's plan is a checkpoint scan; assert the REAL lazy plan via
+    # materialize=False instead
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    assert exchange_count(
+        ngram_jaccard_pairs(docs, materialize=False)) <= 8
+    # +2 vs ngram: the lossless full-index semi-join bound (distinct +
+    # join on h)
+    assert exchange_count(
+        containment_pairs(docs, materialize=False)) <= 10
 
 
 def test_no_cartesian_or_nested_loop_joins(spark, sf_dir):

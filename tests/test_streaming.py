@@ -234,6 +234,7 @@ def test_user_running_stats_tws_matches_batch(spark, tmp_path):
 
     _pytest.importorskip("google.protobuf")
     from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        ROCKSDB_PROVIDER_CONFS,
         drain_to_memory,
         read_events_stream,
         user_running_stats_tws,
@@ -241,7 +242,8 @@ def test_user_running_stats_tws_matches_batch(spark, tmp_path):
 
     stream = read_events_stream(spark, SF)
     got = drain_to_memory(user_running_stats_tws(stream), "tws_stats",
-                          output_mode="update")
+                          output_mode="update",
+                          extra_confs=ROCKSDB_PROVIDER_CONFS)
     batch = (load_table(spark, SF, "events").groupBy("user_id")
              .agg(F.count(F.lit(1)).alias("n_events"),
                   F.max(F.unix_micros("ts")).alias("last_seen_us")))
