@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from ..functions.exact import DEC
 from ..operators.windows import tumbling_counts
+from ..sources.readers import load_table
 from ..streaming.jobs import drain_to_memory, read_events_stream
 from . import register
 
@@ -175,6 +176,47 @@ def q_stream_stream_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     return drain_to_memory(stream_stream_attribution(stream),
                            "stream_stream_attrib", output_mode="append")
+
+
+@register(
+    "stream_attrib_outer",
+    """
+    WITH mx AS (SELECT max(ts) AS m FROM events),
+    v AS (
+      SELECT event_id, user_id, ts FROM events, mx
+      WHERE event_type = 'view' AND ts <= mx.m - INTERVAL 4 HOUR
+    ),
+    p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.event_id AS view_id, p.event_id AS purchase_id, v.user_id,
+           epoch_us(v.ts) AS view_us, epoch_us(p.ts) AS purchase_us
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.ts >= v.ts
+     AND p.ts <= v.ts + INTERVAL 30 MINUTE
+    """)
+def q_stream_attrib_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM LEFT-OUTER watermarked interval join
+    (streaming/jobs.stream_stream_attribution_outer): every view either
+    attributed to purchases within 30 minutes or emitted with a NULL
+    purchase after watermark eviction proves no match can arrive. The
+    view side is cut off 4 h before the dataset's max event time
+    (= delay 2 h + horizon 0.5 h + 1.5 h margin below the final global
+    watermark), so every admitted view is provably RESOLVED when the
+    AvailableNow drain terminates and the batch LEFT JOIN with the same
+    cutoff is an exact oracle — NULL rows included."""
+    from ..streaming.jobs import stream_stream_attribution_outer
+
+    cutoff = (load_table(spark, sf_dir, "events")
+              .agg(F.max("ts")).first()[0])
+    from datetime import timedelta
+
+    cutoff = cutoff - timedelta(hours=4)
+    stream = read_events_stream(spark, sf_dir)
+    return drain_to_memory(
+        stream_stream_attribution_outer(stream, view_cutoff=cutoff),
+        "stream_attrib_outer", output_mode="append")
 
 
 @register(

@@ -387,6 +387,63 @@ def stream_stream_attribution(events: DataFrame,
                     F.unix_micros("purchase_ts").alias("purchase_us")))
 
 
+def stream_stream_attribution_outer(events: DataFrame,
+                                    horizon_minutes: int = 30,
+                                    watermark: str = "2 hours",
+                                    view_cutoff=None) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every view, attributed to
+    each same-user purchase within ``horizon_minutes`` — or emitted with
+    a NULL purchase once the watermark PROVES no future match can arrive
+    (state eviction past ``view_ts + horizon``). The hardest streaming
+    semantics in the engine: a NULL result row is a *negative proof*,
+    not an absence.
+
+    Batch equivalence needs care (this is why ``view_cutoff`` exists):
+    an unmatched view emits only after the join's global watermark —
+    the MIN of both sides' (max event time − delay) — passes its
+    horizon end, so views near the end of a finite stream stay buffered
+    forever and never emit their NULL row. Restricting the VIEW side to
+    ``ts <= view_cutoff`` (chosen ≤ final watermark − horizon, e.g.
+    max(ts) − delay − horizon − margin) makes every admitted view
+    provably resolved at stream end, and the drained result equals the
+    batch LEFT JOIN with the same predicate and cutoff — the oracle.
+    Pass ``view_cutoff=None`` for production use (infinite stream: every
+    view eventually resolves; no cutoff is wanted).
+
+    State contract is the inner join's (stream_stream_attribution):
+    watermark + explicit event-time range bound both sides' buffers.
+    """
+    views = (events.where(F.col("event_type") == "view")
+             .select(F.col("event_id").alias("view_id"),
+                     "user_id",
+                     F.col("ts").alias("view_ts"))
+             .withWatermark("view_ts", watermark))
+    if view_cutoff is not None:
+        # AFTER the watermark node, deliberately: the watermark tracks
+        # max event time among rows flowing through it, so filtering
+        # first would drag the view-side watermark down to
+        # cutoff - delay and strand unmatched views in the last
+        # delay + horizon before the cutoff (observed: exactly those
+        # rows missing vs the batch oracle). Filtered-out late views
+        # still advance the watermark — which is the point.
+        views = views.where(F.col("view_ts") <= F.lit(view_cutoff))
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         F.col("user_id").alias("p_user"),
+                         F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", watermark))
+    cond = (
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") >= F.col("view_ts"))
+        & (F.col("purchase_ts")
+           <= F.col("view_ts") + F.expr(f"INTERVAL {horizon_minutes} MINUTES"))
+    )
+    return (views.join(purchases, cond, "left_outer")
+            .select("view_id", "purchase_id", "user_id",
+                    F.unix_micros("view_ts").alias("view_us"),
+                    F.unix_micros("purchase_ts").alias("purchase_us")))
+
+
 def enrich_with_static(events: DataFrame, dim: DataFrame,
                        key: str = "user_id") -> DataFrame:
     """Stream-static join: every micro-batch hash-joins against the
