@@ -75,6 +75,32 @@ def shingles(toks: Column, k: int = 3) -> Column:
     return F.array_distinct(joined)
 
 
+def shingled_docs(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id", k: int = 3) -> DataFrame:
+    """The (doc, sh) shingle projection both prefix-filter dedups run on
+    — exposed so a pipeline executing SEVERAL set-similarity operators
+    over one corpus computes the (dominant) tokenize→shingle pass ONCE:
+
+        docs = shingled_docs(df).persist(StorageLevel.MEMORY_AND_DISK)
+        docs.count()                       # materialize before branching
+        jac  = ngram_jaccard_pairs(df, docs=docs)
+        cont = containment_pairs(df, docs=docs)
+        docs.unpersist()
+
+    Construction notes (each measured, see the operators' docstrings):
+    tokens become a REAL column before shingling (Catalyst inlines
+    expression inputs into lambdas — split() would re-run per shingle);
+    shingle-less docs are dropped by TOKEN count, never by
+    ``size(sh) > 0`` (that predicate gets pushed below the projection
+    and re-runs the shingle pipeline per row).
+    """
+    base = ensure_parallelism(
+        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")))
+    toked = base.select("doc", tokens(F.col("t")).alias("toks"))
+    return (toked.where(F.size("toks") >= k)
+            .select("doc", shingles(F.col("toks"), k).alias("sh")))
+
+
 # ---------------------------------------------------------------------------
 # 1. Exact dedup: content-hash groupBy
 # ---------------------------------------------------------------------------
@@ -106,7 +132,8 @@ NGRAM_DF_CAP = 100
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, df_cap: int | None = None,
-                        materialize: bool = True) -> DataFrame:
+                        materialize: bool = True,
+                        docs: DataFrame | None = None) -> DataFrame:
     """ALL pairs with exact Jaccard(shingle sets) >= threshold — exact
     recall AND exact scores.
 
@@ -151,24 +178,25 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     every subsequent query's timing ~1.4x). ``materialize=False``
     returns the un-executed lazy plan (no persist, no checkpoint) for
     plan inspection/tests; the caller then owns execution cost.
+
+    ``docs``: a pre-built :func:`shingled_docs` frame to run on —
+    pass one (persisted + materialized) frame to several set-similarity
+    operators to pay the tokenize→shingle pass once; lifecycle then
+    belongs to the caller (this function neither persists nor
+    unpersists a caller-provided frame).
     """
     from pyspark import StorageLevel
 
-    base = ensure_parallelism(
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")))
-    # materialize tokens as a REAL column before shingling: shingles()'s
-    # lambda references its input ~3k times syntactically, and Catalyst
-    # inlines expression (not attribute) inputs into lambdas — split()
-    # would re-run per shingle element (operators/util.py trap note)
-    toked = base.select("doc", tokens(F.col("t")).alias("toks"))
-    # the (doc, shingle-array) projection feeds the DF agg, the prefix
-    # build, and both rescore sides; Spark does not share subplans
-    # across branches, so persist it once — spill-safe, bounded by
-    # corpus size, the same move MLlib's MinHashLSH makes. Released in
-    # the finally below (materialize path).
-    docs = toked.select("doc", shingles(F.col("toks"), k).alias("sh"))
-    if materialize:
-        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    owned = docs is None
+    if owned:
+        # the (doc, shingle-array) projection feeds the DF agg, the
+        # prefix build, and both rescore sides; Spark does not share
+        # subplans across branches, so persist it once — spill-safe,
+        # bounded by corpus size, the same move MLlib's MinHashLSH
+        # makes. Released in the finally below (materialize path).
+        docs = shingled_docs(df, text_col, id_col, k)
+        if materialize:
+            docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     # The candidate machinery runs on 64-bit shingle HASHES, not the
     # strings: the DF shuffle, the order-join, the per-doc sort, and the
     # bucket keys all move/compare fixed-width longs (~5-10x less data
@@ -243,10 +271,12 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         # output-bounded) pair set so lineage is truncated and the
         # corpus cache can be released before the caller ever executes
         # the returned frame.
-        docs.count()
+        if owned:
+            docs.count()
         return out.localCheckpoint(eager=True)
     finally:
-        docs.unpersist()
+        if owned:
+            docs.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -499,7 +529,8 @@ def simhash_pairs(df: DataFrame, max_hamming: int = SIMHASH_MAX_HAMMING,
 def containment_pairs(df: DataFrame, threshold: float = 0.8,
                       text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, df_cap: int | None = None,
-                      materialize: bool = True) -> DataFrame:
+                      materialize: bool = True,
+                      docs: DataFrame | None = None) -> DataFrame:
     """ALL ordered pairs (a, b), a != b, with containment
     |A∩B| / |A| >= threshold — the ASYMMETRIC near-dup relation that
     catches doc-in-doc duplication (a page embedded in a larger page,
@@ -538,22 +569,18 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
 
     Cache lifecycle: same materialize-then-release contract as
     ngram_jaccard_pairs (eager result + unpersist before returning;
-    ``materialize=False`` = lazy plan for inspection, no caching).
+    ``materialize=False`` = lazy plan for inspection, no caching;
+    ``docs`` = caller-owned pre-built :func:`shingled_docs` frame,
+    shared across operators, never persisted/released here).
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window as _W
 
-    base = ensure_parallelism(
-        df.select(F.col(id_col).alias("doc"), F.col(text_col).alias("t")))
-    toked = base.select("doc", tokens(F.col("t")).alias("toks"))
-    # drop shingle-less docs by TOKEN count (equivalent: shingles() is
-    # non-empty iff tokens >= k) — a where(size(sh) > 0) filter gets
-    # pushed below the projection and re-runs the whole shingle pipeline
-    # per row as a predicate (measured: 2x the dominant stage)
-    docs = (toked.where(F.size("toks") >= k)
-            .select("doc", shingles(F.col("toks"), k).alias("sh")))
-    if materialize:
-        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+    owned = docs is None
+    if owned:
+        docs = shingled_docs(df, text_col, id_col, k)
+        if materialize:
+            docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     sh = (docs.select("doc", F.explode("sh").alias("s"))
           .select("doc", F.xxhash64("s").alias("h")))
     wdf = sh.withColumn("_dfs", F.count(F.lit(1)).over(_W.partitionBy("h")))
@@ -597,9 +624,11 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
         # shared stage): one shingle pass, one three-window chain; the
         # final job then reads both caches for the candidate join and
         # rescore. Measured at sf0.1: 12.5s (racing) -> ~5s.
-        docs.count()
+        if owned:
+            docs.count()
         ranked.count()
         return out.localCheckpoint(eager=True)
     finally:
-        docs.unpersist()
+        if owned:
+            docs.unpersist()
         ranked.unpersist()

@@ -241,3 +241,33 @@ def test_ngram_jaccard_lossless_vs_bruteforce(spark, docs):
                 if union and inter / union >= 0.5:
                     want.add((a, b))
     assert got == want
+
+
+def test_shared_shingle_docs_equivalent(spark):
+    """A caller-owned shingled_docs frame passed to both prefix-filter
+    dedups must yield exactly the default-path results (one corpus
+    shingle pass shared across operators, lifecycle on the caller)."""
+    from pyspark import StorageLevel
+
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        containment_pairs,
+        ngram_jaccard_pairs,
+        shingled_docs,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    df = load_table(spark, "/root/testdata/sf0.001", "documents")
+    shared = shingled_docs(df).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        shared.count()
+        jac_shared = {tuple(r) for r in
+                      ngram_jaccard_pairs(df, docs=shared).collect()}
+        con_shared = {tuple(r) for r in
+                      containment_pairs(df, docs=shared).collect()}
+        # lifecycle stays with the caller: the operators must not have
+        # unpersisted the shared frame
+        assert shared.is_cached
+    finally:
+        shared.unpersist()
+    assert jac_shared == {tuple(r) for r in ngram_jaccard_pairs(df).collect()}
+    assert con_shared == {tuple(r) for r in containment_pairs(df).collect()}
