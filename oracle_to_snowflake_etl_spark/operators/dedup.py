@@ -607,6 +607,8 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     cand = (prefix.join(full_idx, "h")
             .where(F.col("doc_a") != F.col("doc_b"))
             .select("doc_a", "doc_b").dropDuplicates())
+    if materialize:
+        cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -621,14 +623,16 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     try:
         # materialize caches in dependency order (see ngram_jaccard_pairs:
         # cold-cache branches race inside a single job and recompute the
-        # shared stage): one shingle pass, one three-window chain; the
-        # final job then reads both caches for the candidate join and
-        # rescore. Measured at sf0.1: 12.5s (racing) -> ~5s.
+        # shared stage): one shingle pass, one three-window chain, one
+        # candidate join; the final job is then the rescore alone.
+        # Measured at sf0.1: 12.5s (racing) -> 4.9s -> ~3.6s (staged).
         if owned:
             docs.count()
         ranked.count()
+        cand.count()
         return out.localCheckpoint(eager=True)
     finally:
         if owned:
             docs.unpersist()
         ranked.unpersist()
+        cand.unpersist()

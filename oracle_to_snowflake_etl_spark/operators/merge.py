@@ -21,9 +21,12 @@ choice, because which duplicate wins is business logic.
 Delta/Iceberg position (SURVEY.md §4.3, stated explicitly): delta-spark
 is NOT installable in this build environment (no package installs), so
 the transactional `MERGE INTO` variant is not wired. This DataFrame
-construction is the supported form; it rewrites the full target (no
-file-level pruning), which a table format's MERGE would avoid. On a
-cluster with Delta/Iceberg on the classpath, replace a
+construction is the supported form; plain ``merge_upsert`` rewrites the
+full target (no file-level pruning), and ``merge_upsert_partitioned``
+recovers the file-pruning half on a Hive-partitioned table by scoping
+the read+rewrite to the partitions the source touches (dynamic
+partition overwrite; untouched partitions byte-identical). On a cluster
+with Delta/Iceberg on the classpath, replace a
 ``merge_upsert(...).write`` with:
 
     target_tbl.alias("t").merge(source.alias("s"), "<key equi-pred>")

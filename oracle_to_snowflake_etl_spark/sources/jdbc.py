@@ -33,6 +33,52 @@ ORACLE_URL_TEMPLATE = "jdbc:oracle:thin:@//{host}:{port}/{service}"
 SNOWFLAKE_URL_TEMPLATE = "jdbc:snowflake://{account}.snowflakecomputing.com"
 
 
+def resolve_jdbc_env(prefix: str, env: dict[str, str] | None = None,
+                     template: str | None = None) -> dict[str, str]:
+    """The reference's ``.env`` config resolution (oracle_to_snowflake.py
+    :12-25 reads ORACLE_USER/ORACLE_PASSWORD/ORACLE_HOST/... via
+    python-dotenv), engine-side: collect ``{PREFIX}_*`` connection vars
+    from the environment into the kwargs :func:`jdbc_scan_options` /
+    ``jdbc_write_options`` take, formatting a DSN template when the
+    needed fields are present.
+
+    Recognized vars (all optional; absent keys are simply omitted so the
+    caller's explicit kwargs win): ``{PREFIX}_URL``, ``{PREFIX}_USER``,
+    ``{PREFIX}_PASSWORD``, ``{PREFIX}_DRIVER``, plus the template fields
+    ``{PREFIX}_HOST``/``{PREFIX}_PORT``/``{PREFIX}_SERVICE`` (Oracle
+    form) and ``{PREFIX}_ACCOUNT`` (Snowflake form). An explicit
+    ``{PREFIX}_URL`` beats a formatted template. Credentials stay out of
+    code and logs exactly as the reference intends — this function never
+    prints, and the returned dict is passed straight to the JDBC reader.
+
+    >>> resolve_jdbc_env("ORACLE", {"ORACLE_HOST": "db", "ORACLE_PORT":
+    ...     "1521", "ORACLE_SERVICE": "XE", "ORACLE_USER": "scott"},
+    ...     template=ORACLE_URL_TEMPLATE)
+    {'url': 'jdbc:oracle:thin:@//db:1521/XE', 'user': 'scott'}
+    """
+    import os
+
+    env = os.environ if env is None else env
+    get = lambda k: env.get(f"{prefix}_{k}")  # noqa: E731
+    out: dict[str, str] = {}
+    url = get("URL")
+    if url is None and template is not None:
+        fields = {"host": get("HOST"), "port": get("PORT"),
+                  "service": get("SERVICE"), "account": get("ACCOUNT")}
+        needed = [f for f in ("host", "port", "service", "account")
+                  if "{%s}" % f in template]
+        if needed and all(fields[f] is not None for f in needed):
+            url = template.format(**{f: fields[f] for f in needed})
+    if url is not None:
+        out["url"] = url
+    for key, opt in (("USER", "user"), ("PASSWORD", "password"),
+                     ("DRIVER", "driver")):
+        val = get(key)
+        if val is not None:
+            out[opt] = val
+    return out
+
+
 def key_projection_subquery(table: str, cols: list[str],
                             predicate: str | None = None,
                             alias: str = "src") -> str:

@@ -63,3 +63,33 @@ def test_write_options_batching_and_extras():
     assert opts["batchsize"] == "2500"
     assert opts["isolationLevel"] == "READ_COMMITTED"
     assert opts["dbtable"] == "ADS_DATA_STG"
+
+
+def test_resolve_jdbc_env_oracle_template():
+    from oracle_to_snowflake_etl_spark.sources.jdbc import (
+        ORACLE_URL_TEMPLATE,
+        SNOWFLAKE_URL_TEMPLATE,
+        resolve_jdbc_env,
+    )
+
+    env = {"ORACLE_HOST": "dbhost", "ORACLE_PORT": "1521",
+           "ORACLE_SERVICE": "XEPDB1", "ORACLE_USER": "scott",
+           "ORACLE_PASSWORD": "tiger", "OTHER_USER": "nope"}
+    got = resolve_jdbc_env("ORACLE", env, template=ORACLE_URL_TEMPLATE)
+    assert got == {"url": "jdbc:oracle:thin:@//dbhost:1521/XEPDB1",
+                   "user": "scott", "password": "tiger"}
+    # explicit URL beats the template; missing fields omit the url key
+    env2 = {"SNOWFLAKE_URL": "jdbc:snowflake://me.snowflakecomputing.com",
+            "SNOWFLAKE_ACCOUNT": "ignored", "SNOWFLAKE_DRIVER": "d.Cls"}
+    got2 = resolve_jdbc_env("SNOWFLAKE", env2,
+                            template=SNOWFLAKE_URL_TEMPLATE)
+    assert got2["url"] == "jdbc:snowflake://me.snowflakecomputing.com"
+    assert got2["driver"] == "d.Cls"
+    assert resolve_jdbc_env("SNOWFLAKE", {"SNOWFLAKE_USER": "u"},
+                            template=SNOWFLAKE_URL_TEMPLATE) == {"user": "u"}
+    # resolved kwargs feed the option builders directly
+    from oracle_to_snowflake_etl_spark.sources.jdbc import jdbc_scan_options
+
+    opts = jdbc_scan_options(table="ADS_DATA", **got)
+    assert opts["url"].startswith("jdbc:oracle:thin")
+    assert opts["user"] == "scott"

@@ -62,9 +62,22 @@ def main() -> None:
         results[name] = rec
 
     out = os.path.join(REPO, "CORRECTNESS_FULL_LOCAL.json")
+    if args.only and os.path.exists(out):
+        # --only is a targeted re-check: merge into the committed full
+        # sweep instead of clobbering 120 entries with a handful
+        with open(out) as fh:
+            prev = json.load(fh)
+        merged = prev.get("results", {})
+        merged.update(results)
+        payload = {"sf_dir": args.sf_dir, "n_queries": len(merged),
+                   "n_pass": sum(bool(r.get("match")) for r in
+                                 merged.values()),
+                   "results": merged}
+    else:
+        payload = {"sf_dir": args.sf_dir, "n_queries": len(results),
+                   "n_pass": n_pass, "results": results}
     with open(out, "w") as fh:
-        json.dump({"sf_dir": args.sf_dir, "n_queries": len(results),
-                   "n_pass": n_pass, "results": results}, fh, indent=1)
+        json.dump(payload, fh, indent=1)
     print(f"{n_pass}/{len(results)} pass -> {out}")
     if n_pass != len(results):
         sys.exit(1)
