@@ -39,9 +39,10 @@ HEADLINERS = [
      "window annotation (no join-back), exact rescore on the candidate "
      "set only."),
     ("dedup_containment",
-     "Asymmetric prefix filter: the contained side indexes its lossless "
-     "prefix, the containing side indexes fully (containment bounds "
-     "overlap against |A| only); one hash-join + exact rescore."),
+     "Asymmetric prefix filter on one rank-annotated (doc, h) frame: "
+     "row_number over the doc partition marks each doc's lossless "
+     "prefix, max-over-h marks shingles occurring in >=1 prefix (the "
+     "lossless containing-side bound); one hash-join + exact rescore."),
     ("ann_ivf_topk",
      "Corpus never shuffles: cell assignment is one Arrow pass, probe "
      "set broadcasts, one top-k window on query id."),
@@ -62,6 +63,33 @@ HEADLINERS = [
 ]
 
 
+#: persisted across regenerations — the round-4 bisection of the r2->r3
+#: bench regression (VERDICT r3 next-round item 2)
+BENCH_NOTE = """## Bench root-cause note: the r2→r3 regression, bisected (round 4)
+
+The r3 bench's 1.4× inflation vs r2 had two independent components.
+(1) **Leaked operator caches** — the two prefix-filter dedup operators
+persisted corpus-sized shingle frames with no release path; fixed in
+round 4 with the materialize-then-release lifecycle (eager
+`localCheckpoint` of the output pairs, `unpersist` before returning).
+The r4 PRIORITY basket is 0.94× r3's on identical queries, and r3's
+*dedup* numbers themselves turn out to have been cache artifacts:
+best-of-2 with a leaked persist let run 2 reuse run 1's cache through
+CacheManager plan-matching, reporting `dedup_containment` at 2.8 s when
+its honest cold time was ~12 s (now 2.2 s after the round-4 rework).
+(2) **An environmental per-query floor shift** — the residual uniform
+inflation on trivial unchanged-plan queries (e.g. `project_rename_format`
+0.077 s → ~0.19 s) reproduces bit-for-bit with a BARE default-conf
+`SparkSession` on a plain `read.parquet(...).select(...).count()`
+(A/B measured: bare 0.158–0.250 s, engine session 0.172–0.246 s per
+2-stage job). r2's fastest recorded entries are below today's floor for
+*any* two-stage Spark job on this machine, so the residual is machine
+state between driver runs, not engine code — no conf or plan diff
+explains a sub-floor historical number, and no further engine-side fix
+exists. Verified session aging is NOT the cause (a fresh session running
+only the 64 r2-visible queries shows the same ratio)."""
+
+
 def main() -> None:
     from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
     from oracle_to_snowflake_etl_spark.queries import queries
@@ -72,6 +100,21 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
 
+    # the prefix-filter dedups eagerly checkpoint their result in the
+    # registry path (cache-lifecycle contract); dump the REAL lazy plan
+    # via materialize=False, same as tests/test_plans.py asserts on
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    def _lazy_docs_op(op):
+        return lambda s, d: op(load_table(s, d, "documents"),
+                               materialize=False)
+
+    qs = dict(qs)
+    qs["dedup_ngram_jaccard"] = _lazy_docs_op(ngram_jaccard_pairs)
+    qs["dedup_containment"] = _lazy_docs_op(containment_pairs)
+
     out = [
         "# PLANS — headline physical plans (generated by tools/dump_plans.py)",
         "",
@@ -80,6 +123,8 @@ def main() -> None:
         "shuffle inventory. AQE plans show `isFinalPlan=false` — runtime "
         "re-optimization (broadcast conversion, skew split, partition "
         "coalescing) happens during execution.",
+        "",
+        BENCH_NOTE,
         "",
     ]
     for name, why in HEADLINERS:
