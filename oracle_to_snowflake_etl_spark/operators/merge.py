@@ -82,21 +82,78 @@ def merge_upsert_partitioned(source: DataFrame, target_path: str,
     if not touched:
         return []
     target = spark.read.parquet(target_path)
-    if len(partition_cols) == 1:
-        pred = F.col(partition_cols[0]).isin([t[0] for t in touched])
-    else:
-        pred = F.lit(False)
-        for t in touched:
-            clause = F.lit(True)
-            for c, v in zip(partition_cols, t):
-                clause = clause & (F.col(c) == F.lit(v))
-            pred = pred | clause
-    scoped = target.where(pred)
+    scoped = target.where(_partition_predicate(touched, partition_cols))
     merged = merge_upsert(source, scoped, key_cols)
     from ..sources.readers import overwrite_partitions_dynamic
 
     overwrite_partitions_dynamic(merged.select(*target.columns),
                                  target_path, partition_cols)
+    return touched
+
+
+def _partition_predicate(touched: list[tuple], partition_cols: list[str]):
+    """Literal IN/OR filter over partition-column tuples — planning-time
+    partition pruning (PartitionFilters on the scan), no join."""
+    if len(partition_cols) == 1:
+        return F.col(partition_cols[0]).isin([t[0] for t in touched])
+    pred = F.lit(False)
+    for t in touched:
+        clause = F.lit(True)
+        for c, v in zip(partition_cols, t):
+            clause = clause & (F.col(c) == F.lit(v))
+        pred = pred | clause
+    return pred
+
+
+def apply_changes_partitioned(changes: DataFrame, target_path: str,
+                              key_cols: list[str], seq_col: str,
+                              partition_cols: list[str],
+                              op_col: str = "op") -> list[tuple]:
+    """Partition-scoped CDC application: :func:`apply_changes` semantics
+    (highest-seq change wins; 'D' deletes; untouched keys pass through)
+    executed only within the partitions the changelog touches, rewritten
+    via dynamic partition overwrite — the CDC analog of
+    :func:`merge_upsert_partitioned`, same partition-immutable-key
+    invariant, same cost contract (∝ changed partitions, never table
+    size). The changelog must carry the partition columns. Returns the
+    touched partition tuples.
+
+    Emptied-partition edge (deletes can do what upserts cannot): if the
+    changelog deletes EVERY row of a partition, the merged frame has no
+    rows there, dynamic overwrite never rewrites that directory, and the
+    deleted data would silently survive — so partitions that end up
+    empty are removed explicitly through the Hadoop FileSystem API
+    (pytest-covered). Partition values are formatted as plain
+    ``col=value`` path segments (ints/strings); values needing Hive
+    URL-escaping are out of scope here.
+    """
+    spark = changes.sparkSession
+    touched = [tuple(r) for r in
+               changes.select(*partition_cols).distinct().collect()]
+    if not touched:
+        return []
+    target = spark.read.parquet(target_path)
+    scoped = target.where(_partition_predicate(touched, partition_cols))
+    merged = apply_changes(scoped, changes.drop(*[
+        c for c in partition_cols if c not in target.columns]),
+        key_cols, seq_col, op_col)
+    from ..sources.readers import overwrite_partitions_dynamic
+
+    # BEFORE the overwrite: merged's lineage reads the current target
+    # files, which the overwrite replaces — executing it afterwards
+    # throws FAILED_READ_FILE on the very files it rewrote
+    written = {tuple(r) for r in
+               merged.select(*partition_cols).distinct().collect()}
+    overwrite_partitions_dynamic(merged.select(*target.columns),
+                                 target_path, partition_cols)
+    emptied = [t for t in touched if t not in written]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for t in emptied:
+            seg = "/".join(f"{c}={v}" for c, v in zip(partition_cols, t))
+            p = jvm.org.apache.hadoop.fs.Path(f"{target_path}/{seg}")
+            p.getFileSystem(hconf).delete(p, True)
     return touched
 
 

@@ -174,8 +174,14 @@ def q_stream_stream_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import stream_stream_attribution
 
     stream = read_events_stream(spark, sf_dir)
+    # stream-stream joins allocate FOUR state stores per partition (2
+    # sides x key/value indexes) and every store pays a fixed per-commit
+    # checkpoint cost — halve the suite's state partitioning for the
+    # join family (measured 2.5s -> 2.0s at sf0.1; production sizes from
+    # state volume instead, see STREAM_STATE_PARTITIONS)
     return drain_to_memory(stream_stream_attribution(stream),
-                           "stream_stream_attrib", output_mode="append")
+                           "stream_stream_attrib", output_mode="append",
+                           shuffle_partitions=4)
 
 
 @register(
@@ -214,9 +220,12 @@ def q_stream_attrib_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cutoff = cutoff - timedelta(hours=4)
     stream = read_events_stream(spark, sf_dir)
+    # shuffle_partitions=4: see q_stream_stream_attrib (4 state stores
+    # per partition in the join family)
     return drain_to_memory(
         stream_stream_attribution_outer(stream, view_cutoff=cutoff),
-        "stream_attrib_outer", output_mode="append")
+        "stream_attrib_outer", output_mode="append",
+        shuffle_partitions=4)
 
 
 @register(

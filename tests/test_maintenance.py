@@ -335,3 +335,49 @@ def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
     assert got["nulls_id"] == 0
     assert got["nulls_v"] == 100
     assert spark.read.parquet(path).count() == 1000
+
+
+def test_apply_changes_partitioned_cdc_with_deletes(spark, tmp_path):
+    """Partition-scoped CDC: updates/inserts/deletes land only in touched
+    partitions (others byte-identical), result equals full-table
+    apply_changes, and a partition fully emptied by deletes is REMOVED
+    (not silently resurrected by dynamic overwrite's no-rows-no-rewrite)."""
+    import os
+
+    from oracle_to_snowflake_etl_spark.operators.merge import (
+        apply_changes, apply_changes_partitioned)
+    from oracle_to_snowflake_etl_spark.sources.readers import write_partitioned
+
+    path = str(tmp_path / "cdcp")
+    base = spark.range(0, 60).select(
+        (F.col("id") % 3).alias("day"), F.col("id").alias("k"),
+        F.lit("old").alias("val"))
+    write_partitioned(base, path, ["day"])
+
+    def files_of(day: int) -> set[str]:
+        d = os.path.join(path, f"day={day}")
+        return {f for f in os.listdir(d) if f.startswith("part-")}
+
+    before0 = files_of(0)
+    # day 1: one update, one insert, one delete. day 2: delete EVERYTHING.
+    rows = ([(1, 1, 2, "U", "new"), (1, 1000, 1, "I", "new"),
+             (1, 4, 1, "D", None)]
+            + [(2, k, 1, "D", None) for k in range(2, 60, 3)])
+    changes = spark.createDataFrame(
+        rows, "day INT, k BIGINT, seq BIGINT, op STRING, val STRING")
+    expected = {tuple(r) for r in apply_changes(
+        spark.read.parquet(path).select("day", "k", "val"),
+        changes, ["k"], "seq").select("day", "k", "val").collect()}
+
+    touched = apply_changes_partitioned(changes, path, ["k"], "seq", ["day"])
+    assert sorted(touched) == [(1,), (2,)]
+    got = {tuple(r) for r in spark.read.parquet(path)
+           .select("day", "k", "val").collect()}
+    assert got == expected
+    assert files_of(0) == before0, "day=0 was rewritten"
+    # the fully-deleted partition's directory is gone
+    assert not os.path.exists(os.path.join(path, "day=2"))
+    day1 = spark.read.parquet(path).where("day = 1")
+    assert day1.where("k = 1").first().val == "new"      # update applied
+    assert day1.where("k = 1000").count() == 1           # insert applied
+    assert day1.where("k = 4").count() == 0              # delete applied
