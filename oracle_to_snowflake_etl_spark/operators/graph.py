@@ -44,11 +44,14 @@ def pagerank_int(edges: DataFrame, iterations: int = 5,
     choice that belongs at the call site)."""
     edges = edges.select("src", "dst").persist()
     n_edges = edges.count()
-    # size from measured edges (~2M/partition at scale) but never below
-    # the cluster's parallelism — a 1.2M-edge graph in ONE partition
-    # serializes every iteration (the ensure_parallelism discipline)
-    dp = edges.sparkSession.sparkContext.defaultParallelism
-    n_parts = int(max(dp, min(1024, n_edges // 2_000_000 + 1)))
+    # size from measured edges: ~250k edges/partition, floor 4 so a
+    # mid-size graph never serializes, cap 1024 (~1M/partition at a
+    # billion edges). Flooring at defaultParallelism instead (the r3
+    # rule) was measured 25% SLOWER at sf0.1 — iterative loops pay
+    # per-round scheduler latency on every near-empty task, and the
+    # per-row work here is trivial (contrast ensure_parallelism, whose
+    # floor exists for expensive per-row compute on few partitions)
+    n_parts = int(max(4, min(1024, n_edges // 250_000 + 1)))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # loop-invariant: the degree-annotated edge list, partitioned on the
     # join key so every iteration's edges-x-ranks join reuses this
