@@ -384,6 +384,62 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float = 0.5,
     )
 
 
+def minhash_lsh_pairs_incremental(new_df: DataFrame, corpus_sigs: DataFrame,
+                                  threshold: float = 0.5,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id") -> DataFrame:
+    """Incremental MinHash-LSH dedup: match a NEW document batch against
+    a PRECOMPUTED corpus signature index (``corpus_sigs``: (doc, sig)
+    from :func:`with_minhash_signature`) plus the batch itself — the
+    shape a continuously-ingesting training pipeline actually runs.
+    Corpus TEXT is never read; only the batch is shingled/signed.
+
+    Emits the same (doc_a, doc_b, est_jaccard) contract as
+    :func:`minhash_lsh_pairs`, restricted to pairs where at least one
+    side is new (doc_a < doc_b). Equivalently: the full-corpus run's
+    pairs minus the corpus-internal ones — the oracle parity the query
+    checks.
+
+    100 TB shape: the index is ~16 longs/doc (about 1% of text bytes)
+    and stored banded + bucketed on (band, key); the new-vs-corpus step
+    is then a co-located equi-join whose shuffle carries only the
+    BATCH's bands, so per-ingest cost is O(|batch| x bands + matches),
+    never O(corpus). After accepting the batch, append its signatures
+    to the index (a plain write — the index is itself incrementally
+    maintained). Within-batch pairs reuse the standard bucket_pairs
+    path on the batch's own bands.
+    """
+    new_sigs = with_minhash_signature(new_df, text_col, id_col)
+    nb = new_sigs.select(
+        "doc", "sig", F.posexplode(_band_keys(F.col("sig"))).alias("band", "key"))
+    cb = corpus_sigs.select(
+        "doc", "sig", F.posexplode(_band_keys(F.col("sig"))).alias("band", "key"))
+    # new-vs-corpus: equi-join on the band key; the smaller (batch) side
+    # drives the shuffle, AQE broadcasts it when tiny
+    nc = (cb.select("band", "key", F.col("doc").alias("c_doc"),
+                    F.col("sig").alias("c_sig"))
+          .join(nb.select("band", "key", F.col("doc").alias("n_doc"),
+                          F.col("sig").alias("n_sig")), ["band", "key"])
+          .where(F.col("c_doc") != F.col("n_doc"))
+          .select(F.least("c_doc", "n_doc").alias("doc_a"),
+                  F.greatest("c_doc", "n_doc").alias("doc_b"),
+                  F.when(F.col("c_doc") < F.col("n_doc"), F.col("c_sig"))
+                   .otherwise(F.col("n_sig")).alias("sig_a"),
+                  F.when(F.col("c_doc") < F.col("n_doc"), F.col("n_sig"))
+                   .otherwise(F.col("c_sig")).alias("sig_b"))
+          .dropDuplicates(["doc_a", "doc_b"]))
+    nn = bucket_pairs(nb, ["band", "key"], ["doc", "sig"])
+    cand = nc.unionByName(nn)
+    matches = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: F.when(x == y, 1).otherwise(0)),
+        F.lit(0), lambda acc, v: acc + v)
+    return (
+        cand.withColumn("est_jaccard", matches.cast("double") / MINHASH_K)
+        .where(F.col("est_jaccard") >= threshold)
+        .select("doc_a", "doc_b", "est_jaccard")
+    )
+
+
 # ---------------------------------------------------------------------------
 # 4. Cluster resolution: near-dup pairs -> connected components -> keeper
 # ---------------------------------------------------------------------------

@@ -189,3 +189,35 @@ def sample_n_per_group(df: DataFrame, n: int, group_col: str, key_col: str,
         _unit(F.col(key_col), salt).asc(), F.col(key_col).asc())
     return (df.withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") <= n).drop("_rn"))
+
+
+def shard_assign(df: DataFrame, key_col: str, n_shards: int,
+                 salt: str = "shard") -> DataFrame:
+    """Deterministic global shuffle into training shards: every row gets
+    a ``shard`` in [0, n_shards) and a ``pos`` (0-based position within
+    its shard), both functions of (salt, key) only — the
+    write-training-data step of a corpus pipeline, where examples must
+    be (a) globally shuffled so batches are i.i.d.-ish, (b) bit-
+    reproducible run-to-run, and (c) split into equal-ish shards for
+    parallel loaders.
+
+    shard  = hash60(salt:key) mod n_shards   (uniform, partitioning-proof)
+    pos    = rank of the row's hash within its shard (ties by key)
+
+    Plan: ONE Exchange on ``shard`` + a per-shard sort (the window) —
+    exactly the physical work a shuffled shard writer must do, nothing
+    more. To materialize, ``df.write.partitionBy("shard")`` or
+    ``repartition(n_shards, "shard").sortWithinPartitions("pos")`` so
+    each output file IS a shard in hash (i.e. shuffled) order. At 100 TB
+    pick n_shards so a shard ~ a few GB; the hash keys are uniform so
+    no shard skews. Re-sharding to a different n_shards re-deals every
+    row (hash mod changes) — version the salt instead when appending
+    (salt per snapshot keeps old shards immutable).
+    """
+    h = hash60(F.concat_ws("|", F.lit(salt), F.col(key_col).cast("string")))
+    out = df.withColumn("_h", h).withColumn(
+        "shard", (F.col("_h") % n_shards).cast("int"))
+    w = Window.partitionBy("shard").orderBy(
+        F.col("_h").asc(), F.col(key_col).asc())
+    return (out.withColumn("pos", F.row_number().over(w) - 1)
+            .drop("_h"))

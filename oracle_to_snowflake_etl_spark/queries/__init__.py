@@ -80,8 +80,9 @@ PRIORITY = [
     # Similarity / embeddings
     "ann_brute_topk", "ann_ivf_topk", "ann_srp_neardup",
     "emb_label_centroids",
-    # Text analysis
-    "text_quality_features", "text_lang_id", "text_quality_filter",
+    # Text analysis (text_quality_filter stays full-local-checked; its
+    # slot carries the round-4 MV-maintenance family instead)
+    "text_quality_features", "text_lang_id", "mv_incremental_refresh",
     "text_winnow_fp", "text_corpus_quantiles", "text_decontaminate",
     "pii_redact_contacts", "text_bm25_topk", "corpus_prep_pipeline",
     # Multimodal

@@ -127,6 +127,38 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(load_table(spark, sf_dir, "documents"))
 
 
+#: batch split point for the incremental-dedup query: docs below are the
+#: standing corpus (signature index precomputed), docs at/above are the
+#: newly-ingested batch
+_INC_SPLIT = 400
+
+
+@register(
+    "dedup_incremental_minhash",
+    f"""
+    WITH full_pairs AS ({_MINHASH_PAIRS_SQL})
+    SELECT * FROM full_pairs WHERE doc_b >= {_INC_SPLIT}
+    """)
+def q_dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup of a new ingest batch (doc_id >= {split}) against
+    the standing corpus's precomputed MinHash signature index — corpus
+    text is never re-shingled; per-ingest cost is O(batch), not
+    O(corpus) (operators/dedup.minhash_lsh_pairs_incremental). Oracle:
+    the FULL corpus LSH run restricted to pairs whose greater member is
+    new — incremental must equal rebuild-from-scratch minus
+    corpus-internal pairs, the defining no-drift property of an
+    incremental index."""
+    from ..operators.dedup import (minhash_lsh_pairs_incremental,
+                                   with_minhash_signature)
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_sigs = with_minhash_signature(
+        docs.where(F.col("doc_id") < _INC_SPLIT))
+    new_batch = docs.where(F.col("doc_id") >= _INC_SPLIT)
+    return minhash_lsh_pairs_incremental(new_batch, corpus_sigs)
+
+
 # The recursive CTE computes full reachability over the (symmetrized)
 # near-dup edge list and takes the minimum reachable id — the exact
 # semantics the Spark side's iterative min-label propagation converges

@@ -148,3 +148,31 @@ def q_sample_n_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return sample_n_per_group(docs, 25, "lang", "doc_id") \
         .select("doc_id", "lang")
+
+
+_SHARD_H = duck_hash60_sql("'shard' || '|' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "shard_assign_docs",
+    f"""
+    SELECT doc_id,
+           CAST({_SHARD_H} % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY {_SHARD_H} % 8
+               ORDER BY {_SHARD_H} ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+    FROM documents
+    """)
+def q_shard_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-shard assignment (operators/sampling.
+    shard_assign): every document gets a shard in [0,8) and a 0-based
+    position in hash (i.e. globally shuffled) order — the reproducible
+    write-training-data step; one Exchange on shard + per-shard sort,
+    which is the minimum physical work a shuffled shard writer can do.
+    The oracle recomputes every row's (shard, pos) with the identical
+    md5-derived hash."""
+    from ..operators.sampling import shard_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = shard_assign(docs, "doc_id", 8)
+    return out.select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))

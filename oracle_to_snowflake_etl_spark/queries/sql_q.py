@@ -828,3 +828,144 @@ def q_recursive_key_depth(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT depth, COUNT(*) AS n, MIN(k) AS min_k, MAX(k) AS max_k
         FROM r GROUP BY depth
     """)
+
+
+@register(
+    "mv_incremental_refresh",
+    f"""
+    SELECT strftime(o_orderdate, '%Y-%m') AS month,
+           o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS {_DECU})) AS DOUBLE) AS sum_price,
+           CAST(SUM(CAST(o_totalprice AS {_DECU})) AS DOUBLE) / COUNT(*)
+               AS avg_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+       OR o_orderkey % 13 <> 0
+    GROUP BY 1, 2
+    """)
+def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance (operators/mv.py): a
+    (month, priority) revenue view built over pre-2000 orders is folded
+    forward with a changelog — post-2000 orders arrive as inserts, every
+    13th pre-2000 key is deleted (before-image carried, the CDC
+    contract) — WITHOUT rescanning the fact table: one hash aggregate
+    over view-partials ∪ signed-delta-partials, groups reaching count 0
+    drop. DECIMAL sums make the folded result bitwise-equal to the
+    oracle's from-scratch GROUP BY over the final state — the defining
+    property of correct incremental maintenance. At 100 TB: refresh
+    cost is O(|delta| + |groups|) vs the reference's full truncate-
+    reload re-aggregation (transform_staging.py:24-46)."""
+    from ..operators.mv import build_agg_view, incremental_agg_refresh
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    keys = ["month", "o_orderpriority"]
+    sums = {"sum_price_dec": "o_totalprice"}
+    mv0 = build_agg_view(orders.where(F.col("o_orderdate") < cutoff),
+                         keys, sums)
+    inserts = orders.where(F.col("o_orderdate") >= cutoff) \
+                    .withColumn("op", F.lit("I"))
+    deletes = orders.where((F.col("o_orderdate") < cutoff)
+                           & (F.col("o_orderkey") % 13 == 0)) \
+                    .withColumn("op", F.lit("D"))
+    refreshed = incremental_agg_refresh(
+        mv0, inserts.unionByName(deletes), keys, sums)
+    return refreshed.select(
+        "month", "o_orderpriority", "n",
+        F.col("sum_price_dec").cast("double").alias("sum_price"),
+        (F.col("sum_price_dec").cast("double") / F.col("n"))
+        .alias("avg_price"))
+
+
+# ---- HyperLogLog register sketch: m=256 buckets over 60-bit md5
+# hashes. Both engines build the IDENTICAL register table (same hash,
+# same bucket split, same first-one rank), so the whole sketch — not
+# just its estimate — is deterministic and the single-row summary is
+# hash-checked. rho = 53 - len(bin(w)) is the 1-based first-one
+# position of the 52-bit hash suffix (53 for the all-zero suffix);
+# scaling the harmonic sum by 2^61 turns it into exact DECIMAL integer
+# arithmetic, so the only float ops are one cast, two divisions and a
+# multiply, performed in the same order on both engines.
+_HLL_H = ("CAST(('0x' || substr(md5('hll' || '|' || "
+          "CAST(o_custkey AS VARCHAR)), 1, 15)) AS UBIGINT)::BIGINT")
+_POW61 = 1 << 61
+#: alpha_256 * m^2 — embedded as the same repr-literal on both sides
+_ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0)
+
+
+@register(
+    "sketch_hll_custkey",
+    f"""
+    WITH h AS (SELECT {_HLL_H} AS h60 FROM orders),
+    reg AS (
+      SELECT h60 % 256 AS bucket,
+             MAX(CASE WHEN h60 // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(h60 // 256)) END) AS maxr
+      FROM h GROUP BY 1),
+    s AS (
+      SELECT COUNT(*) AS used,
+             SUM(CAST((1::BIGINT << (61 - maxr)) AS DECIMAL(38,0))) AS t_used
+      FROM reg),
+    est AS (
+      SELECT used,
+             {_ALPHA_M2} /
+             (CAST(t_used + CAST(256 - used AS DECIMAL(38,0)) * {_POW61}
+                   AS DOUBLE) / {_POW61}.0) AS est
+      FROM s),
+    exact AS (SELECT COUNT(DISTINCT o_custkey) AS exact_n FROM orders)
+    SELECT CAST(256 AS BIGINT) AS m,
+           CAST(used AS BIGINT) AS used_buckets,
+           CAST(floor(est + 0.5) AS BIGINT) AS est_n,
+           exact_n,
+           CAST(floor(abs(est - CAST(exact_n AS DOUBLE))
+                      / CAST(exact_n AS DOUBLE) * 1000000 + 0.5) AS BIGINT)
+               AS err_ppm
+    FROM est, exact
+    """)
+def q_sketch_hll_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable HyperLogLog distinct-count sketch (m=256) over order
+    custkeys, plus its error vs the exact distinct count. The register
+    table is a 256-row MAX aggregate — the 100 TB story: per-partition
+    register partials merge by elementwise MAX, so a global distinct
+    count costs a 256-row shuffle instead of shuffling every raw key
+    the way COUNT(DISTINCT) must (and unlike approx_count_distinct's
+    opaque binary sketch, these registers are a queryable table that
+    unions across days/tables by the same MAX). md5-derived hashes make
+    Spark's registers bit-identical to the DuckDB oracle's, so the
+    estimate — a pure function of the registers via exact 2^61-scaled
+    DECIMAL arithmetic — hash-matches too."""
+    from ..functions.hashing import hash60
+
+    orders = load_table(spark, sf_dir, "orders")
+    h = orders.select(hash60(F.concat_ws(
+        "|", F.lit("hll"), F.col("o_custkey").cast("string"))).alias("h60"))
+    reg = (h.select((F.col("h60") % 256).alias("bucket"),
+                    F.expr("h60 div 256").alias("w"))
+           .select("bucket",
+                   F.when(F.col("w") == 0, F.lit(53))
+                    .otherwise(F.lit(53) - F.length(F.expr("bin(w)")))
+                    .alias("rho"))
+           .groupBy("bucket").agg(F.max("rho").alias("maxr")))
+    s = reg.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("cast(shiftleft(cast(1 as bigint), "
+                     "cast(61 - maxr as int)) as decimal(38,0))"))
+         .alias("t_used"))
+    est = s.select(
+        "used",
+        (F.lit(float(_ALPHA_M2)) /
+         ((F.col("t_used") + (F.lit(256) - F.col("used")).cast("decimal(38,0)")
+           * F.lit(_POW61).cast("decimal(38,0)")).cast("double")
+          / F.lit(float(_POW61)))).alias("est"))
+    exact = orders.agg(F.countDistinct("o_custkey").alias("exact_n"))
+    return est.crossJoin(exact).select(
+        F.lit(256).cast("long").alias("m"),
+        F.col("used").cast("long").alias("used_buckets"),
+        F.floor(F.col("est") + 0.5).cast("long").alias("est_n"),
+        "exact_n",
+        F.floor(F.abs(F.col("est") - F.col("exact_n").cast("double"))
+                / F.col("exact_n").cast("double") * 1000000 + 0.5)
+         .cast("long").alias("err_ppm"))

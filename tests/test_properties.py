@@ -271,3 +271,31 @@ def test_shared_shingle_docs_equivalent(spark):
         shared.unpersist()
     assert jac_shared == {tuple(r) for r in ngram_jaccard_pairs(df).collect()}
     assert con_shared == {tuple(r) for r in containment_pairs(df).collect()}
+
+
+def test_incremental_minhash_equals_full_restricted(spark):
+    """No-drift property of the incremental LSH index: deduping a new
+    batch against the precomputed corpus signatures yields EXACTLY the
+    full-corpus run's pairs whose greater member is new, at several
+    split points (including all-new and all-corpus edges)."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_lsh_pairs_incremental,
+        with_minhash_signature,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {(r.doc_a, r.doc_b, r.est_jaccard)
+            for r in minhash_lsh_pairs(docs).collect()}
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    for split in (0, 200, max_id + 1):
+        corpus_sigs = with_minhash_signature(
+            docs.where(F.col("doc_id") < split))
+        inc = {(r.doc_a, r.doc_b, r.est_jaccard)
+               for r in minhash_lsh_pairs_incremental(
+                   docs.where(F.col("doc_id") >= split),
+                   corpus_sigs).collect()}
+        assert inc == {p for p in full if p[1] >= split}, split

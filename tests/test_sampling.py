@@ -66,3 +66,45 @@ def test_stratified_respects_zero_default(spark, sf_dir):
     assert langs == {"zh"}
     n_zh = docs.where(F.col("lang") == "zh").count()
     assert out.count() == n_zh  # fraction 1.0 keeps every zh doc
+
+
+def test_shard_assign_partitions_every_row_once(spark, sf_dir):
+    """shard_assign is a partition of the corpus: every doc appears
+    exactly once, shards cover [0, n), positions are dense 0..|shard|-1."""
+    from oracle_to_snowflake_etl_spark.operators.sampling import shard_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = shard_assign(docs, "doc_id", 8).select("doc_id", "shard", "pos")
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    assert {r.shard for r in rows} <= set(range(8))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+
+
+def test_shard_assign_is_partitioning_independent(spark, sf_dir):
+    from oracle_to_snowflake_etl_spark.operators.sampling import shard_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    x = {(r.doc_id, r.shard, r.pos) for r in
+         shard_assign(docs, "doc_id", 8).collect()}
+    y = {(r.doc_id, r.shard, r.pos) for r in
+         shard_assign(docs.repartition(17, "lang"), "doc_id", 8).collect()}
+    assert x == y and x
+
+
+def test_shard_assign_balance(spark, sf_dir):
+    """Hash sharding is near-uniform: no shard exceeds 2x the ideal size
+    on the 500-doc corpus (loose bound — guards gross skew only)."""
+    from oracle_to_snowflake_etl_spark.operators.sampling import shard_assign
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    sizes = {r.shard: r.c for r in
+             shard_assign(docs, "doc_id", 8).groupBy("shard")
+             .agg(F.count("*").alias("c")).collect()}
+    assert all(c <= 2 * n / 8 for c in sizes.values())
