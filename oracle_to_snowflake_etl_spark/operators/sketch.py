@@ -1,0 +1,73 @@
+"""Mergeable frequency sketches: count-min over token/key streams.
+
+Companion to the HyperLogLog register sketch (queries/sql_q.py
+``sketch_hll_custkey``): HLL answers "how many DISTINCT", count-min
+answers "how often does item x occur" with a counter table whose size
+is FIXED (d rows x w columns) regardless of stream size. Both share
+the engine's sketch design rules:
+
+- counters/registers are md5-derived (functions/hashing.py), so the
+  sketch a 1000-executor Spark job builds is bit-identical to the
+  DuckDB oracle's — the sketch itself is differentially checkable, not
+  just its estimates;
+- the sketch is a plain DataFrame, mergeable by the obvious aggregate
+  (SUM for count-min counters, MAX for HLL registers) — per-partition
+  partials combine map-side, daily sketches union into monthly ones
+  with the same aggregate, and the shuffle carries at most d*w rows.
+
+Count-min guarantees: estimate(x) >= true(x) always (hash collisions
+only ADD); with w columns the expected overcount is N/w per row and
+taking the MIN over d independent rows drives the error to its
+Chernoff bound. At 100 TB: the counter table for d=4, w=65536 is 256k
+longs (~2 MB) — a broadcastable summary of a trillion-token stream,
+built in one pass with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.hashing import hash60
+
+#: default geometry: 4 hash rows, 64 columns (test-scale; widen w for
+#: production — error ~ N/w)
+CMS_D = 4
+CMS_W = 64
+
+
+def count_min_table(items: DataFrame, item_col: str = "tok",
+                    d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Build the count-min counter table (row, col, cnt) from a stream
+    of item occurrences (one input row per occurrence).
+
+    ONE explode (x d) + ONE hash aggregate; map-side partial
+    aggregation collapses each input partition to <= d*w counter rows
+    before the shuffle, so shuffle volume is O(partitions x d x w) —
+    independent of stream length. Merge sketches by unioning counter
+    tables and re-aggregating with SUM on (row, col).
+    """
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
+    keyed = items.select(F.col(item_col).alias("_it"), rows)
+    # one md5 per (item, row); the % w fold keeps it a single codegen pass
+    keyed = keyed.select(
+        "row", (hash60(F.concat(F.concat(F.lit("cm"), F.col("row").cast("string"),
+                                         F.lit("|")), F.col("_it"))) % w).alias("col"))
+    return keyed.groupBy("row", "col").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def cms_estimate(cms: DataFrame, queries: DataFrame,
+                 item_col: str, d: int = CMS_D, w: int = CMS_W) -> DataFrame:
+    """Point-estimate each query item's frequency from the counter
+    table: MIN over the item's d counters. Adds ``n_est`` to the query
+    frame. The join is d rows/query-item against a <= d*w-row counter
+    table — AQE broadcasts the sketch side, so estimation never
+    shuffles the query frame."""
+    keys = queries.select(
+        *queries.columns,
+        F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row"))
+    keys = keys.withColumn(
+        "col", (hash60(F.concat(F.concat(F.lit("cm"), F.col("row").cast("string"),
+                                         F.lit("|")), F.col(item_col))) % w))
+    return (keys.join(F.broadcast(cms), ["row", "col"])
+            .groupBy(*queries.columns).agg(F.min("cnt").alias("n_est")))

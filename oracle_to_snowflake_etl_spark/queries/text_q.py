@@ -436,3 +436,45 @@ def q_lateral_token_positions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select(
         "doc_id",
         F.posexplode(_toks(F.col("text"))).alias("pos", "tok"))
+
+
+_CMS_H = duck_hash60_sql("'cm' || CAST(r AS VARCHAR) || '|' || tok")
+
+
+@register(
+    "sketch_cms_tokens",
+    f"""
+    WITH toks AS (SELECT unnest({_TOKS}) AS tok FROM documents),
+    rows_ AS (SELECT unnest(range(0, 4)) AS r),
+    cms AS (
+      SELECT r, {_CMS_H} % 64 AS col, COUNT(*) AS cnt
+      FROM toks, rows_
+      GROUP BY 1, 2),
+    top AS (
+      SELECT tok, COUNT(*) AS n_true
+      FROM toks GROUP BY tok
+      ORDER BY n_true DESC, tok ASC LIMIT 20),
+    keys_ AS (
+      SELECT tok, n_true, r, {_CMS_H} % 64 AS col
+      FROM top, rows_)
+    SELECT tok, n_true, MIN(cnt) AS n_est
+    FROM keys_ JOIN cms USING (r, col)
+    GROUP BY tok, n_true
+    """)
+def q_sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min frequency sketch (operators/sketch.py): a 4x64 counter
+    table over the corpus token stream, estimating the exact top-20
+    tokens' frequencies via MIN over each token's 4 counters. The
+    mergeable-frequency twin of sketch_hll_custkey: counters merge by
+    SUM, the table is fixed-size regardless of stream length, and the
+    md5-derived hashing makes every counter — and so every estimate —
+    bit-identical to the oracle's. Overcount-only error (est >= true,
+    pytest-asserted) is the count-min contract."""
+    from ..operators.sketch import cms_estimate, count_min_table
+    from ..operators.textstats import tokens, vocab_top_k
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    cms = count_min_table(toks)
+    top = vocab_top_k(docs, 20).withColumnRenamed("n", "n_true")
+    return cms_estimate(cms, top, "tok")

@@ -143,3 +143,46 @@ def test_hll_sketch_error_bound(spark):
     # err_ppm is derived from the unrounded estimate; est_n from the
     # rounded one — they agree to well under 100 ppm on a ~1k count
     assert abs(row.err_ppm - rel * 1e6) < 1000
+
+
+def test_cms_overcount_only(spark):
+    """Count-min's defining guarantee: estimates never undercount.
+    Check est >= true for EVERY token in the corpus (not just the
+    top-20 the query reports), and exact equality for tokens with
+    collision-free counters."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.sketch import (
+        cms_estimate,
+        count_min_table,
+    )
+    from oracle_to_snowflake_etl_spark.operators.textstats import tokens
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    cms = count_min_table(toks)
+    truth = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n_true"))
+    est = cms_estimate(cms, truth, "tok")
+    bad = est.where(F.col("n_est") < F.col("n_true")).count()
+    assert bad == 0
+
+
+def test_cms_merge_equals_single_pass(spark):
+    """Sketch mergeability: counter tables built over two halves of the
+    stream, unioned and re-summed, equal the single-pass table."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.sketch import count_min_table
+    from oracle_to_snowflake_etl_spark.operators.textstats import tokens
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+    one = count_min_table(toks)
+    a = count_min_table(toks.where(F.col("doc_id") % 2 == 0))
+    b = count_min_table(toks.where(F.col("doc_id") % 2 == 1))
+    merged = (a.unionByName(b).groupBy("row", "col")
+              .agg(F.sum("cnt").alias("cnt")))
+    assert {tuple(r) for r in merged.collect()} == \
+        {tuple(r) for r in one.collect()}

@@ -107,7 +107,8 @@ def test_no_cartesian_or_nested_loop_joins(spark, sf_dir):
     # data-sized sides.
     allowed_cross = {"ann_brute_topk", "tpch_q11_important_stock",
                      "tpch_q22_global_sales_opp", "text_bm25_topk",
-                     "sample_weighted_nchars"}  # 1-row w_max broadcast
+                     "sample_weighted_nchars",  # 1-row w_max broadcast
+                     "sketch_hll_custkey"}  # 1-row est x 1-row exact
     skip = {"stream_tumbling_5m"}  # executing it drains a stream; its
     # batch result is a materialized memory table with no join plan
     for name, fn in queries().items():
@@ -281,3 +282,30 @@ def test_round3_operators_plan_shapes(spark, sf_dir):
         df = qs[name](spark, sf_dir)
         assert exchange_count(df) <= budget, name
         assert "BroadcastNestedLoopJoin" not in plan_string(df), name
+
+
+def test_mv_refresh_is_single_agg_no_join(spark, sf_dir):
+    """Incremental MV maintenance must never join or rescan: the folded
+    view plans as union -> ONE hash-agg shuffle (plus AQE output
+    coalesce at most), with no join operator of any kind."""
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+
+    df = queries()["mv_incremental_refresh"](spark, sf_dir)
+    p = plan_string(df)
+    assert "Join" not in p, p
+    assert exchange_count(df) <= 2
+
+
+def test_shard_assign_single_exchange(spark, sf_dir):
+    """shard_assign = the minimum shard-writer work: one Exchange on the
+    shard key feeding the per-shard window sort."""
+    df = queries()["shard_assign_docs"](spark, sf_dir)
+    assert exchange_count(df) <= 1
+
+
+def test_hll_register_agg_bounded(spark, sf_dir):
+    """The HLL sketch's shuffles carry registers (<=256 rows) and 1-row
+    folds, never raw keys: the register aggregate + two singleton folds
+    + the final join — all output-bounded."""
+    df = queries()["sketch_hll_custkey"](spark, sf_dir)
+    assert exchange_count(df) <= 5
