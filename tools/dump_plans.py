@@ -60,6 +60,22 @@ HEADLINERS = [
      "Membership is a scan predicate; the only extra is a 1-row w_max "
      "aggregate broadcast back (the cross over one row is a filter in "
      "effect)."),
+    ("mv_incremental_refresh",
+     "Incremental MV maintenance: view-partials UNION signed-delta-"
+     "partials into ONE hash aggregate — no join anywhere, the fact "
+     "table is never rescanned; refresh cost is O(groups + delta)."),
+    ("dedup_incremental_minhash",
+     "Incremental dedup: only the new batch is shingled/signed; the "
+     "corpus side is its (band,key) signature index — one equi-join "
+     "plus within-batch bucket pairs, O(batch) per ingest."),
+    ("sketch_hll_custkey",
+     "Mergeable distinct sketch: the only data-sized exchange carries "
+     "256 register rows (map-side MAX partials), then 1-row folds — "
+     "COUNT(DISTINCT) without shuffling raw keys."),
+    ("shard_assign_docs",
+     "Deterministic training-shard shuffle: exactly one Exchange on "
+     "the shard key feeding a per-shard sort — the minimum physical "
+     "work a shuffled shard writer can do."),
 ]
 
 
