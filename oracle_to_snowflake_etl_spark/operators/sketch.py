@@ -36,6 +36,77 @@ CMS_D = 4
 CMS_W = 64
 
 
+#: HLL geometry: 256 registers; rho is the 1-based first-one position
+#: of the 52-bit hash suffix (53 caps the all-zero suffix)
+HLL_M = 256
+HLL_RHO_MAX = 53
+#: 2^61 — scales the harmonic sum into exact DECIMAL integer arithmetic
+HLL_POW = 1 << 61
+#: alpha_m * m^2 for m=256, embedded as the same repr-literal in the
+#: DuckDB oracle (queries/sql_q.py) so the float math is bit-identical
+HLL_ALPHA_M2 = 0.7213 / (1.0 + 1.079 / 256.0) * 65536.0
+
+
+def hll_register_table(items: DataFrame, item_col: str,
+                       salt: str = "hll",
+                       group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Build the 256-register HyperLogLog table (group_cols..., bucket,
+    maxr) over a key column. ONE hash aggregate whose map-side MAX
+    partials bound the shuffle at 256 rows per group per input
+    partition — the mergeable distinct-count sketch: tables union and
+    re-MAX on (group, bucket) (:func:`hll_merge`), so per-day register
+    tables roll up into monthly distinct estimates without re-reading
+    raw keys. With ``group_cols`` the same pass yields distinct-per-
+    group (users per day/cohort) at 256 rows of state per group — the
+    shape COUNT(DISTINCT x) GROUP BY g cannot reach without shuffling
+    every raw (g, x) pair."""
+    h = hash60(F.concat_ws(
+        "|", F.lit(salt), F.col(item_col).cast("string")))
+    return (items.select(*group_cols, h.alias("h60"))
+            .select(*group_cols,
+                    (F.col("h60") % HLL_M).alias("bucket"),
+                    F.expr("h60 div 256").alias("w"))
+            .select(*group_cols, "bucket",
+                    F.when(F.col("w") == 0, F.lit(HLL_RHO_MAX))
+                     .otherwise(F.lit(HLL_RHO_MAX)
+                                - F.length(F.expr("bin(w)")))
+                     .alias("rho"))
+            .groupBy(*group_cols, "bucket").agg(F.max("rho").alias("maxr")))
+
+
+def hll_merge(*registers: DataFrame,
+              group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """Merge register tables: union + elementwise MAX — the property
+    that makes HLL a one-pass, any-partitioning, any-granularity
+    distinct counter."""
+    out = registers[0]
+    for r in registers[1:]:
+        out = out.unionByName(r)
+    return out.groupBy(*group_cols, "bucket") \
+              .agg(F.max("maxr").alias("maxr"))
+
+
+def hll_estimate(registers: DataFrame,
+                 group_cols: tuple[str, ...] = ()) -> DataFrame:
+    """(group_cols..., used, est) estimate rows from a register table
+    (one row total without ``group_cols``). The harmonic sum is
+    computed as Σ 2^(61-maxr) in exact DECIMAL (absent buckets
+    contribute 2^61), so the only float steps are one cast and two
+    divisions — bit-identical across engines and partitionings."""
+    s = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("cast(shiftleft(cast(1 as bigint), "
+                     "cast(61 - maxr as int)) as decimal(38,0))"))
+         .alias("t_used"))
+    return s.select(
+        *group_cols, "used",
+        (F.lit(HLL_ALPHA_M2) /
+         ((F.col("t_used")
+           + (F.lit(HLL_M) - F.col("used")).cast("decimal(38,0)")
+           * F.lit(HLL_POW).cast("decimal(38,0)")).cast("double")
+          / F.lit(float(HLL_POW)))).alias("est"))
+
+
 def count_min_table(items: DataFrame, item_col: str = "tok",
                     d: int = CMS_D, w: int = CMS_W) -> DataFrame:
     """Build the count-min counter table (row, col, cnt) from a stream

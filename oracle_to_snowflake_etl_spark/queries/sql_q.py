@@ -937,29 +937,10 @@ def q_sketch_hll_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's registers bit-identical to the DuckDB oracle's, so the
     estimate — a pure function of the registers via exact 2^61-scaled
     DECIMAL arithmetic — hash-matches too."""
-    from ..functions.hashing import hash60
+    from ..operators.sketch import hll_estimate, hll_register_table
 
     orders = load_table(spark, sf_dir, "orders")
-    h = orders.select(hash60(F.concat_ws(
-        "|", F.lit("hll"), F.col("o_custkey").cast("string"))).alias("h60"))
-    reg = (h.select((F.col("h60") % 256).alias("bucket"),
-                    F.expr("h60 div 256").alias("w"))
-           .select("bucket",
-                   F.when(F.col("w") == 0, F.lit(53))
-                    .otherwise(F.lit(53) - F.length(F.expr("bin(w)")))
-                    .alias("rho"))
-           .groupBy("bucket").agg(F.max("rho").alias("maxr")))
-    s = reg.agg(
-        F.count(F.lit(1)).alias("used"),
-        F.sum(F.expr("cast(shiftleft(cast(1 as bigint), "
-                     "cast(61 - maxr as int)) as decimal(38,0))"))
-         .alias("t_used"))
-    est = s.select(
-        "used",
-        (F.lit(float(_ALPHA_M2)) /
-         ((F.col("t_used") + (F.lit(256) - F.col("used")).cast("decimal(38,0)")
-           * F.lit(_POW61).cast("decimal(38,0)")).cast("double")
-          / F.lit(float(_POW61)))).alias("est"))
+    est = hll_estimate(hll_register_table(orders, "o_custkey"))
     exact = orders.agg(F.countDistinct("o_custkey").alias("exact_n"))
     return est.crossJoin(exact).select(
         F.lit(256).cast("long").alias("m"),
@@ -969,3 +950,56 @@ def q_sketch_hll_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.abs(F.col("est") - F.col("exact_n").cast("double"))
                 / F.col("exact_n").cast("double") * 1000000 + 0.5)
          .cast("long").alias("err_ppm"))
+
+
+@register(
+    "sketch_hll_by_month",
+    f"""
+    WITH h AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month, {_HLL_H} AS h60
+      FROM orders),
+    reg AS (
+      SELECT month, h60 % 256 AS bucket,
+             MAX(CASE WHEN h60 // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(h60 // 256)) END) AS maxr
+      FROM h GROUP BY 1, 2),
+    s AS (
+      SELECT month, COUNT(*) AS used,
+             SUM(CAST((1::BIGINT << (61 - maxr)) AS DECIMAL(38,0))) AS t_used
+      FROM reg GROUP BY month),
+    est AS (
+      SELECT month, used,
+             {_ALPHA_M2} /
+             (CAST(t_used + CAST(256 - used AS DECIMAL(38,0)) * {_POW61}
+                   AS DOUBLE) / {_POW61}.0) AS est
+      FROM s),
+    exact AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month,
+             COUNT(DISTINCT o_custkey) AS exact_n
+      FROM orders GROUP BY 1)
+    SELECT month, CAST(used AS BIGINT) AS used_buckets,
+           CAST(floor(est + 0.5) AS BIGINT) AS est_n, exact_n
+    FROM est JOIN exact USING (month)
+    """)
+def q_sketch_hll_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct customers PER MONTH from grouped HLL registers
+    (operators/sketch.hll_register_table with group_cols) — the shape
+    COUNT(DISTINCT x) GROUP BY g cannot reach at scale without
+    shuffling every raw (g, x) pair: here state is 256 register rows
+    per group, partials merge by MAX, and monthly tables roll up to
+    yearly by the same merge. Registers and estimates are engine-
+    identical (md5 hashing + exact-DECIMAL harmonic sums); exact
+    counts joined per month expose the per-group error."""
+    from ..operators.sketch import hll_estimate, hll_register_table
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"), "o_custkey")
+    est = hll_estimate(
+        hll_register_table(orders, "o_custkey", group_cols=("month",)),
+        ("month",))
+    exact = orders.groupBy("month").agg(
+        F.countDistinct("o_custkey").alias("exact_n"))
+    return est.join(exact, "month").select(
+        "month", F.col("used").cast("long").alias("used_buckets"),
+        F.floor(F.col("est") + 0.5).cast("long").alias("est_n"),
+        "exact_n")

@@ -1,0 +1,120 @@
+"""Degenerate-input edge cases: every operator a long-running pipeline
+calls unattended must behave on EMPTY inputs (first run of an
+incremental job, a quiet ingest window, a filter that matches nothing)
+— no crashes, no phantom rows, correct schemas. These paths never show
+up in the oracle queries (testdata is never empty), so they get their
+own tests.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _empty_like(df):
+    return df.where(F.lit(False))
+
+
+def test_mv_refresh_empty_delta_is_identity(spark):
+    """First/quiet refresh: an empty changelog must return the view
+    unchanged (same rows, same schema)."""
+    from oracle_to_snowflake_etl_spark.operators.mv import (
+        build_agg_view,
+        incremental_agg_refresh,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    keys, sums = ["o_orderpriority"], {"s": "o_totalprice"}
+    mv = build_agg_view(orders, keys, sums)
+    empty = _empty_like(orders).withColumn("op", F.lit("I"))
+    out = incremental_agg_refresh(mv, empty, keys, sums)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, mv.collect()))
+
+
+def test_mv_refresh_empty_view_bootstraps_from_delta(spark):
+    """Bootstrapping: refreshing an EMPTY view with an insert changelog
+    equals building the view from those rows."""
+    from oracle_to_snowflake_etl_spark.operators.mv import (
+        build_agg_view,
+        incremental_agg_refresh,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    keys, sums = ["o_orderpriority"], {"s": "o_totalprice"}
+    mv0 = build_agg_view(_empty_like(orders), keys, sums)
+    ins = orders.withColumn("op", F.lit("I"))
+    out = incremental_agg_refresh(mv0, ins, keys, sums)
+    expect = build_agg_view(orders, keys, sums)
+    assert sorted(map(tuple, out.collect())) == \
+        sorted(map(tuple, expect.collect()))
+
+
+def test_shard_assign_empty(spark):
+    from oracle_to_snowflake_etl_spark.operators.sampling import shard_assign
+
+    docs = _empty_like(load_table(spark, SF, "documents"))
+    out = shard_assign(docs, "doc_id", 8)
+    assert out.count() == 0
+    assert {"shard", "pos"} <= set(out.columns)
+
+
+def test_incremental_minhash_empty_batch_and_empty_corpus(spark):
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        minhash_lsh_pairs_incremental,
+        with_minhash_signature,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    sigs = with_minhash_signature(docs)
+    # empty batch vs full corpus: nothing new -> no pairs
+    assert minhash_lsh_pairs_incremental(
+        _empty_like(docs), sigs).count() == 0
+    # full batch vs empty corpus index: pure within-batch dedup
+    from oracle_to_snowflake_etl_spark.operators.dedup import minhash_lsh_pairs
+    inc = minhash_lsh_pairs_incremental(
+        docs, with_minhash_signature(_empty_like(docs)))
+    full = minhash_lsh_pairs(docs)
+    assert sorted(map(tuple, inc.collect())) == \
+        sorted(map(tuple, full.collect()))
+
+
+def test_cms_empty_stream(spark):
+    from oracle_to_snowflake_etl_spark.operators.sketch import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    toks = _empty_like(docs).select(F.col("text").alias("tok"))
+    cms = count_min_table(toks)
+    assert cms.count() == 0
+    # estimating against an empty sketch finds no counters -> no rows
+    some = docs.limit(3).select(F.col("text").alias("tok"))
+    assert cms_estimate(cms, some, "tok").count() == 0
+
+
+def test_dedup_clusters_empty_pairs(spark):
+    from oracle_to_snowflake_etl_spark.operators.dedup import dedup_clusters
+
+    empty_pairs = (load_table(spark, SF, "documents")
+                   .select(F.col("doc_id").alias("doc_a"),
+                           F.col("doc_id").alias("doc_b"))
+                   .where(F.lit(False)))
+    assert dedup_clusters(empty_pairs).count() == 0
+
+
+def test_apply_changes_empty_changelog(spark):
+    from oracle_to_snowflake_etl_spark.operators.merge import apply_changes
+
+    orders = load_table(spark, SF, "orders") \
+        .select("o_orderkey", "o_totalprice")
+    empty = orders.select(
+        "o_orderkey", F.lit(1).alias("seq"), F.lit("U").alias("op"),
+        "o_totalprice").where(F.lit(False))
+    out = apply_changes(orders, empty, ["o_orderkey"], "seq")
+    assert out.count() == orders.count()

@@ -186,3 +186,27 @@ def test_cms_merge_equals_single_pass(spark):
               .agg(F.sum("cnt").alias("cnt")))
     assert {tuple(r) for r in merged.collect()} == \
         {tuple(r) for r in one.collect()}
+
+
+def test_hll_merge_equals_single_pass(spark):
+    """HLL mergeability: register tables over two disjoint halves,
+    merged by elementwise MAX, give the identical registers (and so the
+    identical estimate) as one pass over everything."""
+    from oracle_to_snowflake_etl_spark.operators.sketch import (
+        hll_estimate,
+        hll_merge,
+        hll_register_table,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    one = hll_register_table(orders, "o_custkey")
+    a = hll_register_table(orders.where(F.col("o_orderkey") % 2 == 0),
+                           "o_custkey")
+    b = hll_register_table(orders.where(F.col("o_orderkey") % 2 == 1),
+                           "o_custkey")
+    merged = hll_merge(a, b)
+    assert {tuple(r) for r in merged.collect()} == \
+        {tuple(r) for r in one.collect()}
+    e1 = hll_estimate(one).collect()[0]
+    e2 = hll_estimate(merged).collect()[0]
+    assert e1.est == e2.est
