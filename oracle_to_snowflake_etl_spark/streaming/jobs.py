@@ -452,3 +452,98 @@ def enrich_with_static(events: DataFrame, dim: DataFrame,
     updates between batches). The canonical enrich-events-with-
     dimension shape; broadcast when the dim is small."""
     return events.join(F.broadcast(dim), key)
+
+
+def maintain_agg_view_stream(stream: DataFrame, target_path: str,
+                             checkpoint: str, key_cols: list[str],
+                             sum_cols: dict[str, str]) -> StreamingQuery:
+    """Continuously maintain a materialized aggregate view from an
+    insert stream — operators/mv.incremental_agg_refresh applied per
+    micro-batch via foreachBatch, the PRODUCTION shape of incremental
+    MV maintenance (the batch oracle query mv_incremental_refresh
+    checks the fold's semantics; this wires it to a live stream and a
+    durable parquet target).
+
+    Each batch: read the current view (tiny — one row per group), fold
+    the batch's signed partials into it (ONE hash agg, no join, the
+    fact stream is touched once), atomically replace the view via
+    write-tmp-then-swap. Contrast the built-in streaming aggregation:
+    that holds the SAME per-group state in the state store but can only
+    emit it to sinks; here the view IS a queryable parquet table after
+    every batch, with no state-store dependency.
+
+    Exactly-once: foreachBatch guarantees at-least-ONCE, and re-folding
+    a committed delta would DOUBLE-COUNT it (the fold is additive, not
+    idempotent the way an anti-join append is) — so the applied batch
+    id is written as an underscore marker file INSIDE the swapped
+    directory. It travels atomically with the view; a replayed batch
+    sees marker >= its own id and skips. (Parquet readers ignore
+    underscore-prefixed files.) Replay safety is pytest-asserted in
+    test_streaming.py.
+
+    At 100 TB: the view stays |groups|-sized regardless of stream
+    volume; if groups themselves are huge, partition the view table on
+    a group-key prefix and swap only touched partitions
+    (sources/readers.overwrite_partitions_dynamic — same composition as
+    merge_upsert_partitioned).
+    """
+    from ..operators.mv import build_agg_view, incremental_agg_refresh
+
+    spark = stream.sparkSession
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        import uuid
+
+        from pyspark.errors import AnalysisException
+
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        p_tgt = jvm.org.apache.hadoop.fs.Path(target_path)
+        fs = p_tgt.getFileSystem(hconf)
+        marker = jvm.org.apache.hadoop.fs.Path(
+            f"{target_path}/_APPLIED_BATCH")
+        if fs.exists(marker):
+            st = fs.open(marker)
+            try:
+                applied = int(bytes(st.readAllBytes()).decode())
+            finally:
+                st.close()
+            if applied >= batch_id:
+                return  # replay of a committed batch: already folded
+        try:
+            mv = spark.read.parquet(target_path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            mv = None
+        delta = batch.withColumn("op", F.lit("I"))
+        if mv is None:
+            refreshed = build_agg_view(batch, key_cols, sum_cols)
+        else:
+            refreshed = incremental_agg_refresh(mv, delta, key_cols, sum_cols)
+        # tmp-write (materializes BEFORE the old view is touched — the
+        # refresh plan reads it), marker into the tmp dir, atomic swap
+        tmp = f"{target_path}__tmp_{uuid.uuid4().hex[:8]}"
+        refreshed.write.mode("overwrite").parquet(tmp)
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(
+            f"{tmp}/_APPLIED_BATCH"), True)
+        try:
+            out.write(str(batch_id).encode())
+        finally:
+            out.close()
+        # swap via rename-to-backup so a crash between steps leaves a
+        # recoverable copy (bak) rather than no view at all
+        p_bak = jvm.org.apache.hadoop.fs.Path(f"{target_path}__bak")
+        fs.delete(p_bak, True)
+        if fs.exists(p_tgt):
+            fs.rename(p_tgt, p_bak)
+        fs.rename(jvm.org.apache.hadoop.fs.Path(tmp), p_tgt)
+        fs.delete(p_bak, True)
+
+    return (
+        stream.writeStream
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

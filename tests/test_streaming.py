@@ -311,3 +311,82 @@ def test_stream_stream_left_outer_emits_after_eviction(spark, tmp_path):
     # key 1 matched; key 2 emitted with NULL right only after eviction
     assert (1, 1) in got, got
     assert (2, None) in got, got
+
+
+def test_stream_mv_maintenance_matches_batch(spark, tmp_path):
+    """foreachBatch MV maintenance: after draining an insert stream in
+    several micro-batches, the parquet view equals a from-scratch batch
+    aggregate of everything ingested — and a re-run with no new data
+    changes nothing (replay/no-op safety via the _APPLIED_BATCH
+    marker)."""
+    from oracle_to_snowflake_etl_spark.operators.mv import build_agg_view
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        maintain_agg_view_stream,
+    )
+
+    src = tmp_path / "mv_src"
+    tgt = str(tmp_path / "mv_tgt")
+    ckp = str(tmp_path / "mv_ckp")
+    src.mkdir()
+
+    schema = "k string, v double"
+    rows1 = [("a", 1.0), ("a", 2.0), ("b", 10.0)]
+    rows2 = [("a", 4.0), ("c", 7.0)]
+    spark.createDataFrame(rows1, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = maintain_agg_view_stream(stream, tgt, ckp, ["k"], {"s": "v"})
+        q.awaitTermination(120)
+
+    run()
+    all_rows = spark.createDataFrame(rows1, schema)
+    expect1 = {tuple(r) for r in
+               build_agg_view(all_rows, ["k"], {"s": "v"}).collect()}
+    assert {tuple(r) for r in spark.read.parquet(tgt).collect()} == expect1
+
+    # second file arrives -> folded incrementally (separate batch)
+    spark.createDataFrame(rows2, schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    run()
+    all_rows = spark.createDataFrame(rows1 + rows2, schema)
+    expect2 = {tuple(r) for r in
+               build_agg_view(all_rows, ["k"], {"s": "v"}).collect()}
+    assert {tuple(r) for r in spark.read.parquet(tgt).collect()} == expect2
+
+    # drain again with nothing new: view unchanged
+    run()
+    assert {tuple(r) for r in spark.read.parquet(tgt).collect()} == expect2
+
+
+def test_stream_mv_replay_skips_committed_batch(spark, tmp_path):
+    """Direct replay-guard check: invoking the fold with an already-
+    applied batch id must be a no-op (at-least-once foreachBatch +
+    additive fold would otherwise double-count)."""
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        maintain_agg_view_stream,
+    )
+
+    src = tmp_path / "rp_src"
+    tgt = str(tmp_path / "rp_tgt")
+    ckp = str(tmp_path / "rp_ckp")
+    src.mkdir()
+    schema = "k string, v double"
+    spark.createDataFrame([("a", 1.0)], schema).coalesce(1) \
+        .write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(schema).parquet(str(src))
+    q = maintain_agg_view_stream(stream, tgt, ckp, ["k"], {"s": "v"})
+    q.awaitTermination(120)
+    before = {tuple(r) for r in spark.read.parquet(tgt).collect()}
+
+    # simulate the at-least-once replay: re-run batch id 0 by hand
+    # through a fresh query on the same target with a FRESH checkpoint
+    # (forces the source to re-deliver everything as batch 0)
+    ckp2 = str(tmp_path / "rp_ckp2")
+    stream2 = spark.readStream.schema(schema).parquet(str(src))
+    q2 = maintain_agg_view_stream(stream2, tgt, ckp2, ["k"], {"s": "v"})
+    q2.awaitTermination(120)
+    after = {tuple(r) for r in spark.read.parquet(tgt).collect()}
+    assert after == before
