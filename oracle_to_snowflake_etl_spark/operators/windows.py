@@ -337,3 +337,43 @@ def ewma_lag(df: DataFrame, part: str, order: list[str], val: str,
         expr = expr + F.coalesce(F.lag(F.col(val), j).over(w),
                                  F.lit(0.0)) * F.lit(2.0 ** -j)
     return df.withColumn(out, expr)
+
+
+def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
+                      ts_col: str = "ts", value_col: str = "value",
+                      order_cols: list[str] | None = None,
+                      scale: int = 1_000_000) -> DataFrame:
+    """Per-key TIME-weighted average (TWAP): each observation weighted
+    by how long it was the current value — Σ vᵢ·Δtᵢ / Σ Δtᵢ over the
+    key's timeline, Δtᵢ = microseconds until the next observation (the
+    last observation carries no duration). The right mean for sampled
+    state (prices, gauge metrics, account balances): a plain AVG
+    over-weights bursts of closely-spaced updates.
+
+    Exactness: value is quantized to an integer (functions/hashing
+    quantize convention), durations are integer microseconds, and both
+    Σ v_q·Δt and Σ Δt accumulate in DECIMAL(38,0) — so the only float
+    steps are two exact-decimal→double casts and ONE division, bit-
+    identical across engines and partitionings (the oracle recomputes
+    identically). ONE shuffle: the per-key window sort; the aggregate
+    reuses its partitioning. Skew = per-key event volume, same bound as
+    every per-key window here.
+    """
+    order_cols = order_cols or [ts_col, "event_id"]
+    w = Window.partitionBy(key_col).orderBy(*[F.col(c) for c in order_cols])
+    us = F.unix_micros(F.col(ts_col))
+    dur = F.lead(us).over(w) - us
+    vq = F.floor(F.col(value_col) * scale + F.lit(0.5)).cast("long")
+    rows = (events
+            .select(key_col, dur.alias("_dur"), vq.alias("_vq"))
+            .where(F.col("_dur").isNotNull()))
+    agg = rows.groupBy(key_col).agg(
+        F.sum((F.col("_vq").cast("decimal(38,0)") * F.col("_dur"))
+              .cast("decimal(38,0)")).alias("_num"),
+        F.sum(F.col("_dur").cast("decimal(38,0)")).alias("_den"),
+        F.count(F.lit(1)).alias("n_intervals"))
+    return agg.select(
+        key_col, "n_intervals",
+        F.col("_den").cast("long").alias("span_us"),
+        F.floor(F.col("_num").cast("double") / F.col("_den").cast("double")
+                + F.lit(0.5)).cast("long").alias("twap_q6"))

@@ -374,3 +374,38 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return funnel_times(events, ["view", "click", "purchase"])
+
+
+@register(
+    "ev_twap_user_value",
+    """
+    WITH d AS (
+      SELECT user_id,
+             epoch_us(lead(ts) OVER w) - epoch_us(ts) AS dur,
+             CAST(floor(CAST(value AS DOUBLE) * 1000000 + 0.5) AS BIGINT) AS vq
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           COUNT(*) AS n_intervals,
+           CAST(SUM(CAST(dur AS DECIMAL(38,0))) AS BIGINT) AS span_us,
+           CAST(floor(
+             CAST(SUM(CAST(CAST(vq AS DECIMAL(38,0)) * dur AS DECIMAL(38,0)))
+                  AS DOUBLE)
+             / CAST(SUM(CAST(dur AS DECIMAL(38,0))) AS DOUBLE) + 0.5)
+           AS BIGINT) AS twap_q6
+    FROM d
+    WHERE dur IS NOT NULL
+    GROUP BY user_id
+    """)
+def q_ev_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user time-weighted average event value
+    (operators/windows.time_weighted_avg): each value weighted by its
+    holding duration — the correct mean for sampled state, where plain
+    AVG over-weights update bursts. Integer-microsecond durations and
+    quantized values accumulate in exact DECIMAL, so the single final
+    division is engine-identical."""
+    from ..operators.windows import time_weighted_avg
+
+    events = load_table(spark, sf_dir, "events")
+    return time_weighted_avg(events)

@@ -112,3 +112,28 @@ def test_tumbling_value_col_renamed(spark):
     df = spark.createDataFrame(rows, "ts timestamp, event_type string, amt double")
     out = tumbling_counts(df, minutes=5, value_col="amt").collect()
     assert len(out) == 1 and out[0].n == 2 and out[0].value_sum == 3.0
+
+
+def test_twap_single_shuffle_and_reduces_to_avg(spark, sf_dir):
+    """TWAP plans ONE exchange (the groupBy reuses the window's hash
+    partitioning), and with UNIFORM durations it degenerates to the
+    plain mean of the non-final observations — the sanity anchor."""
+    from oracle_to_snowflake_etl_spark.operators.windows import (
+        time_weighted_avg,
+    )
+    from oracle_to_snowflake_etl_spark.plans.inspect import exchange_count
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    out = time_weighted_avg(events)
+    assert exchange_count(out) <= 1
+
+    # uniform-duration anchor: equally spaced synthetic timeline
+    rows = [(1, i, float(10 + i)) for i in range(5)]
+    df = spark.createDataFrame(rows, "user_id long, sec long, value double") \
+        .select("user_id", F.timestamp_seconds(F.col("sec") * 60).alias("ts"),
+                F.col("sec").alias("event_id"), "value")
+    got = time_weighted_avg(df).collect()[0]
+    # last value (14.0) carries no duration; mean of 10..13 = 11.5
+    assert got.twap_q6 == 11_500_000
+    assert got.n_intervals == 4
