@@ -221,3 +221,26 @@ def shard_assign(df: DataFrame, key_col: str, n_shards: int,
         F.col("_h").asc(), F.col(key_col).asc())
     return (out.withColumn("pos", F.row_number().over(w) - 1)
             .drop("_h"))
+
+
+def write_shards(df: DataFrame, path: str, key_col: str, n_shards: int,
+                 salt: str = "shard") -> None:
+    """Materialize :func:`shard_assign`'s deterministic global shuffle
+    as a training-ready parquet layout: ``shard=K/`` directories, ONE
+    file per shard, rows stored in shuffled (hash) order — so a data
+    loader can stream shard files sequentially and read globally-
+    shuffled examples with zero seek logic.
+
+    ``repartition(n_shards, "shard")`` makes the physical partition the
+    shard (hash-partitioning on the shard id is identity mod n), and
+    ``sortWithinPartitions("shard", "pos")`` fixes the in-file order;
+    partitionBy writes each as its directory. One shuffle + one sort —
+    the same two steps :func:`shard_assign` already plans, now with a
+    writer attached. At 100 TB pick n_shards for a few GB per file;
+    hash-uniform keys mean no shard skews and the write parallelizes
+    across exactly n_shards tasks.
+    """
+    out = shard_assign(df, key_col, n_shards, salt)
+    (out.repartition(n_shards, "shard")
+        .sortWithinPartitions("shard", "pos")
+        .write.mode("overwrite").partitionBy("shard").parquet(path))

@@ -108,3 +108,34 @@ def test_shard_assign_balance(spark, sf_dir):
              shard_assign(docs, "doc_id", 8).groupBy("shard")
              .agg(F.count("*").alias("c")).collect()}
     assert all(c <= 2 * n / 8 for c in sizes.values())
+
+
+def test_write_shards_layout_and_order(spark, sf_dir, tmp_path):
+    """write_shards produces shard=K dirs, one data file each, rows in
+    pos order inside every file, and the union re-reads losslessly."""
+    import glob
+
+    from oracle_to_snowflake_etl_spark.operators.sampling import (
+        shard_assign,
+        write_shards,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    path = str(tmp_path / "shards")
+    write_shards(docs, path, "doc_id", 8)
+
+    dirs = sorted(glob.glob(path + "/shard=*"))
+    assert len(dirs) == 8
+    for d in dirs:
+        files = [f for f in glob.glob(d + "/*.parquet")]
+        assert len(files) == 1, d
+        pdf = spark.read.parquet(d).select("pos").toPandas()
+        assert list(pdf["pos"]) == sorted(pdf["pos"])
+
+    back = spark.read.parquet(path)
+    expect = shard_assign(docs, "doc_id", 8)
+    assert back.count() == expect.count()
+    assert {(r.doc_id, r.shard, r.pos) for r in
+            back.select("doc_id", "shard", "pos").collect()} == \
+        {(r.doc_id, r.shard, r.pos) for r in
+         expect.select("doc_id", "shard", "pos").collect()}
