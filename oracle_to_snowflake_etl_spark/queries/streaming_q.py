@@ -251,3 +251,37 @@ def q_stream_enrich_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "user_id", "event_type")
     return drain_to_memory(enrich_with_static(stream, dim),
                            "stream_enrich_user_tier", output_mode="append")
+
+
+@register(
+    "stream_mv_event_totals",
+    f"""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS {_DECU})) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY event_type
+    """)
+def q_stream_mv_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MATERIALIZED-VIEW maintenance end to end
+    (streaming/jobs.maintain_agg_view_stream): the events stream is
+    folded batch-by-batch into a durable parquet aggregate view via
+    foreachBatch + operators/mv.incremental_agg_refresh + atomic swap
+    (exactly-once via the in-directory batch marker), then the view is
+    READ BACK from disk and value-hashed against the batch GROUP BY —
+    the fold-equals-rebuild contract proven on the production write
+    path, not a memory sink."""
+    import tempfile
+
+    from ..streaming.jobs import maintain_agg_view_stream
+
+    work = tempfile.mkdtemp(prefix="stream_mv_")
+    tgt, ckp = f"{work}/view", f"{work}/ckp"
+    stream = read_events_stream(spark, sf_dir).select("event_type", "value")
+    q = maintain_agg_view_stream(stream, tgt, ckp,
+                                 ["event_type"], {"vs": "value"})
+    q.awaitTermination(300)
+    view = spark.read.parquet(tgt)
+    return view.select(
+        "event_type", "n",
+        F.col("vs").cast("double").alias("value_sum"))
