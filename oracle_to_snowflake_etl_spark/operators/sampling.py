@@ -244,3 +244,46 @@ def write_shards(df: DataFrame, path: str, key_col: str, n_shards: int,
     (out.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite").partitionBy("shard").parquet(path))
+
+
+def mixture_sample(df: DataFrame, mix_col: str, key_col: str,
+                   weights: dict[str, float],
+                   salt: str = "mix") -> DataFrame:
+    """Deterministic MIXTURE resampling: subsample so the corpus's
+    expected composition over ``mix_col`` matches ``weights`` (a target
+    distribution over sources/languages/domains — how training mixes
+    are actually specified), while keeping as much data as possible:
+    the binding stratum is kept whole and everything else downsamples
+    around it.
+
+        T      = min_s n_s / w_s      (largest feasible total)
+        rate_s = w_s * T / n_s        (<= 1, = 1 for the binding s)
+
+    Strata not in ``weights`` are dropped (weight 0). Per-row
+    membership is the module's hash contract — reruns, repartitioning
+    and corpus growth never flip an existing row (growth DOES adjust
+    rates: recompute against current counts; pin ``salt`` per snapshot
+    for stable membership within one build).
+
+    Plan: the fact is scanned ONCE with a broadcast-joined per-stratum
+    rate (two tiny aggregates: counts, then the 1-row min) — zero fact
+    shuffles. Rates are derived in a fixed float op order ((w*T)/n) so
+    the acceptance boundary is bit-identical on any engine.
+    """
+    w_expr = None
+    for name, w in sorted(weights.items()):
+        cond = F.col(mix_col) == name
+        w_expr = (F.when(cond, F.lit(float(w))) if w_expr is None
+                  else w_expr.when(cond, F.lit(float(w))))
+    w_expr = w_expr.otherwise(F.lit(None))
+    counts = (df.groupBy(mix_col).agg(F.count(F.lit(1)).alias("_n"))
+              .withColumn("_w", w_expr).where(F.col("_w").isNotNull()))
+    q = counts.select((F.col("_n").cast("double") / F.col("_w")).alias("_q"))
+    t = q.agg(F.min("_q").alias("_t"))
+    rates = (counts.crossJoin(F.broadcast(t))
+             .select(mix_col,
+                     ((F.col("_w") * F.col("_t"))
+                      / F.col("_n").cast("double")).alias("_rate")))
+    u = _unit(F.col(key_col), salt)
+    return (df.join(F.broadcast(rates), mix_col)
+            .where(u < F.col("_rate")).drop("_rate"))

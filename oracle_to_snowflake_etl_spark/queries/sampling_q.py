@@ -176,3 +176,39 @@ def q_shard_assign_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = shard_assign(docs, "doc_id", 8)
     return out.select("doc_id", "shard", F.col("pos").cast("long").alias("pos"))
+
+
+#: target training-mix over languages for the mixture query
+MIX_WEIGHTS = {"de": 0.1, "en": 0.5, "es": 0.1, "fr": 0.1, "zh": 0.2}
+
+_MIX_U = _duck_unit("mix", "doc_id")
+_MIX_VALUES = ", ".join(f"('{k}', {float(v)!r})"
+                        for k, v in sorted(MIX_WEIGHTS.items()))
+
+
+@register(
+    "mixture_sample_langs",
+    f"""
+    WITH w(lang, wt) AS (VALUES {_MIX_VALUES}),
+    n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+    r0 AS (SELECT n.lang, wt, n, CAST(n AS DOUBLE) / wt AS q
+           FROM n JOIN w USING (lang)),
+    t AS (SELECT MIN(q) AS tmax FROM r0),
+    r AS (SELECT lang, (wt * tmax) / CAST(n AS DOUBLE) AS rate FROM r0, t)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN r USING (lang)
+    WHERE {_MIX_U} < rate
+    """)
+def q_mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-mix resampling (operators/sampling.
+    mixture_sample): subsample so the language composition matches the
+    target weights (en 50%, zh 20%, de/es/fr 10%) while keeping the
+    binding language whole — the data-mixing step of a training
+    pipeline. One fact scan with broadcast per-stratum rates; the
+    oracle recomputes every row's fate with the identical hash and
+    rate arithmetic."""
+    from ..operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, "lang", "doc_id", MIX_WEIGHTS) \
+        .select("doc_id", "lang")

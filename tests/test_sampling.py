@@ -139,3 +139,28 @@ def test_write_shards_layout_and_order(spark, sf_dir, tmp_path):
             back.select("doc_id", "shard", "pos").collect()} == \
         {(r.doc_id, r.shard, r.pos) for r in
          expect.select("doc_id", "shard", "pos").collect()}
+
+
+def test_mixture_sample_hits_target_composition(spark):
+    """mixture_sample keeps the binding stratum whole and lands every
+    other stratum within binomial noise of its target share; unlisted
+    strata drop entirely."""
+    from oracle_to_snowflake_etl_spark.operators.sampling import (
+        mixture_sample,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    weights = {"en": 0.5, "zh": 0.2, "de": 0.3}
+    out = mixture_sample(docs, "lang", "doc_id", weights)
+    got = {r.lang: r.n for r in
+           out.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) <= set(weights)  # es/fr dropped
+    n_in = {r.lang: r.n for r in
+            docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    t_max = min(n_in[s] / w for s, w in weights.items())
+    binding = min(weights, key=lambda s: n_in[s] / weights[s])
+    assert got[binding] == n_in[binding]  # kept whole
+    total = sum(got.values())
+    for s, w in weights.items():
+        # expected share w with ~sqrt noise; loose 10-point tolerance
+        assert abs(got[s] / total - w) < 0.10, (s, got, t_max)
