@@ -359,6 +359,61 @@ def label_centroids(df: DataFrame, vec_col: str = "embedding",
                     .alias("centroid_q")))
 
 
+def srp_band_pairs_incremental(new_df: DataFrame, corpus_codes: DataFrame,
+                               corpus_vecs: DataFrame,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               bands: int = SRP_BANDS,
+                               bits: int = SRP_BITS_PER_BAND) -> DataFrame:
+    """Incremental SRP near-dup ingest — the embedding-space twin of
+    operators/dedup.minhash_lsh_pairs_incremental: match a NEW vector
+    batch against a PRECOMPUTED corpus code index (``corpus_codes``:
+    (doc, code) from :func:`with_srp_code` — ONE long per vector, ~1.5%
+    of a 64-float embedding) plus the batch itself. Only the batch runs
+    the projection UDF; corpus vectors are touched ONLY to rescore the
+    output-bounded candidate set (fetched by id — at rest, that is a
+    point-lookup join against the embeddings table, never a scan).
+
+    Emits srp_band_pairs' (doc_a, doc_b, sim_q6) contract restricted to
+    pairs with at least one new side (doc_a < doc_b) — incremental
+    equals rebuild-minus-corpus-internal, the same no-drift property
+    the MinHash twin pins, oracle-checked by ann_srp_incremental.
+
+    100 TB shape: store the code index bucketed by each band's value
+    (or simply sorted by code — all 4 band extractions are bit ranges
+    of one long); per-ingest shuffle carries the BATCH's (doc, band,
+    bv) rows only, O(|batch| x bands + matches).
+    """
+    new_coded = with_srp_code(new_df, vec_col, id_col)
+    mask = (1 << bits) - 1
+    band_arr = F.posexplode(F.array(*[
+        F.expr(f"(code >> {b * bits}) & {mask}") for b in range(bands)
+    ])).alias("band", "bv")
+    nc = new_coded.select("doc", band_arr)
+    cc = corpus_codes.select("doc", band_arr)
+    x = (cc.select("band", "bv", F.col("doc").alias("c_doc"))
+         .join(nc.select("band", "bv", F.col("doc").alias("n_doc")),
+               ["band", "bv"])
+         .where(F.col("c_doc") != F.col("n_doc"))
+         .select(F.least("c_doc", "n_doc").alias("doc_a"),
+                 F.greatest("c_doc", "n_doc").alias("doc_b"))
+         .dropDuplicates(["doc_a", "doc_b"]))
+    nn = bucket_pairs(nc, ["band", "bv"], ["doc"])
+    cand = x.unionByName(nn.select("doc_a", "doc_b"))
+    emb = (corpus_vecs.select(F.col(id_col).alias("doc"),
+                              F.col(vec_col).alias("vec"))
+           .unionByName(new_df.select(F.col(id_col).alias("doc"),
+                                      F.col(vec_col).alias("vec"))))
+    return (
+        cand.join(emb.select(F.col("doc").alias("doc_a"),
+                             F.col("vec").alias("vec_a")), "doc_a")
+        .join(emb.select(F.col("doc").alias("doc_b"),
+                         F.col("vec").alias("vec_b")), "doc_b")
+        .select("doc_a", "doc_b",
+                _cos_q6_udf()(F.col("vec_a"), F.col("vec_b")).alias("sim_q6"))
+    )
+
+
 def embedding_near_dups(df: DataFrame, threshold_q6: int = 350_000,
                         vec_col: str = "embedding",
                         id_col: str = "vec_id") -> DataFrame:

@@ -233,3 +233,34 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select("vec_id", *quantize_int8(F.col("embedding")))
+
+
+#: ingest split for the incremental SRP query: vectors below are the
+#: standing corpus (code index precomputed), at/above are the new batch
+SRP_INC_SPLIT = 400
+
+
+@register(
+    "ann_srp_incremental",
+    f"""
+    WITH full_pairs AS ({_duck_srp_sql()})
+    SELECT * FROM full_pairs WHERE doc_b >= {SRP_INC_SPLIT}
+    """)
+def q_ann_srp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding near-dup ingest (operators/similarity.
+    srp_band_pairs_incremental): a new vector batch (vec_id >= {split})
+    matched against the standing corpus's one-long-per-vector SRP code
+    index — only the batch is projected; corpus vectors are touched
+    only to rescore the output-bounded candidates. Oracle: the full
+    SRP run restricted to pairs whose greater member is new
+    (incremental == rebuild minus corpus-internal, the no-drift
+    contract, same as dedup_incremental_minhash)."""
+    from ..operators.similarity import (srp_band_pairs_incremental,
+                                        with_srp_code)
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") < SRP_INC_SPLIT)
+    new_batch = emb.where(F.col("vec_id") >= SRP_INC_SPLIT)
+    pairs = srp_band_pairs_incremental(new_batch, with_srp_code(corpus),
+                                       corpus)
+    return pairs.where(F.col("sim_q6") >= NEARDUP_Q6)

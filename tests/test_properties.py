@@ -299,3 +299,29 @@ def test_incremental_minhash_equals_full_restricted(spark):
                    docs.where(F.col("doc_id") >= split),
                    corpus_sigs).collect()}
         assert inc == {p for p in full if p[1] >= split}, split
+
+
+def test_incremental_srp_equals_full_restricted(spark):
+    """No-drift property of the incremental SRP code index, embedding
+    twin of the MinHash test above: batch-vs-index equals the full run
+    restricted to new pairs, at interior and boundary splits."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        srp_band_pairs,
+        srp_band_pairs_incremental,
+        with_srp_code,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    full = {(r.doc_a, r.doc_b, r.sim_q6)
+            for r in srp_band_pairs(emb).collect()}
+    max_id = emb.agg(F.max("vec_id")).collect()[0][0]
+    for split in (0, 250, max_id + 1):
+        corpus = emb.where(F.col("vec_id") < split)
+        inc = {(r.doc_a, r.doc_b, r.sim_q6)
+               for r in srp_band_pairs_incremental(
+                   emb.where(F.col("vec_id") >= split),
+                   with_srp_code(corpus), corpus).collect()}
+        assert inc == {p for p in full if p[1] >= split}, split
