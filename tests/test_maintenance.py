@@ -381,3 +381,33 @@ def test_apply_changes_partitioned_cdc_with_deletes(spark, tmp_path):
     assert day1.where("k = 1").first().val == "new"      # update applied
     assert day1.where("k = 1000").count() == 1           # insert applied
     assert day1.where("k = 4").count() == 0              # delete applied
+
+
+def test_ivf_index_at_rest_prunes_and_matches(spark, tmp_path):
+    """write_ivf_index + ivf_topk_indexed: the persisted-index probe
+    (1) returns exactly the in-memory ivf_topk result and (2) plans
+    partition filters on the cell column, so unprobed cell directories
+    are pruned at planning time."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_indexed,
+        write_ivf_index,
+    )
+    from oracle_to_snowflake_etl_spark.plans.inspect import partition_filters
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path)
+    queries = emb.where(F.col("vec_id") < 4)
+
+    mem = {(r.query_id, r.neighbor_id, r.sim_q6)
+           for r in ivf_topk(emb, queries).collect()}
+    idx_df = ivf_topk_indexed(spark, path, queries)
+    idx = {(r.query_id, r.neighbor_id, r.sim_q6) for r in idx_df.collect()}
+    assert idx == mem and idx
+
+    pf = partition_filters(idx_df)
+    assert any("cell" in f for f in pf), pf
