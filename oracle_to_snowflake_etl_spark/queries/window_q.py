@@ -409,3 +409,70 @@ def q_ev_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = load_table(spark, sf_dir, "events")
     return time_weighted_avg(events)
+
+
+@register(
+    "w_anomaly_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    win AS (
+      SELECT day, cents,
+             SUM(CAST(cents AS DECIMAL(38,0))) OVER w AS s,
+             SUM(CAST(cents AS DECIMAL(19,0))
+                 * CAST(cents AS DECIMAL(19,0))) OVER w AS ssq,
+             COUNT(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (ORDER BY day ROWS BETWEEN 27 PRECEDING AND CURRENT ROW))
+    SELECT day,
+           CAST(cents AS DOUBLE) / 100.0 AS revenue,
+           CAST(n AS BIGINT) AS n_win,
+           CASE WHEN n >= 14 AND
+                     (CAST(ssq AS DOUBLE)
+                      - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                        / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0
+                THEN CAST(floor(
+                  (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+                  / sqrt((CAST(ssq AS DOUBLE)
+                          - CAST(s AS DOUBLE) * CAST(s AS DOUBLE)
+                            / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0))
+                  * 1000 + 0.5) AS BIGINT)
+           END AS z_q3
+    FROM win
+    """)
+def q_w_anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly score on the daily revenue series: each
+    day's z-score against the trailing 28-day mean/stddev — the metric-
+    monitoring query a warehouse runs on its own load volumes. Exactness
+    across engines: daily revenue is integer cents, the window sums
+    Σx and Σx² accumulate in DECIMAL, and the float steps (two
+    divisions, one sqrt, fixed order) are IEEE-identical; warmup days
+    (n<14) and zero-variance windows yield NULL on both sides."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders
+             .groupBy(F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"))
+             .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                        .cast("long")).alias("cents")))
+    w = Window.orderBy("day").rowsBetween(-27, 0)
+    c19 = F.col("cents").cast("decimal(19,0)")
+    win = daily.select(
+        "day", "cents",
+        F.sum(F.col("cents").cast("decimal(38,0)")).over(w).alias("s"),
+        F.sum(c19 * c19).over(w).alias("ssq"),
+        F.count(F.lit(1)).over(w).alias("n"))
+    s_d = F.col("s").cast("double")
+    ssq_d = F.col("ssq").cast("double")
+    n_d = F.col("n").cast("double")
+    var = (ssq_d - s_d * s_d / n_d) / (n_d - F.lit(1.0))
+    z = (F.col("cents").cast("double") - s_d / n_d) / F.sqrt(var)
+    return win.select(
+        "day",
+        (F.col("cents").cast("double") / F.lit(100.0)).alias("revenue"),
+        F.col("n").cast("long").alias("n_win"),
+        F.when((F.col("n") >= 14) & (var > 0),
+               F.floor(z * 1000 + F.lit(0.5)).cast("long"))
+         .alias("z_q3"))
