@@ -478,3 +478,55 @@ def q_sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     cms = count_min_table(toks)
     top = vocab_top_k(docs, 20).withColumnRenamed("n", "n_true")
     return cms_estimate(cms, top, "tok")
+
+
+from .dedup_q import _MINHASH_PAIRS_SQL  # noqa: E402  (module loaded first)
+
+_ING_SPLIT = 400
+_ING_SHARD_H = duck_hash60_sql("'shard' || '|' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "ingest_batch_pipeline",
+    f"""
+    WITH newb AS (SELECT * FROM documents WHERE doc_id >= {_ING_SPLIT}),
+    nh AS (
+      SELECT doc_id, text, {duck_hash60_sql('text')} AS h FROM newb),
+    ch AS (
+      SELECT DISTINCT {duck_hash60_sql('text')} AS h
+      FROM documents WHERE doc_id < {_ING_SPLIT}),
+    exact_ok AS (
+      SELECT doc_id, text FROM (
+        SELECT doc_id, text, h,
+               row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rn
+        FROM nh)
+      WHERE rn = 1 AND h NOT IN (SELECT h FROM ch)),
+    pairs AS ({_MINHASH_PAIRS_SQL}),
+    near_drop AS (
+      SELECT DISTINCT doc_b AS doc_id FROM pairs
+      WHERE doc_b >= {_ING_SPLIT}),
+    surv AS (
+      SELECT doc_id FROM exact_ok
+      WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)
+        AND {_QUALITY_Q6} >= 400000)
+    SELECT doc_id,
+           CAST({_ING_SHARD_H} % 8 AS INTEGER) AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY {_ING_SHARD_H} % 8
+               ORDER BY {_ING_SHARD_H} ASC, doc_id ASC) - 1 AS BIGINT) AS pos
+    FROM surv
+    """)
+def q_ingest_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL sibling of corpus_prep_pipeline
+    (operators/ingest.ingest_batch): a new ingest batch
+    (doc_id >= {split}) accept-filtered against the standing corpus —
+    exact dedup vs the corpus hash index, near-dup vs the MinHash
+    signature index (greedy drop), quality gate, shard assignment —
+    value-checked end to end as ONE oracle. Every stage costs
+    O(batch + matches); the corpus contributes only its indexes."""
+    from ..operators.ingest import ingest_batch
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus = docs.where(F.col("doc_id") < _ING_SPLIT)
+    newb = docs.where(F.col("doc_id") >= _ING_SPLIT)
+    return ingest_batch(corpus, newb)
