@@ -278,12 +278,15 @@ def mixture_sample(df: DataFrame, mix_col: str, key_col: str,
     w_expr = w_expr.otherwise(F.lit(None))
     counts = (df.groupBy(mix_col).agg(F.count(F.lit(1)).alias("_n"))
               .withColumn("_w", w_expr).where(F.col("_w").isNotNull()))
-    q = counts.select((F.col("_n").cast("double") / F.col("_w")).alias("_q"))
-    t = q.agg(F.min("_q").alias("_t"))
-    rates = (counts.crossJoin(F.broadcast(t))
-             .select(mix_col,
-                     ((F.col("_w") * F.col("_t"))
-                      / F.col("_n").cast("double")).alias("_rate")))
+    # T = min over strata via an unpartitioned window on the TINY rate
+    # frame (one row per stratum) — same float op order as the oracle's
+    # MIN CTE, and no join node at all (a 1-row crossJoin would plan
+    # BroadcastNestedLoopJoin and trip the no-nested-loop invariant)
+    t = F.min(F.col("_n").cast("double") / F.col("_w")) \
+         .over(Window.partitionBy())
+    rates = counts.select(
+        mix_col,
+        ((F.col("_w") * t) / F.col("_n").cast("double")).alias("_rate"))
     u = _unit(F.col(key_col), salt)
     return (df.join(F.broadcast(rates), mix_col)
             .where(u < F.col("_rate")).drop("_rate"))
