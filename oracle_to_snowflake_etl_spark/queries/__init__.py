@@ -85,8 +85,10 @@ PRIORITY = [
     "text_quality_features", "text_lang_id", "mv_incremental_refresh",
     "text_winnow_fp", "text_corpus_quantiles", "text_decontaminate",
     "pii_redact_contacts", "text_bm25_topk", "corpus_prep_pipeline",
-    # Multimodal
-    "mm_catalog", "mm_byte_stats", "mm_frame_sample", "mm_image_features",
+    # Multimodal (mm_byte_stats stays full-local-checked; its slot
+    # carries the round-4 incremental ingest composition instead)
+    "mm_catalog", "ingest_batch_pipeline", "mm_frame_sample",
+    "mm_image_features",
     # Windows / event-time
     "w_running_spend", "w_range_1h_value", "ev_sessions", "ev_tumbling_5m",
     "ev_gapfill_hourly", "funnel_view_click_purchase",

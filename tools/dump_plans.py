@@ -76,6 +76,18 @@ HEADLINERS = [
      "Deterministic training-shard shuffle: exactly one Exchange on "
      "the shard key feeding a per-shard sort — the minimum physical "
      "work a shuffled shard writer can do."),
+    ("ingest_batch_pipeline",
+     "Incremental ingest composition: hash anti-join vs the corpus "
+     "hash index, LSH near-dup vs the signature index, codegen "
+     "quality predicate, one shard Exchange — every stage "
+     "batch-sized, corpus text never read."),
+    ("mixture_sample_langs",
+     "Training-mix resampling: per-stratum rates from two tiny "
+     "aggregates (window-min, no join node), broadcast onto a single "
+     "fact scan — zero fact shuffles."),
+    ("ev_twap_user_value",
+     "Time-weighted average: one window sort; the per-key aggregate "
+     "reuses the window's hash partitioning — one Exchange total."),
 ]
 
 
