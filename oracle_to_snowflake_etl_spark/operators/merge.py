@@ -191,3 +191,58 @@ def apply_changes(target: DataFrame, changes: DataFrame,
     upserts = (latest.where(F.col(op_col) != "D").drop(op_col)
                .select(*target.columns))
     return untouched.unionByName(upserts)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
+                  op_col: str = "op", form: str = "latest") -> DataFrame:
+    """Derive the CDC changelog that transforms snapshot ``old`` into
+    snapshot ``new`` — the INVERSE of :func:`apply_changes`, for
+    sources that only hand you full table states (the reference's
+    Oracle extract is exactly that): diff once, then ship/apply the
+    (typically tiny) changelog instead of the table.
+
+    Shapes (same key+payload columns as the snapshots):
+      form="latest"  one row per changed key — 'I' (new-only, new
+                     payload), 'D' (old-only, old payload), 'U'
+                     (payload differs, NEW payload). Feed to
+                     :func:`apply_changes`; the roundtrip
+                     apply_changes(old, diff) == new is pytest-asserted.
+      form="pair"    updates become the D(old payload) + I(new payload)
+                     pair — the before-image convention
+                     operators/mv.incremental_agg_refresh needs; its
+                     roundtrip refresh(view(old), diff) == view(new) is
+                     pytest-asserted too.
+
+    Plan: ONE full-outer join on the keys (the only construction that
+    sees inserts, deletes and updates in a single pass). A full-outer
+    cannot broadcast, so both snapshots shuffle — at 100 TB store
+    snapshots BUCKETED on the keys and the join runs zero-exchange;
+    unchanged keys are dropped by a null-safe struct compare, so the
+    output is bounded by the true change volume. Emitted ``seq`` is a
+    constant 1: a single diff is one atomic generation (chain diffs by
+    passing increasing seqs to apply_changes).
+    """
+    payload_cols = [c for c in new.columns if c not in key_cols]
+    o = old.select(*key_cols, F.struct(*payload_cols).alias("_old"))
+    n = new.select(*key_cols, F.struct(*payload_cols).alias("_new"))
+    j = o.join(n, key_cols, "full_outer")
+    changed = j.where(~F.col("_old").eqNullSafe(F.col("_new")))
+    ins = changed.where(F.col("_old").isNull()).select(
+        *key_cols, F.lit("I").alias(op_col), F.col("_new").alias("_p"))
+    dels = changed.where(F.col("_new").isNull()).select(
+        *key_cols, F.lit("D").alias(op_col), F.col("_old").alias("_p"))
+    upd = changed.where(F.col("_old").isNotNull() & F.col("_new").isNotNull())
+    if form == "latest":
+        ups = upd.select(*key_cols, F.lit("U").alias(op_col),
+                         F.col("_new").alias("_p"))
+        out = ins.unionByName(dels).unionByName(ups)
+    elif form == "pair":
+        ups = (upd.select(*key_cols, F.lit("D").alias(op_col),
+                          F.col("_old").alias("_p"))
+               .unionByName(upd.select(*key_cols, F.lit("I").alias(op_col),
+                                       F.col("_new").alias("_p"))))
+        out = ins.unionByName(dels).unionByName(ups)
+    else:
+        raise ValueError(f"unknown form: {form!r}")
+    return out.select(*key_cols, op_col, F.lit(1).alias("seq"),
+                      *[F.col(f"_p.{c}").alias(c) for c in payload_cols])

@@ -1003,3 +1003,57 @@ def q_sketch_hll_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         "month", F.col("used").cast("long").alias("used_buckets"),
         F.floor(F.col("est") + 0.5).cast("long").alias("est_n"),
         "exact_n")
+
+
+@register(
+    "cdc_snapshot_diff",
+    """
+    WITH old_s AS (
+      SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders),
+    new_s AS (
+      SELECT o_orderkey, o_orderstatus,
+             CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_orderstatus, o_totalprice
+      FROM orders WHERE o_orderkey % 17 = 0),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS k,
+             o.o_orderkey AS ok, n.o_orderkey AS nk,
+             o.o_orderstatus AS o_st, o.o_totalprice AS o_pr,
+             n.o_orderstatus AS n_st, n.o_totalprice AS n_pr
+      FROM old_s o FULL OUTER JOIN new_s n ON o.o_orderkey = n.o_orderkey)
+    SELECT k AS o_orderkey,
+           CASE WHEN ok IS NULL THEN 'I'
+                WHEN nk IS NULL THEN 'D' ELSE 'U' END AS op,
+           CAST(1 AS INT) AS seq,
+           CASE WHEN nk IS NOT NULL THEN n_st ELSE o_st END AS o_orderstatus,
+           CASE WHEN nk IS NOT NULL THEN n_pr ELSE o_pr END AS o_totalprice
+    FROM j
+    WHERE NOT (ok IS NOT NULL AND nk IS NOT NULL
+               AND o_st IS NOT DISTINCT FROM n_st
+               AND o_pr IS NOT DISTINCT FROM n_pr)
+    """)
+def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-diff CDC derivation (operators/merge.snapshot_diff, the
+    inverse of apply_changes): given two full table states — deletes
+    (every 13th key), price updates (every 11th doubled), inserts
+    (every 17th re-keyed) — emit exactly the I/U/D changelog that
+    replays one into the other; output bounded by true change volume.
+    The apply_changes and MV-refresh roundtrips are pytest-asserted;
+    this oracle checks the derived changelog row-for-row."""
+    from ..operators.merge import snapshot_diff
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice")
+    new_s = (orders.where(F.col("o_orderkey") % 13 != 0)
+             .withColumn("o_totalprice",
+                         F.when(F.col("o_orderkey") % 11 == 0,
+                                F.col("o_totalprice") * 2)
+                          .otherwise(F.col("o_totalprice")))
+             .unionByName(
+                 orders.where(F.col("o_orderkey") % 17 == 0).select(
+                     (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+                     "o_orderstatus", "o_totalprice")))
+    return snapshot_diff(orders, new_s, ["o_orderkey"])

@@ -210,3 +210,57 @@ def test_hll_merge_equals_single_pass(spark):
     e1 = hll_estimate(one).collect()[0]
     e2 = hll_estimate(merged).collect()[0]
     assert e1.est == e2.est
+
+
+def _snapshots(spark):
+    """old = current orders; new = a mutated copy (price bump on %11,
+    deletes on %13, brand-new keys via id shift)."""
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice")
+    old = orders
+    mutated = old.where(F.col("o_orderkey") % 13 != 0).withColumn(
+        "o_totalprice",
+        F.when(F.col("o_orderkey") % 11 == 0, F.col("o_totalprice") * 2)
+         .otherwise(F.col("o_totalprice")))
+    inserts = old.where(F.col("o_orderkey") % 17 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        "o_orderpriority", "o_totalprice")
+    return old, mutated.unionByName(inserts)
+
+
+def test_snapshot_diff_roundtrip_apply_changes(spark):
+    """apply_changes(old, snapshot_diff(old, new)) == new — the diff is
+    exactly the changelog that replays one snapshot into the other."""
+    from oracle_to_snowflake_etl_spark.operators.merge import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    old, new = _snapshots(spark)
+    diff = snapshot_diff(old, new, ["o_orderkey"])
+    replayed = apply_changes(old, diff, ["o_orderkey"], "seq")
+    assert _rows(replayed) == _rows(new)
+    # the diff is bounded by true change volume, not table size
+    assert diff.count() < old.count()
+
+
+def test_snapshot_diff_pair_form_drives_mv_refresh(spark):
+    """refresh(view(old), snapshot_diff(..., form='pair')) == view(new):
+    the before-image pair convention closes the loop between snapshot
+    diffing and incremental MV maintenance."""
+    from oracle_to_snowflake_etl_spark.operators.merge import snapshot_diff
+
+    old, new = _snapshots(spark)
+    keys, sums = ["o_orderpriority"], {"s": "o_totalprice"}
+    diff = snapshot_diff(old, new, ["o_orderkey"], form="pair")
+    refreshed = incremental_agg_refresh(
+        build_agg_view(old, keys, sums),
+        diff.select("o_orderpriority", "o_totalprice", "op"), keys, sums)
+    assert _rows(refreshed) == _rows(build_agg_view(new, keys, sums))
+
+
+def test_snapshot_diff_identical_snapshots_is_empty(spark):
+    from oracle_to_snowflake_etl_spark.operators.merge import snapshot_diff
+
+    old, _ = _snapshots(spark)
+    assert snapshot_diff(old, old, ["o_orderkey"]).count() == 0
