@@ -325,3 +325,33 @@ def test_incremental_srp_equals_full_restricted(spark):
                    emb.where(F.col("vec_id") >= split),
                    with_srp_code(corpus), corpus).collect()}
         assert inc == {p for p in full if p[1] >= split}, split
+
+
+def test_ingest_batch_general_id_layout(spark):
+    """ingest_batch's drop policy is about NEW-ness, not id order: with
+    corpus ids RE-KEYED ABOVE the batch's (so corpus members are the
+    greater side of every cross pair), the accepted set equals the
+    canonical-layout run on the mirrored data."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.ingest import ingest_batch
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    lo = docs.where(F.col("doc_id") < 400)
+    hi = docs.where(F.col("doc_id") >= 400)
+
+    # canonical layout: corpus has the smaller ids
+    canon = {r.doc_id for r in
+             ingest_batch(lo, hi).select("doc_id").collect()}
+
+    # mirrored layout: same corpus docs re-keyed ABOVE every batch id;
+    # batch keeps its ids, so every corpus-batch pair now has the
+    # corpus member as doc_b
+    lo_hi = lo.withColumn("doc_id", F.col("doc_id") + 100_000)
+    mirrored = {r.doc_id for r in
+                ingest_batch(lo_hi, hi).select("doc_id").collect()}
+
+    # exact/near dedup vs the corpus and quality do not depend on ids;
+    # only within-batch exact/near ties do — and the batch is unchanged
+    assert mirrored == canon
