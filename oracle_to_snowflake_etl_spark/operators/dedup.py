@@ -692,3 +692,66 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
             docs.unpersist()
         ranked.unpersist()
         cand.unpersist()
+
+
+def containment_pairs_incremental(new_df: DataFrame,
+                                  corpus_docs: DataFrame,
+                                  threshold: float = 0.8,
+                                  text_col: str = "text",
+                                  id_col: str = "doc_id",
+                                  k: int = 3) -> DataFrame:
+    """Incremental doc-in-doc containment: which NEW documents are
+    mostly contained in something already ingested (or in a batch
+    sibling) — boilerplate detection at ingest time. Contained side =
+    the new batch; containing side = corpus ∪ batch. ``corpus_docs``
+    is the corpus's stored (doc, sh) shingle index
+    (:func:`shingled_docs` output) — corpus TEXT is never read.
+
+    Lossless by the same pigeonhole as :func:`containment_pairs`: if
+    |A∩B|/|A| >= t then B misses fewer than |A| - ceil(t|A|) + 1 of
+    A's shingles, so ANY batch-side prefix of that size hits B. The
+    batch prefix here orders by plain shingle hash (batch-local, no
+    global DF stats needed — recall is order-independent, rarest-first
+    ordering is only a candidate-volume optimization the full-corpus
+    operator can afford because it computes corpus-wide DF anyway).
+    The containing index is then LOSSLESSLY bounded by a semi-join
+    against the batch's prefix-shingle set — per-ingest cost
+    O(|batch| + Σ_{h in batch prefixes} DF(h) + matches), never a
+    corpus pair scan.
+
+    Returns (doc_a=contained NEW doc, doc_b=containing doc,
+    containment), exact-rescored. Oracle: the brute-force ordered-pairs
+    containment restricted to contained ∈ batch
+    (dedup_containment_incr).
+    """
+    batch = shingled_docs(new_df, text_col, id_col, k)
+    all_docs = corpus_docs.unionByName(batch)
+    bsh = (batch.select("doc", F.explode("sh").alias("s"))
+           .select("doc", F.xxhash64("s").alias("h")))
+    from pyspark.sql import Window as _W
+
+    nn = F.count(F.lit(1)).over(_W.partitionBy("doc"))
+    rr = F.row_number().over(_W.partitionBy("doc").orderBy("h"))
+    prefix = (bsh.withColumn("_n", nn).withColumn("_r", rr)
+              .where(F.col("_r")
+                     <= (F.col("_n")
+                         - F.ceil(F.col("_n") * F.lit(float(threshold)))
+                         + 1))
+              .select(F.col("doc").alias("doc_a"), "h"))
+    pre_h = prefix.select("h").distinct()
+    ash = (all_docs.select("doc", F.explode("sh").alias("s"))
+           .select(F.col("doc").alias("doc_b"), F.xxhash64("s").alias("h")))
+    idx = ash.join(pre_h, "h", "left_semi")
+    cand = (prefix.join(idx, "h")
+            .where(F.col("doc_a") != F.col("doc_b"))
+            .select("doc_a", "doc_b").dropDuplicates())
+    da = batch.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
+    db = all_docs.select(F.col("doc").alias("doc_b"),
+                         F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(da, "doc_a").join(db, "doc_b")
+        .withColumn("containment", inter.cast("double") / F.size("sh_a"))
+        .where(F.col("containment") >= threshold)
+        .select("doc_a", "doc_b", "containment")
+    )

@@ -244,3 +244,33 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import containment_pairs
 
     return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_containment_incr",
+    f"""
+    WITH docs AS (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS sh FROM documents)
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
+             AS containment
+    FROM docs a JOIN docs b ON a.doc != b.doc
+    WHERE a.doc >= {_INC_SPLIT}
+      AND len(a.sh) > 0 AND len(b.sh) > 0
+      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
+    """)
+def q_dedup_containment_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental containment at ingest (operators/dedup.
+    containment_pairs_incremental): which NEW documents (doc_id >=
+    {split}) are >=80% contained in the standing corpus's stored
+    shingle index or a batch sibling — boilerplate detection per drop,
+    O(batch + prefix-hit index + matches). Oracle: brute-force ordered
+    containment restricted to contained-side-new."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (containment_pairs_incremental,
+                                   shingled_docs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_idx = shingled_docs(docs.where(F.col("doc_id") < _INC_SPLIT))
+    newb = docs.where(F.col("doc_id") >= _INC_SPLIT)
+    return containment_pairs_incremental(newb, corpus_idx)

@@ -355,3 +355,31 @@ def test_ingest_batch_general_id_layout(spark):
     # exact/near dedup vs the corpus and quality do not depend on ids;
     # only within-batch exact/near ties do — and the batch is unchanged
     assert mirrored == canon
+
+
+def test_incremental_containment_equals_full_restricted(spark):
+    """Third member of the incremental family: batch-vs-corpus-index
+    containment equals the full-corpus run restricted to contained-side
+    -new, at interior and boundary splits — even though the batch-local
+    prefix ORDER differs from the full run's DF order (losslessness is
+    order-independent; only candidate volume isn't)."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_incremental,
+        shingled_docs,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    full = {(r.doc_a, r.doc_b, r.containment)
+            for r in containment_pairs(docs).collect()}
+    max_id = docs.agg(F.max("doc_id")).collect()[0][0]
+    for split in (0, 200, max_id + 1):
+        corpus_idx = shingled_docs(docs.where(F.col("doc_id") < split))
+        inc = {(r.doc_a, r.doc_b, r.containment)
+               for r in containment_pairs_incremental(
+                   docs.where(F.col("doc_id") >= split),
+                   corpus_idx).collect()}
+        assert inc == {p for p in full if p[0] >= split}, split
