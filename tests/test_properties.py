@@ -383,3 +383,30 @@ def test_incremental_containment_equals_full_restricted(spark):
                    docs.where(F.col("doc_id") >= split),
                    corpus_idx).collect()}
         assert inc == {p for p in full if p[0] >= split}, split
+
+
+def test_ingest_batch_stored_indexes_equal_inline(spark):
+    """The at-scale contract: passing the PRECOMPUTED hash and signature
+    index tables (as they would be read from storage) produces exactly
+    the inline-derived result — so a deployment can keep corpus text
+    cold."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.functions.hashing import hash60
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        with_minhash_signature,
+    )
+    from oracle_to_snowflake_etl_spark.operators.ingest import ingest_batch
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    corpus = docs.where(F.col("doc_id") < 400)
+    batch = docs.where(F.col("doc_id") >= 400)
+
+    inline = {tuple(r) for r in ingest_batch(corpus, batch).collect()}
+    hashes = corpus.select(hash60(F.col("text")).alias("_h")).distinct()
+    sigs = with_minhash_signature(corpus)
+    stored = {tuple(r) for r in
+              ingest_batch(corpus, batch, corpus_sigs=sigs,
+                           corpus_hashes=hashes).collect()}
+    assert stored == inline and stored
