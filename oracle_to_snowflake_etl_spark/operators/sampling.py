@@ -248,11 +248,14 @@ def write_shards(df: DataFrame, path: str, key_col: str, n_shards: int,
 
 def mixture_sample(df: DataFrame, mix_col: str, key_col: str,
                    weights: dict[str, float],
-                   salt: str = "mix") -> DataFrame:
+                   salt: str = "mix",
+                   measure_col: str | None = None) -> DataFrame:
     """Deterministic MIXTURE resampling: subsample so the corpus's
     expected composition over ``mix_col`` matches ``weights`` (a target
     distribution over sources/languages/domains — how training mixes
-    are actually specified), while keeping as much data as possible:
+    are actually specified; pass ``measure_col`` to target TOKEN/byte
+    mass instead of document count), while keeping as much data as
+    possible:
     the binding stratum is kept whole and everything else downsamples
     around it.
 
@@ -276,7 +279,14 @@ def mixture_sample(df: DataFrame, mix_col: str, key_col: str,
         w_expr = (F.when(cond, F.lit(float(w))) if w_expr is None
                   else w_expr.when(cond, F.lit(float(w))))
     w_expr = w_expr.otherwise(F.lit(None))
-    counts = (df.groupBy(mix_col).agg(F.count(F.lit(1)).alias("_n"))
+    # stratum mass: row count by default, or a measure column's sum —
+    # training mixes are usually specified over TOKEN mass, and with a
+    # per-row Bernoulli rate the expected kept mass from stratum s is
+    # rate_s * mass_s = w_s * T exactly, so the token-weighted target
+    # composition holds in expectation with the same machinery
+    mass = (F.count(F.lit(1)) if measure_col is None
+            else F.sum(F.col(measure_col)))
+    counts = (df.groupBy(mix_col).agg(mass.alias("_n"))
               .withColumn("_w", w_expr).where(F.col("_w").isNotNull()))
     # T = min over strata via an unpartitioned window on the TINY rate
     # frame (one row per stratum) — same float op order as the oracle's

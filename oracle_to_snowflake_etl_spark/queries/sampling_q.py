@@ -212,3 +212,31 @@ def q_mixture_sample_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return mixture_sample(docs, "lang", "doc_id", MIX_WEIGHTS) \
         .select("doc_id", "lang")
+
+
+@register(
+    "mixture_sample_token_mass",
+    f"""
+    WITH w(lang, wt) AS (VALUES {_MIX_VALUES}),
+    n AS (SELECT lang, SUM(n_chars) AS n FROM documents GROUP BY lang),
+    r0 AS (SELECT n.lang, wt, n, CAST(n AS DOUBLE) / wt AS q
+           FROM n JOIN w USING (lang)),
+    t AS (SELECT MIN(q) AS tmax FROM r0),
+    r AS (SELECT lang, (wt * tmax) / CAST(n AS DOUBLE) AS rate FROM r0, t)
+    SELECT d.doc_id, d.lang, d.n_chars
+    FROM documents d JOIN r USING (lang)
+    WHERE {_MIX_U} < rate
+    """)
+def q_mixture_sample_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-mix resampling over TOKEN/char MASS rather than document
+    count (operators/sampling.mixture_sample with measure_col): per-row
+    Bernoulli at rate_s keeps an expected w_s * T of stratum s's
+    character mass — the unit real mixes are specified in (a stratum of
+    few huge docs and one of many small docs now weigh correctly).
+    Same zero-fact-shuffle plan; per-row fate oracle."""
+    from ..operators.sampling import mixture_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    return mixture_sample(docs, "lang", "doc_id", MIX_WEIGHTS,
+                          measure_col="n_chars") \
+        .select("doc_id", "lang", "n_chars")
