@@ -50,8 +50,12 @@ def build_agg_view(fact: DataFrame, key_cols: list[str],
     (COUNT(*)) and an exact DECIMAL SUM per measure. Schema:
     key_cols + [n] + list(sum_cols) — the shape :func:`incremental_agg_refresh`
     maintains. ``sum_cols`` maps output alias -> fact measure column."""
+    # cast the SUM back to DEC: Spark widens sum(decimal(28,4)) to
+    # (38,4), and a persisted view must keep ONE physical decimal type
+    # across incremental rewrites (refresh emits DEC; mixed-precision
+    # files in one directory fail the vectorized reader)
     aggs = [F.count(F.lit(1)).alias("n")]
-    aggs += [F.sum(F.col(src).cast(DEC)).alias(alias)
+    aggs += [F.sum(F.col(src).cast(DEC)).cast(DEC).alias(alias)
              for alias, src in sum_cols.items()]
     return fact.groupBy(*key_cols).agg(*aggs)
 
@@ -107,3 +111,56 @@ def delta_scoped_recompute(fact: DataFrame, touched_keys: DataFrame,
     scoped = fact.join(touched_keys.select(*key_cols).distinct(),
                        key_cols, "left_semi")
     return scoped.groupBy(*key_cols).agg(*agg_exprs)
+
+
+def refresh_agg_view_partitioned(changes: DataFrame, view_path: str,
+                                 key_cols: list[str],
+                                 sum_cols: dict[str, str],
+                                 partition_cols: list[str],
+                                 op_col: str = "op") -> list[tuple]:
+    """Partition-scoped incremental MV refresh: fold ``changes`` into a
+    view STORED partitioned on a group-key prefix, reading and
+    rewriting ONLY the partitions the delta touches — the write-side
+    completion of :func:`incremental_agg_refresh` (whose fold already
+    reads O(groups + delta); this makes the persisted write
+    O(touched partitions) too, the same contract as
+    operators/merge.merge_upsert_partitioned). ``partition_cols`` must
+    be a subset of ``key_cols`` (a group lives in exactly one
+    partition, so untouched partitions cannot change).
+
+    Deletes can empty a partition (every group in it reaching count 0);
+    dynamic overwrite never rewrites a directory absent from the
+    output, so emptied partitions are removed explicitly — same edge
+    and same fix as merge.apply_changes_partitioned. Returns the
+    touched partition tuples. Untouched partitions stay byte-identical
+    (pytest-asserted).
+    """
+    spark = changes.sparkSession
+    assert set(partition_cols) <= set(key_cols)
+    touched = [tuple(r) for r in
+               changes.select(*partition_cols).distinct().collect()]
+    if not touched:
+        return []
+    from ..operators.merge import _partition_predicate
+    from ..sources.readers import overwrite_partitions_dynamic
+
+    view = spark.read.parquet(view_path)
+    scoped = view.where(_partition_predicate(touched, partition_cols))
+    refreshed = incremental_agg_refresh(scoped, changes, key_cols,
+                                        sum_cols, op_col)
+    # materialize which partitions the refreshed frame still populates
+    # BEFORE the overwrite replaces the files its lineage reads
+    written = {tuple(r) for r in
+               refreshed.select(*partition_cols).distinct().collect()}
+    out_cols = view.columns
+    overwrite_partitions_dynamic(refreshed.select(*out_cols),
+                                 view_path, partition_cols)
+    emptied = [t for t in touched if t not in written]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for t in emptied:
+            seg = "/".join(f"{c}={v}" for c, v in zip(partition_cols, t))
+            p = jvm.org.apache.hadoop.fs.Path(f"{view_path}/{seg}")
+            p.getFileSystem(hconf).delete(p, True)
+    return touched

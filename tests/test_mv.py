@@ -264,3 +264,66 @@ def test_snapshot_diff_identical_snapshots_is_empty(spark):
 
     old, _ = _snapshots(spark)
     assert snapshot_diff(old, old, ["o_orderkey"]).count() == 0
+
+
+def test_refresh_agg_view_partitioned(spark, sf_dir, tmp_path):
+    """Partition-scoped MV refresh: only the delta's partitions are
+    rewritten (untouched ones byte-identical on disk), the refreshed
+    view equals a from-scratch build over the final state, and a
+    delete-everything delta removes its emptied partition directory."""
+    import glob
+    import hashlib
+    import os
+
+    from oracle_to_snowflake_etl_spark.operators.mv import (
+        refresh_agg_view_partitioned,
+    )
+
+    orders = _orders(spark, sf_dir).withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM"))
+    keys = ["o_orderpriority", "month"]
+    sums = {"s": "o_totalprice"}
+    path = str(tmp_path / "view")
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    mv0 = build_agg_view(orders.where(F.col("o_orderdate") < cutoff),
+                         keys, sums)
+    (mv0.write.mode("overwrite").partitionBy("o_orderpriority")
+        .parquet(path))
+
+    def file_hashes(exclude_priority):
+        out = {}
+        for f in glob.glob(path + "/o_orderpriority=*/*.parquet"):
+            if f"o_orderpriority={exclude_priority}/" in f:
+                continue
+            with open(f, "rb") as fh:
+                out[f] = hashlib.md5(fh.read()).hexdigest()
+        return out
+
+    # delta touches ONE priority only
+    vic = "1-URGENT"
+    before = file_hashes(vic)
+    ins = (orders.where((F.col("o_orderdate") >= cutoff)
+                        & (F.col("o_orderpriority") == vic))
+           .withColumn("op", F.lit("I")))
+    touched = refresh_agg_view_partitioned(ins, path, keys, sums,
+                                           ["o_orderpriority"])
+    assert touched == [(vic,)]
+    assert file_hashes(vic) == before  # untouched partitions untouched
+
+    final = orders.where((F.col("o_orderdate") < cutoff)
+                         | (F.col("o_orderpriority") == vic))
+    expect = build_agg_view(final, keys, sums)
+    got = spark.read.parquet(path).select(*expect.columns)
+    assert _rows(got) == _rows(expect)
+
+    # delete EVERYTHING in one (space-free) priority: directory removed
+    vic2 = "5-LOW"
+    dels = final.where(F.col("o_orderpriority") == vic2) \
+                .withColumn("op", F.lit("D"))
+    refresh_agg_view_partitioned(dels, path, keys, sums,
+                                 ["o_orderpriority"])
+    assert not os.path.exists(path + f"/o_orderpriority={vic2}")
+    expect2 = build_agg_view(final.where(F.col("o_orderpriority") != vic2),
+                             keys, sums)
+    got2 = spark.read.parquet(path).select(*expect2.columns)
+    assert _rows(got2) == _rows(expect2)
