@@ -240,3 +240,32 @@ def q_mixture_sample_token_mass(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mixture_sample(docs, "lang", "doc_id", MIX_WEIGHTS,
                           measure_col="n_chars") \
         .select("doc_id", "lang", "n_chars")
+
+
+_GK_H = duck_hash60_sql("'gk' || '|' || CAST(doc_id AS VARCHAR)")
+
+
+@register(
+    "sample_global_topk_hash",
+    f"""
+    SELECT doc_id, lang
+    FROM documents
+    ORDER BY {_GK_H} ASC, doc_id ASC
+    LIMIT 50
+    """)
+def q_sample_global_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic FIXED-SIZE global sample: the 50 documents with the
+    smallest salted hash — the reservoir-free exact-k corpus sample
+    (eval subsets, debug slices). Plans TakeOrderedAndProject
+    (per-partition heaps of 50, no global sort, no shuffle of the
+    corpus) — at 100 TB this is a scan plus 50-row merges. Unlike
+    hash_sample's fractional cut, k is exact; unlike a reservoir, the
+    selection is partitioning- and rerun-stable (a new doc displaces at
+    most one member)."""
+    from ..functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = hash60(F.concat_ws("|", F.lit("gk"), F.col("doc_id").cast("string")))
+    return (docs.select("doc_id", "lang", h.alias("_h"))
+            .orderBy(F.asc("_h"), F.asc("doc_id")).limit(50)
+            .drop("_h"))

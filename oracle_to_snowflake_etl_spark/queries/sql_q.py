@@ -1057,3 +1057,57 @@ def q_cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
                      (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
                      "o_orderstatus", "o_totalprice")))
     return snapshot_diff(orders, new_s, ["o_orderkey"])
+
+
+@register(
+    "mv_minmax_refresh",
+    f"""
+    SELECT o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS {_DECU})) AS DOUBLE) AS sum_price,
+           MAX(o_totalprice) AS max_price,
+           MIN(o_totalprice) AS min_price
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+       OR o_orderkey % 13 <> 0
+    GROUP BY 1
+    """)
+def q_mv_minmax_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed-aggregate MV maintenance: COUNT/SUM fold incrementally
+    (operators/mv.incremental_agg_refresh — additive), while MIN/MAX —
+    which deletes break (the runner-up is gone from the view) — are
+    repaired by delta_scoped_recompute: re-aggregate ONLY the groups
+    the changelog touches, reading just those groups' fact rows
+    (partition/bucket pruning at rest), then join the two halves.
+    Oracle: a from-scratch GROUP BY over the final state — proving the
+    composed maintenance lands exactly on the rebuild, the contract
+    that makes partial recomputation trustworthy."""
+    from ..operators.mv import (build_agg_view, delta_scoped_recompute,
+                                incremental_agg_refresh)
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority", "o_totalprice")
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    keys = ["o_orderpriority"]
+    sums = {"sum_dec": "o_totalprice"}
+    old = orders.where(F.col("o_orderdate") < cutoff)
+    inserts = orders.where(F.col("o_orderdate") >= cutoff) \
+                    .withColumn("op", F.lit("I"))
+    deletes = old.where(F.col("o_orderkey") % 13 == 0) \
+                 .withColumn("op", F.lit("D"))
+    changes = inserts.unionByName(deletes)
+    # additive half: fold the changelog into the stored view
+    additive = incremental_agg_refresh(
+        build_agg_view(old, keys, sums), changes, keys, sums)
+    # non-additive half: recompute touched groups from the final fact
+    # state (at rest: the fact table scan prunes to those groups)
+    final_fact = orders.where(
+        (F.col("o_orderdate") >= cutoff) | (F.col("o_orderkey") % 13 != 0))
+    minmax = delta_scoped_recompute(
+        final_fact, changes.select(*keys), keys,
+        [F.max("o_totalprice").alias("max_price"),
+         F.min("o_totalprice").alias("min_price")])
+    return (additive.join(minmax, keys)
+            .select("o_orderpriority", "n",
+                    F.col("sum_dec").cast("double").alias("sum_price"),
+                    "max_price", "min_price"))

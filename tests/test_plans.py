@@ -309,3 +309,11 @@ def test_hll_register_agg_bounded(spark, sf_dir):
     + the final join — all output-bounded."""
     df = queries()["sketch_hll_custkey"](spark, sf_dir)
     assert exchange_count(df) <= 5
+
+
+def test_global_hash_sample_is_topk(spark, sf_dir):
+    """The fixed-k global sample must plan TakeOrderedAndProject
+    (per-partition heaps), never a global sort of the corpus."""
+    df = queries()["sample_global_topk_hash"](spark, sf_dir)
+    assert has_top_k(df)
+    assert exchange_count(df) == 0
