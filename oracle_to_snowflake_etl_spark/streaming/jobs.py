@@ -547,3 +547,85 @@ def maintain_agg_view_stream(stream: DataFrame, target_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_documents_stream(stream: DataFrame, accepted_path: str,
+                            index_path: str, checkpoint: str,
+                            n_shards: int = 8,
+                            quality_threshold_q6: int = 400_000,
+                            ) -> StreamingQuery:
+    """The FULL streaming corpus-ingest loop: each micro-batch of
+    documents is accept-filtered by operators/ingest.ingest_batch
+    against the accumulated dedup indexes (content hashes + MinHash
+    signatures), and the accepted docs AND their index rows are
+    appended — so the indexes are SELF-MAINTAINING: batch N+1 dedups
+    against everything batch 1..N accepted, corpus text is never
+    re-read, and per-batch cost stays O(batch + matches).
+
+    Exactly-once without markers: every batch writes to ITS OWN
+    ``batch=<id>`` subdirectory in overwrite mode, so an at-least-once
+    replay rewrites the same directory instead of double-appending
+    (idempotent by layout — the append-stream analog of
+    maintain_agg_view_stream's marker). Readers take
+    ``accepted_path``/``index_path`` as plain multi-dir parquet.
+
+    Drop policy per batch: exact/near duplicates of ACCEPTED docs (the
+    indexes hold accepted docs only) and of smaller-id batch siblings,
+    then the quality gate; shard/pos are per-batch (re-shard the final
+    corpus with sampling.write_shards when training starts).
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..functions.hashing import hash60
+    from ..operators.dedup import with_minhash_signature
+    from ..operators.ingest import ingest_batch
+
+    spark = stream.sparkSession
+
+    def _read_or_none(path: str):
+        try:
+            return spark.read.parquet(path)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            return None
+
+    def accept(batch: DataFrame, batch_id: int) -> None:
+        # exclude THIS batch's own subdir from the index reads: on an
+        # at-least-once replay the failed attempt's partial writes are
+        # already there, and deduping the batch against itself would
+        # drop every row (the batch= layout makes the guard a partition
+        # filter — the dirs are never even listed)
+        hashes = _read_or_none(f"{index_path}/hashes")
+        if hashes is not None:
+            hashes = hashes.where(F.col("batch") != batch_id)
+        sigs = _read_or_none(f"{index_path}/sigs")
+        if sigs is not None:
+            sigs = sigs.where(F.col("batch") != batch_id)
+        empty = batch.limit(0)
+        out = ingest_batch(
+            empty, batch,
+            corpus_sigs=(sigs if sigs is not None
+                         else with_minhash_signature(empty)),
+            corpus_hashes=(hashes if hashes is not None
+                           else empty.select(
+                               hash60(F.col("text")).alias("_h"))),
+            quality_threshold_q6=quality_threshold_q6,
+            n_shards=n_shards)
+        accepted = batch.join(out.select("doc_id"), "doc_id", "left_semi")
+        # batch-scoped overwrite dirs: replay-idempotent by layout
+        accepted.write.mode("overwrite").parquet(
+            f"{accepted_path}/batch={batch_id}")
+        accepted.select(hash60(F.col("text")).alias("_h")) \
+            .write.mode("overwrite") \
+            .parquet(f"{index_path}/hashes/batch={batch_id}")
+        with_minhash_signature(accepted).write.mode("overwrite") \
+            .parquet(f"{index_path}/sigs/batch={batch_id}")
+
+    return (
+        stream.writeStream
+        .foreachBatch(accept)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -390,3 +390,73 @@ def test_stream_mv_replay_skips_committed_batch(spark, tmp_path):
     q2.awaitTermination(120)
     after = {tuple(r) for r in spark.read.parquet(tgt).collect()}
     assert after == before
+
+
+def test_streaming_ingest_loop_self_maintaining_index(spark, tmp_path):
+    """The full streaming corpus-ingest loop: three document drops pass
+    through foreachBatch ingest; later batches dedup against what
+    EARLIER batches accepted (exact + near-dup via the accumulated
+    hash/signature indexes), and a no-new-data re-run changes nothing."""
+    import os
+    import time as _t
+
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        ingest_documents_stream,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "it runs far away to the old stone house near the river")
+    texts = {
+        0: base,
+        1: "a completely different story about the sea and the tall "
+           "ships that sail upon it every day with the wind behind them",
+        2: "in the city the people walk along the wide streets and "
+           "the lights of the shops shine on them through the evening",
+        3: base,                                  # exact dup of 0
+        4: base.replace("river", "meadow"),       # near-dup of 0
+        5: "counting numbers one two three four five six seven eight "
+           "nine ten and the sum of them all is a fine round number",
+        6: "counting numbers one two three four five six seven eight "
+           "nine ten and the sum of them all is a fine round total",
+        7: "yet another tale where the mountain stands alone in the "
+           "north and the snow falls on it through the long winter",
+    }
+    drops = [(0, 1, 2), (3, 4, 5), (6, 7)]
+    src = tmp_path / "ing_src"
+    src.mkdir()
+    acc = str(tmp_path / "ing_acc")
+    idx = str(tmp_path / "ing_idx")
+    ckp = str(tmp_path / "ing_ckp")
+    now = _t.time()
+    seen: set = set()
+    for i, ids in enumerate(drops):
+        rows = [(d, texts[d]) for d in ids]
+        spark.createDataFrame(rows, "doc_id long, text string") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+        # pin THIS drop's new file to a strictly increasing mtime so
+        # maxFilesPerTrigger=1 delivers drops in order
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                os.utime(src / f, (now + i * 10, now + i * 10))
+                seen.add(f)
+
+    def run():
+        stream = (spark.readStream.schema("doc_id long, text string")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = ingest_documents_stream(stream, acc, idx, ckp)
+        q.awaitTermination(180)
+
+    run()
+    accepted = {r.doc_id for r in
+                spark.read.parquet(acc).select("doc_id").collect()}
+    # 3 exact-dups accepted 0; 4 near-dups it; 6 near-dups 5 (accepted
+    # one batch earlier) — the index carried that knowledge forward
+    assert accepted == {0, 1, 2, 5, 7}, accepted
+    sig_docs = {r.doc for r in
+                spark.read.parquet(f"{idx}/sigs").select("doc").collect()}
+    assert sig_docs == accepted
+
+    run()  # no new files: nothing changes
+    accepted2 = {r.doc_id for r in
+                 spark.read.parquet(acc).select("doc_id").collect()}
+    assert accepted2 == accepted
