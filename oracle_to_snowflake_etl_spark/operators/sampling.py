@@ -231,8 +231,10 @@ def write_shards(df: DataFrame, path: str, key_col: str, n_shards: int,
     loader can stream shard files sequentially and read globally-
     shuffled examples with zero seek logic.
 
-    ``repartition(n_shards, "shard")`` makes the physical partition the
-    shard (hash-partitioning on the shard id is identity mod n), and
+    ``repartitionByRange(n_shards, "shard")`` puts each of the n
+    distinct shard ids in its own physical partition (plain hash
+    repartition would murmur-hash the ids and birthday-collide several
+    shards into one task, idling the rest), and
     ``sortWithinPartitions("shard", "pos")`` fixes the in-file order;
     partitionBy writes each as its directory. One shuffle + one sort —
     the same two steps :func:`shard_assign` already plans, now with a
@@ -241,7 +243,7 @@ def write_shards(df: DataFrame, path: str, key_col: str, n_shards: int,
     across exactly n_shards tasks.
     """
     out = shard_assign(df, key_col, n_shards, salt)
-    (out.repartition(n_shards, "shard")
+    (out.repartitionByRange(n_shards, "shard")
         .sortWithinPartitions("shard", "pos")
         .write.mode("overwrite").partitionBy("shard").parquet(path))
 

@@ -476,16 +476,21 @@ def write_ivf_index(corpus: DataFrame, path: str,
 
 def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
                      k: int = 10, nprobe: int = IVF_NPROBE,
+                     cells: int = IVF_CELLS, dims: int = DEFAULT_DIMS,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id") -> DataFrame:
     """ivf_topk against a :func:`write_ivf_index` table: the probed
     cell set is collected (tiny — |queries| x nprobe ints), pushed as a
     literal IN-filter on the partition column so the scan prunes at
     PLANNING time, then rescored exactly as ivf_topk. Equality with the
-    in-memory path is pytest-asserted."""
+    in-memory path is pytest-asserted. ``cells``/``dims`` MUST match
+    the geometry the index was written with (probe centroids are
+    derived from them — a mismatch would silently probe the wrong
+    cells)."""
     qx = (queries.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("q_vec"),
-                         ivf_probe_cells(F.col(vec_col), nprobe).alias("cells"))
+                         ivf_probe_cells(F.col(vec_col), nprobe,
+                                         cells, dims).alias("cells"))
           .select("query_id", "q_vec", F.explode("cells").alias("cell")))
     probed = sorted({r.cell for r in qx.select("cell").distinct().collect()})
     c = spark.read.parquet(index_path).where(F.col("cell").isin(probed))

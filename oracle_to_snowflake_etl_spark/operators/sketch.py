@@ -140,5 +140,12 @@ def cms_estimate(cms: DataFrame, queries: DataFrame,
     keys = keys.withColumn(
         "col", (hash60(F.concat(F.concat(F.lit("cm"), F.col("row").cast("string"),
                                          F.lit("|")), F.col(item_col))) % w))
-    return (keys.join(F.broadcast(cms), ["row", "col"])
-            .groupBy(*queries.columns).agg(F.min("cnt").alias("n_est")))
+    # LEFT join + coalesce-to-0: a (row,col) cell no stream item hashed
+    # to is ABSENT from the counter table, and count-min's answer for a
+    # query item with any empty cell is 0 — an inner join would drop
+    # the empty cells from the MIN (inflating the estimate) and drop
+    # all-cells-empty items from the output entirely
+    return (keys.join(F.broadcast(cms), ["row", "col"], "left")
+            .groupBy(*queries.columns)
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+                 .alias("n_est")))

@@ -372,6 +372,11 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
               .cast("decimal(38,0)")).alias("_num"),
         F.sum(F.col("_dur").cast("decimal(38,0)")).alias("_den"),
         F.count(F.lit(1)).alias("n_intervals"))
+    # zero total span (all observations share one timestamp) would be
+    # 0/0: Spark floors NaN to 0 while other engines error on the cast
+    # — no time elapsed means no time-weighted mean exists, so drop the
+    # key (the oracle applies the same HAVING)
+    agg = agg.where(F.col("_den") > 0)
     return agg.select(
         key_col, "n_intervals",
         F.col("_den").cast("long").alias("span_us"),

@@ -235,9 +235,9 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", *quantize_int8(F.col("embedding")))
 
 
-#: ingest split for the incremental SRP query: vectors below are the
-#: standing corpus (code index precomputed), at/above are the new batch
-SRP_INC_SPLIT = 400
+#: ingest split for the incremental SRP query — same split as the text
+#: incremental family (queries/dedup_q._INC_SPLIT)
+from .dedup_q import _INC_SPLIT as SRP_INC_SPLIT  # noqa: E402
 
 
 @register(

@@ -1082,6 +1082,7 @@ def q_mv_minmax_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: a from-scratch GROUP BY over the final state — proving the
     composed maintenance lands exactly on the rebuild, the contract
     that makes partial recomputation trustworthy."""
+    from ..operators.merge import merge_upsert
     from ..operators.mv import (build_agg_view, delta_scoped_recompute,
                                 incremental_agg_refresh)
 
@@ -1099,14 +1100,19 @@ def q_mv_minmax_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # additive half: fold the changelog into the stored view
     additive = incremental_agg_refresh(
         build_agg_view(old, keys, sums), changes, keys, sums)
-    # non-additive half: recompute touched groups from the final fact
-    # state (at rest: the fact table scan prunes to those groups)
+    # non-additive half: the view STORES min/max; recompute only the
+    # groups the changelog touches from the final fact state (at rest:
+    # that scan prunes to those groups) and UPSERT over the stored rows
+    # — untouched groups keep their old min/max instead of being
+    # inner-joined away (they would vanish if the delta skipped them)
+    mm_aggs = [F.max("o_totalprice").alias("max_price"),
+               F.min("o_totalprice").alias("min_price")]
+    mm_view = old.groupBy(*keys).agg(*mm_aggs)
     final_fact = orders.where(
         (F.col("o_orderdate") >= cutoff) | (F.col("o_orderkey") % 13 != 0))
-    minmax = delta_scoped_recompute(
-        final_fact, changes.select(*keys), keys,
-        [F.max("o_totalprice").alias("max_price"),
-         F.min("o_totalprice").alias("min_price")])
+    recomputed = delta_scoped_recompute(
+        final_fact, changes.select(*keys), keys, mm_aggs)
+    minmax = merge_upsert(recomputed, mm_view, keys)
     return (additive.join(minmax, keys)
             .select("o_orderpriority", "n",
                     F.col("sum_dec").cast("double").alias("sum_price"),

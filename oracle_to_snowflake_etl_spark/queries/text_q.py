@@ -480,10 +480,13 @@ def q_sketch_cms_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_estimate(cms, top, "tok")
 
 
-from .dedup_q import _MINHASH_PAIRS_SQL  # noqa: E402  (module loaded first)
+from .dedup_q import _INC_SPLIT, _MINHASH_PAIRS_SQL  # noqa: E402
+# ONE copy of the cross-engine sharding formula and the ingest split —
+# a drifting duplicate would silently leave this oracle on an old
+# convention while shard_assign_docs moves on
+from .sampling_q import _SHARD_H as _ING_SHARD_H  # noqa: E402
 
-_ING_SPLIT = 400
-_ING_SHARD_H = duck_hash60_sql("'shard' || '|' || CAST(doc_id AS VARCHAR)")
+_ING_SPLIT = _INC_SPLIT
 
 
 @register(

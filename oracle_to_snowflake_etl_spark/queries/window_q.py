@@ -397,6 +397,7 @@ def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM d
     WHERE dur IS NOT NULL
     GROUP BY user_id
+    HAVING SUM(CAST(dur AS DECIMAL(38,0))) > 0
     """)
 def q_ev_twap_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user time-weighted average event value

@@ -500,6 +500,13 @@ def maintain_agg_view_stream(stream: DataFrame, target_path: str,
         hconf = spark._jsc.hadoopConfiguration()
         p_tgt = jvm.org.apache.hadoop.fs.Path(target_path)
         fs = p_tgt.getFileSystem(hconf)
+        # crash recovery: a failure between the two swap renames leaves
+        # no target but an intact __bak — restore it BEFORE the marker
+        # check so the replayed batch folds into the recovered view
+        # instead of bootstrapping from its own rows
+        p_bak = jvm.org.apache.hadoop.fs.Path(f"{target_path}__bak")
+        if not fs.exists(p_tgt) and fs.exists(p_bak):
+            fs.rename(p_bak, p_tgt)
         marker = jvm.org.apache.hadoop.fs.Path(
             f"{target_path}/_APPLIED_BATCH")
         if fs.exists(marker):
@@ -532,8 +539,8 @@ def maintain_agg_view_stream(stream: DataFrame, target_path: str,
         finally:
             out.close()
         # swap via rename-to-backup so a crash between steps leaves a
-        # recoverable copy (bak) rather than no view at all
-        p_bak = jvm.org.apache.hadoop.fs.Path(f"{target_path}__bak")
+        # recoverable copy (bak, restored at the top of the next fold)
+        # rather than no view at all
         fs.delete(p_bak, True)
         if fs.exists(p_tgt):
             fs.rename(p_tgt, p_bak)
@@ -613,13 +620,18 @@ def ingest_documents_stream(stream: DataFrame, accepted_path: str,
             quality_threshold_q6=quality_threshold_q6,
             n_shards=n_shards)
         accepted = batch.join(out.select("doc_id"), "doc_id", "left_semi")
-        # batch-scoped overwrite dirs: replay-idempotent by layout
-        accepted.write.mode("overwrite").parquet(
-            f"{accepted_path}/batch={batch_id}")
-        accepted.select(hash60(F.col("text")).alias("_h")) \
+        # batch-scoped overwrite dirs: replay-idempotent by layout.
+        # Write the accepted docs ONCE, then derive the two index
+        # writes from the written parquet — re-running the full
+        # ingest_batch lineage per write action would execute the
+        # dedup pipeline three times per micro-batch
+        acc_dir = f"{accepted_path}/batch={batch_id}"
+        accepted.write.mode("overwrite").parquet(acc_dir)
+        written = spark.read.parquet(acc_dir)
+        written.select(hash60(F.col("text")).alias("_h")) \
             .write.mode("overwrite") \
             .parquet(f"{index_path}/hashes/batch={batch_id}")
-        with_minhash_signature(accepted).write.mode("overwrite") \
+        with_minhash_signature(written).write.mode("overwrite") \
             .parquet(f"{index_path}/sigs/batch={batch_id}")
 
     return (

@@ -327,3 +327,28 @@ def test_refresh_agg_view_partitioned(spark, sf_dir, tmp_path):
                              keys, sums)
     got2 = spark.read.parquet(path).select(*expect2.columns)
     assert _rows(got2) == _rows(expect2)
+
+
+def test_cms_absent_item_returns_zero_not_vanishes(spark):
+    """Count-min point query for items never seen: cells absent from
+    the counter table count as 0, so an unseen item with at least one
+    empty cell estimates 0 — and never disappears from the output (the
+    inner-join formulation did both wrong)."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.sketch import (
+        cms_estimate,
+        count_min_table,
+    )
+
+    toks = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("beta",)], "tok string")
+    cms = count_min_table(toks)
+    q = spark.createDataFrame(
+        [("alpha",), ("never-seen-token-xyz",)], "tok string")
+    got = {r.tok: r.n_est for r in cms_estimate(cms, q, "tok").collect()}
+    assert set(got) == {"alpha", "never-seen-token-xyz"}
+    assert got["alpha"] >= 2
+    # 3 items in a 4x64 table: the unseen token's 4 cells are almost
+    # surely not all occupied -> exact 0 (and never > 3 regardless)
+    assert got["never-seen-token-xyz"] == 0
