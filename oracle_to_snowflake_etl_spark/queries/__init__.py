@@ -89,8 +89,9 @@ PRIORITY = [
     # carries the round-4 incremental ingest composition instead)
     "mm_catalog", "ingest_batch_pipeline", "mm_frame_sample",
     "mm_image_features",
-    # Windows / event-time
-    "w_running_spend", "w_range_1h_value", "ev_sessions", "ev_tumbling_5m",
+    # Windows / event-time (w_range_1h_value stays full-local-checked;
+    # its slot carries the mergeable-sketch family instead)
+    "w_running_spend", "sketch_hll_custkey", "ev_sessions", "ev_tumbling_5m",
     "ev_gapfill_hourly", "funnel_view_click_purchase",
     # TPC-H representative (full 22-query suite keeps full-local oracle
     # coverage in registration order below)

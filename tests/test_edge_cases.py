@@ -93,9 +93,12 @@ def test_cms_empty_stream(spark):
     toks = _empty_like(docs).select(F.col("text").alias("tok"))
     cms = count_min_table(toks)
     assert cms.count() == 0
-    # estimating against an empty sketch finds no counters -> no rows
+    # estimating against an empty sketch: every cell is absent, and
+    # absent cells count 0 — so each query item gets n_est=0 (not a
+    # vanished row: an empty stream genuinely contains 0 of everything)
     some = docs.limit(3).select(F.col("text").alias("tok"))
-    assert cms_estimate(cms, some, "tok").count() == 0
+    got = cms_estimate(cms, some, "tok").collect()
+    assert len(got) == 3 and all(r.n_est == 0 for r in got)
 
 
 def test_dedup_clusters_empty_pairs(spark):
