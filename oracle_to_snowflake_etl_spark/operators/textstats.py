@@ -386,3 +386,42 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     mins = F.transform(starts, lambda s: F.array_min(F.slice(hs, s, w)))
     return hashed.select(
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
+
+
+def familiarity_scores(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Per-document corpus-familiarity: the mean corpus frequency of the
+    document's tokens — Σ_t count(t) / (n_toks · total_tokens), where
+    count(t) is the token's occurrence count over the WHOLE corpus.
+    High = built from common tokens (boilerplate-leaning); low = rare
+    vocabulary. The language-model-free cousin of unigram logprob
+    scoring, chosen deliberately because it stays in EXACT integer
+    arithmetic (float log() is the one transcendental engines disagree
+    on in the last ulp): per-doc Σ count(t) is an integer, the final
+    score is one rational quantized at 1e-9.
+
+    Two passes over the token stream, both map-combined aggregates:
+    (1) the corpus vocabulary count table (bounded by distinct tokens),
+    (2) per-doc Σ count via a join of the exploded doc tokens against
+    the vocab — at 100 TB broadcast the vocab when it fits (typical
+    after BPE-ish normalization), else it is one hash join on the
+    token key. Returns (doc_id, n_toks, sum_freq, fam_q9).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(F.col(text_col)))
+                     .alias("tok"))
+    vocab = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    # total corpus tokens as an unpartitioned window over the (bounded)
+    # vocab frame — stays inside the plan, no driver-side count probe
+    vocab = vocab.withColumn(
+        "_total", F.sum("cnt").over(Window.partitionBy()))
+    per_doc = (toks.join(vocab, "tok")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_toks"),
+                    F.sum("cnt").alias("sum_freq"),
+                    F.max("_total").alias("_total")))
+    return per_doc.select(
+        id_col, "n_toks", "sum_freq",
+        F.floor(F.col("sum_freq").cast("decimal(38,0)")
+                .cast("double")
+                / (F.col("n_toks") * F.col("_total")).cast("double")
+                * 1_000_000_000 + F.lit(0.5)).cast("long").alias("fam_q9"))

@@ -533,3 +533,31 @@ def q_ingest_batch_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.where(F.col("doc_id") < _ING_SPLIT)
     newb = docs.where(F.col("doc_id") >= _ING_SPLIT)
     return ingest_batch(corpus, newb)
+
+
+@register(
+    "text_familiarity",
+    f"""
+    WITH toks AS (SELECT doc_id, unnest({_TOKS}) AS tok FROM documents),
+    vocab AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+    tot AS (SELECT SUM(cnt) AS total FROM vocab)
+    SELECT doc_id, COUNT(*) AS n_toks,
+           CAST(SUM(cnt) AS BIGINT) AS sum_freq,
+           CAST(floor(CAST(CAST(SUM(cnt) AS DECIMAL(38,0)) AS DOUBLE)
+                      / CAST(COUNT(*) * total AS DOUBLE)
+                      * 1000000000 + 0.5) AS BIGINT) AS fam_q9
+    FROM toks JOIN vocab USING (tok), tot
+    GROUP BY doc_id, total
+    """)
+def q_text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-familiarity scoring (operators/textstats.
+    familiarity_scores): each document's mean corpus token frequency —
+    the exact-integer cousin of unigram-logprob quality scoring (high =
+    boilerplate-leaning vocabulary, low = rare), kept in rational
+    arithmetic precisely because float log() is where engines drift.
+    Two map-combined aggregates + one vocab join; the corpus-total
+    scalar rides an unpartitioned window over the bounded vocab frame,
+    never a driver probe."""
+    from ..operators.textstats import familiarity_scores
+
+    return familiarity_scores(load_table(spark, sf_dir, "documents"))
