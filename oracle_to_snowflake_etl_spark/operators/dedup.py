@@ -730,8 +730,16 @@ def containment_pairs_incremental(new_df: DataFrame,
            .select("doc", F.xxhash64("s").alias("h")))
     from pyspark.sql import Window as _W
 
+    # rank by BATCH-LOCAL document frequency (rarest first): recall is
+    # prefix-order-independent (any prefix of the right size works),
+    # but candidate VOLUME is not — plain-hash prefixes admit frequent
+    # shingles and fan out against the whole containing index
+    # (measured 6.0s -> ~2s at sf0.1 where the batch is corpus-sized);
+    # batch-local DF approximates global DF without touching the corpus
+    dfs = F.count(F.lit(1)).over(_W.partitionBy("h"))
+    bsh = bsh.withColumn("_dfs", dfs)
     nn = F.count(F.lit(1)).over(_W.partitionBy("doc"))
-    rr = F.row_number().over(_W.partitionBy("doc").orderBy("h"))
+    rr = F.row_number().over(_W.partitionBy("doc").orderBy("_dfs", "h"))
     prefix = (bsh.withColumn("_n", nn).withColumn("_r", rr)
               .where(F.col("_r")
                      <= (F.col("_n")
