@@ -410,3 +410,61 @@ def test_ingest_batch_stored_indexes_equal_inline(spark):
               ingest_batch(corpus, batch, corpus_sigs=sigs,
                            corpus_hashes=hashes).collect()}
     assert stored == inline and stored
+
+
+_mv_change = st.tuples(st.sampled_from(["A", "B", "C"]),   # group key
+                       st.integers(0, 10_000),              # price cents
+                       st.booleans())                       # delete?
+
+
+@given(st.lists(_mv_change, min_size=0, max_size=40),
+       st.lists(_mv_change, min_size=0, max_size=40))
+@SLOW
+def test_mv_refresh_fold_equals_rebuild_arbitrary(spark, initial, delta):
+    """Incremental MV maintenance on ARBITRARY generated states: build
+    a view from `initial` inserts, fold a mixed I/D changelog whose
+    deletes reference actual view contents, and the result must equal
+    a from-scratch aggregate of the surviving multiset — including
+    delete-to-empty groups and an empty initial view."""
+    import collections
+
+    from oracle_to_snowflake_etl_spark.operators.mv import (
+        build_agg_view,
+        incremental_agg_refresh,
+    )
+
+    # initial state ignores the delete flag; deletes in the changelog
+    # remove one occurrence of (key, price) IF the current state holds
+    # one (a meaningful before-image), else turn into inserts
+    state = collections.Counter((k, p) for k, p, _ in initial)
+    ops = []
+    for k, p, is_del in delta:
+        if is_del and state[(k, p)] > 0:
+            state[(k, p)] -= 1
+            ops.append((k, p, "D"))
+        else:
+            state[(k, p)] += 1
+            ops.append((k, p, "I"))
+
+    schema = "k string, cents long"
+    init_df = spark.createDataFrame(
+        [(k, p) for k, p, _ in initial], schema) \
+        .select("k", (F.col("cents") / 100.0).alias("v"))
+    mv0 = build_agg_view(init_df, ["k"], {"s": "v"})
+    if ops:
+        ch = spark.createDataFrame(ops, "k string, cents long, op string") \
+            .select("k", (F.col("cents") / 100.0).alias("v"), "op")
+    else:
+        ch = spark.createDataFrame([], "k string, v double, op string")
+    folded = {tuple(r) for r in
+              incremental_agg_refresh(mv0, ch, ["k"], {"s": "v"}).collect()}
+
+    survivors = [(k, p) for (k, p), n in state.items() for _ in range(n)]
+    if survivors:
+        final_df = spark.createDataFrame(survivors, schema) \
+            .select("k", (F.col("cents") / 100.0).alias("v"))
+    else:
+        final_df = spark.createDataFrame([], "k string, v double")
+    want = {tuple(r) for r in
+            build_agg_view(final_df, ["k"], {"s": "v"}).collect()}
+    assert folded == want
