@@ -468,3 +468,34 @@ def test_mv_refresh_fold_equals_rebuild_arbitrary(spark, initial, delta):
     want = {tuple(r) for r in
             build_agg_view(final_df, ["k"], {"s": "v"}).collect()}
     assert folded == want
+
+
+_snap_row = st.tuples(st.integers(0, 20),                  # key
+                      st.sampled_from(["x", "y", "z"]),    # payload a
+                      st.integers(0, 5))                   # payload b
+
+
+@given(st.lists(_snap_row, min_size=0, max_size=25, unique_by=lambda r: r[0]),
+       st.lists(_snap_row, min_size=0, max_size=25, unique_by=lambda r: r[0]))
+@SLOW
+def test_snapshot_diff_roundtrip_arbitrary(spark, old_rows, new_rows):
+    """snapshot_diff -> apply_changes must reconstruct ANY target state
+    from ANY starting state — arbitrary overlaps, disjoint key sets,
+    identical states (empty diff), and both-empty included."""
+    from oracle_to_snowflake_etl_spark.operators.merge import (
+        apply_changes,
+        snapshot_diff,
+    )
+
+    schema = "k long, pa string, pb long"
+    old = spark.createDataFrame(old_rows, schema)
+    new = spark.createDataFrame(new_rows, schema)
+    diff = snapshot_diff(old, new, ["k"])
+    replayed = apply_changes(old, diff, ["k"], "seq")
+    assert sorted(map(tuple, replayed.collect())) == \
+        sorted(map(tuple, new.collect()))
+    # the diff never exceeds |changed ∪ inserted ∪ deleted keys|
+    om = {r[0]: r for r in old_rows}
+    nm = {r[0]: r for r in new_rows}
+    changed = {k for k in om.keys() | nm.keys() if om.get(k) != nm.get(k)}
+    assert diff.count() == len(changed)
