@@ -382,3 +382,35 @@ def time_weighted_avg(events: DataFrame, key_col: str = "user_id",
         F.col("_den").cast("long").alias("span_us"),
         F.floor(F.col("_num").cast("double") / F.col("_den").cast("double")
                 + F.lit(0.5)).cast("long").alias("twap_q6"))
+
+
+def ohlc_bars(events: DataFrame, minutes: int = 60,
+              key_col: str = "event_type", ts_col: str = "ts",
+              value_col: str = "value",
+              id_col: str = "event_id") -> DataFrame:
+    """OHLC downsampling: per (key, time bucket) the Open (first
+    value), High, Low, Close (last value) plus count and exact sum —
+    the classic financial/metrics bar aggregation. ONE hash aggregate:
+    open/close come from MIN/MAX over a (ts_us, id, value) struct
+    (lexicographic struct ordering picks the row with the earliest/
+    latest (ts, id) and carries its value along — no window sort, no
+    first_value), so the whole bar is map-side combinable and the
+    shuffle is bounded by |keys| x |buckets|. (ts, id) must be unique
+    per row (event ids are), making open/close deterministic on any
+    engine and partitioning.
+    """
+    bucket = minutes * 60 * 1_000_000
+    us = F.unix_micros(F.col(ts_col))
+    g = events.select(
+        F.col(key_col), F.expr(f"unix_micros({ts_col}) div {bucket}")
+        .alias("window_id"), us.alias("_us"),
+        F.col(id_col).alias("_id"), F.col(value_col).alias("_v"))
+    edge = F.struct(F.col("_us"), F.col("_id"), F.col("_v"))
+    return (g.groupBy(key_col, "window_id")
+            .agg(F.min(edge)["_v"].alias("open"),
+                 F.max("_v").alias("high"),
+                 F.min("_v").alias("low"),
+                 F.max(edge)["_v"].alias("close"),
+                 F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("_v").cast(DEC)).cast("double")
+                  .alias("value_sum")))

@@ -477,3 +477,29 @@ def q_w_anomaly_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when((F.col("n") >= 14) & (var > 0),
                F.floor(z * 1000 + F.lit(0.5)).cast("long"))
          .alias("z_q3"))
+
+
+@register(
+    "ev_ohlc_hourly",
+    f"""
+    SELECT event_type,
+           epoch_us(ts) // {60 * 60 * 1_000_000} AS window_id,
+           (min(struct_pack(u := epoch_us(ts), i := event_id,
+                            v := value))).v AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           (max(struct_pack(u := epoch_us(ts), i := event_id,
+                            v := value))).v AS close,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS {_DECU})) AS DOUBLE) AS value_sum
+    FROM events
+    GROUP BY 1, 2
+    """)
+def q_ev_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC bars per event type (operators/windows.ohlc_bars):
+    open/close via lexicographic struct MIN/MAX — one map-combinable
+    hash aggregate, no window sort — with exact DECIMAL sums; the
+    oracle mirrors the struct trick with struct_pack."""
+    from ..operators.windows import ohlc_bars
+
+    return ohlc_bars(load_table(spark, sf_dir, "events"), minutes=60)
