@@ -503,3 +503,55 @@ def q_ev_ohlc_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import ohlc_bars
 
     return ohlc_bars(load_table(spark, sf_dir, "events"), minutes=60)
+
+
+@register(
+    "ev_cohort_retention",
+    """
+    WITH activity AS (
+      SELECT DISTINCT user_id,
+             year(ts) * 12 + month(ts) - 1 AS midx
+      FROM events),
+    cohorts AS (
+      SELECT user_id, MIN(midx) AS cohort_idx FROM activity GROUP BY 1),
+    pairs AS (
+      SELECT c.cohort_idx, a.midx - c.cohort_idx AS month_offset,
+             a.user_id
+      FROM activity a JOIN cohorts c USING (user_id)),
+    sizes AS (
+      SELECT cohort_idx, COUNT(*) AS n_cohort FROM cohorts GROUP BY 1)
+    SELECT p.cohort_idx, p.month_offset,
+           COUNT(DISTINCT p.user_id) AS n_active,
+           n_cohort,
+           CAST(floor(CAST(COUNT(DISTINCT p.user_id) AS DOUBLE)
+                      / CAST(n_cohort AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS retention_q6
+    FROM pairs p JOIN sizes USING (cohort_idx)
+    GROUP BY p.cohort_idx, p.month_offset, n_cohort
+    """)
+def q_ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-activity month
+    (integer month index year*12+month-1 — exact on both engines),
+    fraction still active at each month offset. Shuffles are bounded by
+    |users| (the distinct-activity and cohort aggregates) then by
+    |cohorts x offsets|; the cohort-size dimension broadcasts. The
+    per-cell retention ratio is one quantized double division."""
+    events = load_table(spark, sf_dir, "events")
+    midx = (F.year("ts") * 12 + F.month("ts") - 1).alias("midx")
+    activity = events.select("user_id", midx).distinct()
+    cohorts = activity.groupBy("user_id").agg(
+        F.min("midx").alias("cohort_idx"))
+    pairs = (activity.join(cohorts, "user_id")
+             .select("cohort_idx",
+                     (F.col("midx") - F.col("cohort_idx"))
+                     .alias("month_offset"), "user_id"))
+    sizes = cohorts.groupBy("cohort_idx").agg(
+        F.count(F.lit(1)).alias("n_cohort"))
+    agg = (pairs.groupBy("cohort_idx", "month_offset")
+           .agg(F.countDistinct("user_id").alias("n_active"))
+           .join(F.broadcast(sizes), "cohort_idx"))
+    return agg.select(
+        "cohort_idx", "month_offset", "n_active", "n_cohort",
+        F.floor(F.col("n_active").cast("double")
+                / F.col("n_cohort").cast("double") * 1_000_000 + 0.5)
+         .cast("long").alias("retention_q6"))
