@@ -1117,3 +1117,59 @@ def q_mv_minmax_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("o_orderpriority", "n",
                     F.col("sum_dec").cast("double").alias("sum_price"),
                     "max_price", "min_price"))
+
+
+#: Benford leading-digit probabilities log10(1+1/d), embedded as the
+#: same repr-literals in both engines
+import math as _math
+
+_BENFORD = {d: repr(_math.log10(1 + 1 / d)) for d in range(1, 10)}
+_BENFORD_CASE = " ".join(
+    f"WHEN {d} THEN {p}" for d, p in _BENFORD.items())
+
+
+@register(
+    "dq_benford_totalprice",
+    f"""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders WHERE o_totalprice >= 1),
+    n AS (SELECT COUNT(*) AS total FROM digits)
+    SELECT digit, COUNT(*) AS n,
+           CAST(floor(CAST(COUNT(*) AS DOUBLE) / CAST(total AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS share_q6,
+           CAST(floor(CAST((CASE digit {_BENFORD_CASE} END) AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS benford_q6
+    FROM digits, n
+    GROUP BY digit, total
+    """)
+def q_dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford leading-digit audit on order totals — the forensic
+    data-quality check for fabricated or truncated monetary data:
+    observed first-digit shares next to the Benford expectation
+    log10(1+1/d) (embedded as identical literals on both engines).
+    One digit-extraction scan + a 9-row aggregate; the total rides a
+    1-row cross (in effect a broadcast scalar). Interpretation stays
+    with the caller — uniform generated prices are EXPECTED to deviate
+    (deviation detection working as intended)."""
+    orders = load_table(spark, sf_dir, "orders")
+    digits = (orders.where(F.col("o_totalprice") >= 1)
+              .select(F.substring(F.floor("o_totalprice").cast("bigint")
+                                  .cast("string"), 1, 1)
+                      .cast("long").alias("digit")))
+    from pyspark.sql import Window as _W
+
+    total = F.sum(F.count(F.lit(1))).over(_W.partitionBy())
+    agg = digits.groupBy("digit").agg(
+        F.count(F.lit(1)).alias("n"), total.alias("_total"))
+    benford = None
+    for d, p in _BENFORD.items():
+        cond = F.col("digit") == d
+        benford = (F.when(cond, F.lit(float(p))) if benford is None
+                   else benford.when(cond, F.lit(float(p))))
+    return agg.select(
+        "digit", "n",
+        F.floor(F.col("n").cast("double") / F.col("_total").cast("double")
+                * 1_000_000 + 0.5).cast("long").alias("share_q6"),
+        F.floor(benford * 1_000_000 + 0.5).cast("long").alias("benford_q6"))
