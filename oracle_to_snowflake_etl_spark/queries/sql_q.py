@@ -1173,3 +1173,59 @@ def q_dq_benford_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("n").cast("double") / F.col("_total").cast("double")
                 * 1_000_000 + 0.5).cast("long").alias("share_q6"),
         F.floor(benford * 1_000_000 + 0.5).cast("long").alias("benford_q6"))
+
+
+@register(
+    "stat_corr_qty_price",
+    """
+    WITH q AS (
+      SELECT CAST(l_quantity AS BIGINT) AS x,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0))
+                      * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0))
+                      * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(y AS DECIMAL(19,0))
+                      * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS syy
+      FROM q)
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(floor((n * sxy - sx * sy)
+                      / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      * 1000000 + 0.5) AS BIGINT) AS corr_q6
+    FROM s
+    """)
+def q_stat_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation of quantity vs extended price over lineitem,
+    computed from EXACT integer sums (Σx, Σy, Σxy, Σx², Σy² accumulate
+    in DECIMAL after quantizing the money column to cents) with a
+    fixed-order float finish — engine-identical, unlike corr()'s
+    streaming covariance whose update order differs per engine. One
+    map-combined scan aggregate; at 100 TB this is the cheapest
+    possible statistic (no shuffle beyond the 1-row combine)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5))
+         .cast("long").alias("y"))
+    d19 = "decimal(19,0)"
+    s = li.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19))
+         .cast("double").alias("sxy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19))
+         .cast("double").alias("sxx"),
+        F.sum(F.col("y").cast(d19) * F.col("y").cast(d19))
+         .cast("double").alias("syy"))
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                 * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")))
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.floor(num / den * 1_000_000 + F.lit(0.5)).cast("long")
+         .alias("corr_q6"))
