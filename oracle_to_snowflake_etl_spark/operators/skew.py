@@ -100,3 +100,49 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
         "_salt", F.explode(F.array(*[F.lit(i).cast("long")
                                      for i in range(buckets)])))
     return b.join(s, keys + ["_salt"], how).drop("_salt")
+
+
+def skew_report(df: DataFrame, key_cols: list[str],
+                quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
+    """One-row skew diagnosis for a prospective join/agg key: distinct
+    key count, max per-key row count, the heaviest key (rendered as a
+    string), exact count quantiles, and the max/median ratio that
+    decides whether this key needs salting or AQE skew-split BEFORE the
+    job ships. This is the measurement step behind operators/skew's
+    fixes — salt when the report says so, not when the job falls over.
+
+    Quantiles are EXACT rank picks (percentile_disc convention: the
+    value at ceil(q*n) in count order, ties by key string) — engine-
+    identical, no interpolation. Plan: one hash-agg bounded by distinct
+    keys, then windows/aggregates over the (small) per-key count table;
+    the raw table is scanned once.
+    """
+    from pyspark.sql import Window as _W
+
+    key_str = F.concat_ws("|", *[F.col(c).cast("string")
+                                 for c in key_cols])
+    counts = (df.select(key_str.alias("key"))
+              .groupBy("key").agg(F.count(F.lit(1)).alias("cnt")))
+    w = _W.orderBy(F.asc("cnt"), F.asc("key"))
+    ranked = counts.select(
+        "key", "cnt", F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(_W.partitionBy()).alias("nk"))
+    q_aggs = []
+    for q in quantiles:
+        name = f"p{int(q * 100)}_cnt"
+        q_aggs.append(F.max(F.when(
+            F.col("rn") == F.ceil(F.lit(float(q)) * F.col("nk")),
+            F.col("cnt"))).alias(name))
+    top = F.struct(F.col("cnt"), F.col("key"))
+    agg = ranked.agg(
+        F.max("nk").alias("n_keys"),
+        F.max("cnt").alias("max_cnt"),
+        F.max(top)["key"].alias("top_key"),
+        *q_aggs)
+    return agg.select(
+        "n_keys", "max_cnt", "top_key",
+        *[f"p{int(q * 100)}_cnt" for q in quantiles],
+        F.floor(F.col("max_cnt").cast("double")
+                / F.col(f"p{int(quantiles[0] * 100)}_cnt").cast("double")
+                * 1_000_000 + F.lit(0.5)).cast("long")
+         .alias("max_over_p50_q6"))

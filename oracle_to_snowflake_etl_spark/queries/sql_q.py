@@ -1229,3 +1229,41 @@ def q_stat_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.floor(num / den * 1_000_000 + F.lit(0.5)).cast("long")
          .alias("corr_q6"))
+
+
+@register(
+    "skew_report_custkey",
+    """
+    WITH counts AS (
+      SELECT CAST(o_custkey AS VARCHAR) AS key, COUNT(*) AS cnt
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT key, cnt,
+             row_number() OVER (ORDER BY cnt ASC, key ASC) AS rn,
+             COUNT(*) OVER () AS nk
+      FROM counts),
+    s AS (
+      SELECT MAX(nk) AS n_keys, MAX(cnt) AS max_cnt,
+             (max(struct_pack(c := cnt, k := key))).k AS top_key,
+             MAX(CASE WHEN rn = CAST(ceil(0.5 * nk) AS BIGINT)
+                      THEN cnt END) AS p50_cnt,
+             MAX(CASE WHEN rn = CAST(ceil(0.9 * nk) AS BIGINT)
+                      THEN cnt END) AS p90_cnt,
+             MAX(CASE WHEN rn = CAST(ceil(0.99 * nk) AS BIGINT)
+                      THEN cnt END) AS p99_cnt
+      FROM ranked)
+    SELECT n_keys, max_cnt, top_key, p50_cnt, p90_cnt, p99_cnt,
+           CAST(floor(CAST(max_cnt AS DOUBLE) / CAST(p50_cnt AS DOUBLE)
+                      * 1000000 + 0.5) AS BIGINT) AS max_over_p50_q6
+    FROM s
+    """)
+def q_skew_report_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnosis (operators/skew.skew_report) for
+    orders.o_custkey: distinct keys, max and exact-rank p50/p90/p99
+    per-key counts, the heaviest key, and the max/median ratio that
+    decides salting vs AQE-split BEFORE a job ships — the measurement
+    step the skew fixes assume. Quantiles are percentile_disc-style
+    exact rank picks, engine-identical."""
+    from ..operators.skew import skew_report
+
+    return skew_report(load_table(spark, sf_dir, "orders"), ["o_custkey"])
