@@ -1267,3 +1267,59 @@ def q_skew_report_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import skew_report
 
     return skew_report(load_table(spark, sf_dir, "orders"), ["o_custkey"])
+
+
+@register(
+    "stat_trend_daily_revenue",
+    """
+    WITH daily AS (
+      SELECT CAST(epoch_us(o_orderdate) // 86400000000 AS BIGINT) AS x,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS y
+      FROM orders GROUP BY 1),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(38,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0))
+                      * CAST(y AS DECIMAL(19,0))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0))
+                      * CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sxx
+      FROM daily)
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(floor((n * sxy - sx * sy) / (n * sxx - sx * sx)
+                      + 0.5) AS BIGINT) AS slope_cents_per_day,
+           CAST(floor((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                      / n + 0.5) AS BIGINT) AS intercept_cents
+    FROM s
+    """)
+def q_stat_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLS trend of daily revenue: slope (cents/day) and intercept from
+    the closed-form least-squares solution over exact integer sums
+    (epoch-day x, cents y; Σx/Σy/Σxy/Σx² in DECIMAL, fixed-order float
+    finish) — the deterministic what-direction-is-revenue-going
+    companion to w_anomaly_daily_revenue's where-did-it-spike. One
+    daily aggregate + a 1-row fold; no shuffle beyond them."""
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (orders.groupBy(
+        (F.unix_micros(F.col("o_orderdate").cast("timestamp"))
+         / F.lit(86_400_000_000))
+        .cast("long").alias("x"))
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+                   .cast("long")).alias("y")))
+    d19 = "decimal(19,0)"
+    s = daily.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(F.col("x").cast("decimal(38,0)")).cast("double").alias("sx"),
+        F.sum(F.col("y").cast("decimal(38,0)")).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(d19) * F.col("y").cast(d19))
+         .cast("double").alias("sxy"),
+        F.sum(F.col("x").cast(d19) * F.col("x").cast(d19))
+         .cast("double").alias("sxx"))
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) \
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+    return s.select(
+        F.col("n").cast("long").alias("n_days"),
+        F.floor(slope + F.lit(0.5)).cast("long")
+         .alias("slope_cents_per_day"),
+        F.floor((F.col("sy") - slope * F.col("sx")) / F.col("n")
+                + F.lit(0.5)).cast("long").alias("intercept_cents"))
