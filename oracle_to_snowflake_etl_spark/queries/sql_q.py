@@ -1323,3 +1323,59 @@ def q_stat_trend_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
          .alias("slope_cents_per_day"),
         F.floor((F.col("sy") - slope * F.col("sx")) / F.col("n")
                 + F.lit(0.5)).cast("long").alias("intercept_cents"))
+
+
+@register(
+    "stat_gini_customer_revenue",
+    """
+    WITH cust AS (
+      SELECT o_custkey,
+             SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT cents,
+             row_number() OVER (ORDER BY cents ASC, o_custkey ASC) AS i,
+             COUNT(*) OVER () AS n
+      FROM cust),
+    s AS (
+      SELECT CAST(MAX(n) AS DOUBLE) AS n,
+             CAST(SUM(CAST(cents AS DECIMAL(38,0))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(i AS DECIMAL(19,0))
+                      * CAST(cents AS DECIMAL(19,0))) AS DOUBLE) AS siy
+      FROM ranked)
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           CAST(floor((2.0 * siy / (n * sy) - (n + 1.0) / n)
+                      * 1000000 + 0.5) AS BIGINT) AS gini_q6
+    FROM s
+    """)
+def q_stat_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of revenue concentration across customers — the
+    single-number inequality measure behind every 'top X% of customers
+    drive Y% of revenue' claim, computed from the closed-form
+    G = 2·Σ(i·yᵢ)/(n·Σy) − (n+1)/n over revenue ranked ascending.
+    Integer-cents revenue, DECIMAL-exact Σy and Σ(i·y), fixed-order
+    float finish; the rank window runs over the per-customer aggregate
+    (bounded by |customers|), never raw orders."""
+    from pyspark.sql import Window as _W
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+              .cast("long")).alias("cents"))
+    w = _W.orderBy(F.asc("cents"), F.asc("o_custkey"))
+    ranked = cust.select(
+        "cents", F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(_W.partitionBy()).alias("n"))
+    d19 = "decimal(19,0)"
+    s = ranked.agg(
+        F.max("n").cast("double").alias("n"),
+        F.sum(F.col("cents").cast("decimal(38,0)")).cast("double")
+         .alias("sy"),
+        F.sum(F.col("i").cast(d19) * F.col("cents").cast(d19))
+         .cast("double").alias("siy"))
+    gini = (F.lit(2.0) * F.col("siy") / (F.col("n") * F.col("sy"))
+            - (F.col("n") + F.lit(1.0)) / F.col("n"))
+    return s.select(
+        F.col("n").cast("long").alias("n_customers"),
+        F.floor(gini * 1_000_000 + F.lit(0.5)).cast("long")
+         .alias("gini_q6"))
