@@ -32,14 +32,33 @@ def main() -> None:
     # execution, not session bootstrap.
     next(iter(qs.values()))(spark, sf_dir).count()
 
+    # Floor calibration (PLANS.md: ±1.55x ambient host noise between
+    # bench runs): time the cheapest possible 2-stage Spark job — a bare
+    # parquet scan-count — best-of-3. Every per-query number in this run
+    # carries this constant as its lower bound; round-over-round deltas
+    # should be read as (query - floor_s), making host-noise shifts
+    # attributable instead of looking like engine regressions.
+    floor_path = os.path.join(sf_dir, "lineitem.parquet")
+
+    def _measure_floor(runs: int = 3) -> float:
+        best = float("inf")
+        for _ in range(runs):
+            t0 = time.perf_counter()
+            spark.read.parquet(floor_path).count()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    floor_s = _measure_floor()
+
     timings: dict[str, float] = {}
     total = 0.0
     for name, fn in sorted(qs.items()):
-        # Best of 2 runs: steady-state per-query latency (first run can pay
+        # Best of 3 runs: steady-state per-query latency (first run can pay
         # one-time JIT/codegen compilation that a long-lived cluster
-        # amortizes away).
+        # amortizes away; a third sample halves the odds a host-noise
+        # spike lands on both observations of a query).
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             # Drain every row (collect on limit-queries is tiny; count
@@ -75,10 +94,16 @@ def main() -> None:
             print(f"WARN {name}: {n_cached} persisted RDDs after clear",
                   file=sys.stderr)
 
+    # Re-measure the floor after the sweep and keep the minimum: the
+    # pre-pass can still be paying first-job codegen, and a floor ABOVE
+    # the trivial queries' times would invert its meaning.
+    floor_s = min(floor_s, _measure_floor())
+
     # Full per-query detail for local iteration.
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "BENCH_DETAIL.json"), "w") as fh:
-        json.dump({"total": round(total, 4), "sf": sf, "queries": timings}, fh,
+        json.dump({"total": round(total, 4), "sf": sf,
+                   "floor_s": round(floor_s, 4), "queries": timings}, fh,
                   indent=1, sort_keys=True)
 
     # The driver captures only the final ~2000 chars of stdout, so the JSON
@@ -99,6 +124,8 @@ def main() -> None:
             "queries": headline,
             "sf": sf,
             "n_queries": len(timings),
+            "floor_s": round(floor_s, 4),
+            "runs_per_query": 3,
         })
         if len(line) < 1900 or not headline:
             break

@@ -74,24 +74,33 @@ PRIORITY = [
     "merge_upsert_orders", "asof_click_attribution", "range_join_promo",
     "scd2_user_status", "zorder_orders", "salted_join_nation",
     "pagerank_supplier_orders", "fuzzy_name_pairs",
-    # Dedup family
-    "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-    "dedup_ngram_jaccard", "dedup_clusters",
+    # Dedup family (dedup_simhash rotated to full-local in round 5; its
+    # slot carries the incremental-containment pair — the r4 operators
+    # the verdict asked to put under the driver's hard signal)
+    "dedup_exact", "dedup_minhash_lsh", "dedup_containment_incr",
+    "dedup_ngram_jaccard", "dedup_clusters", "dedup_containment_drop",
     # Similarity / embeddings
     "ann_brute_topk", "ann_ivf_topk", "ann_srp_neardup",
     "emb_label_centroids",
     # Text analysis (text_quality_filter stays full-local-checked; its
     # slot carries the round-4 MV-maintenance family instead)
     "text_quality_features", "text_lang_id", "mv_incremental_refresh",
-    "text_winnow_fp", "text_corpus_quantiles", "text_decontaminate",
-    "pii_redact_contacts", "text_bm25_topk", "corpus_prep_pipeline",
+    # (text_corpus_quantiles + pii_redact_contacts rotated to full-local
+    # in round 5; their slots carry the r4 skew-diagnosis + exact-sum
+    # stats family)
+    "text_winnow_fp", "skew_report_custkey", "text_decontaminate",
+    "stat_gini_customer_revenue", "text_bm25_topk", "corpus_prep_pipeline",
     # Multimodal (mm_byte_stats stays full-local-checked; its slot
     # carries the round-4 incremental ingest composition instead)
-    "mm_catalog", "ingest_batch_pipeline", "mm_frame_sample",
+    # (mm_frame_sample rotated to full-local in round 5; slot carries
+    # the exact-sum OLS trend)
+    "mm_catalog", "ingest_batch_pipeline", "stat_trend_daily_revenue",
     "mm_image_features",
     # Windows / event-time (w_range_1h_value stays full-local-checked;
     # its slot carries the mergeable-sketch family instead)
-    "w_running_spend", "sketch_hll_custkey", "ev_sessions", "ev_tumbling_5m",
+    # (ev_tumbling_5m rotated to full-local in round 5 — the event-time
+    # family keeps ev_sessions + ev_gapfill_hourly driver slots)
+    "w_running_spend", "sketch_hll_custkey", "ev_sessions",
     "ev_gapfill_hourly", "funnel_view_click_purchase",
     # TPC-H representative (full 22-query suite keeps full-local oracle
     # coverage in registration order below)
