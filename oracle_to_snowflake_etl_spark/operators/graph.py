@@ -36,22 +36,28 @@ PR_SCALE = 1_000_000_000
 
 
 def pagerank_int(edges: DataFrame, iterations: int = 5,
-                 scale: int = PR_SCALE) -> DataFrame:
+                 scale: int = PR_SCALE,
+                 n_parts: int | None = None) -> DataFrame:
     """(node, rank_q) after ``iterations`` rounds over a DIRECTED edge
     list (src, dst). rank_q is the rank scaled by ``scale``. Every node
     must have out-degree >= 1 (feed an undirected/self-looped list for
     graphs with sinks — dangling-mass redistribution is a modeling
-    choice that belongs at the call site)."""
+    choice that belongs at the call site). ``n_parts`` overrides the
+    iteration partition count (tools/ab_pagerank.py measures rules)."""
     edges = edges.select("src", "dst").persist()
     n_edges = edges.count()
     # size from measured edges: ~250k edges/partition, floor 4 so a
     # mid-size graph never serializes, cap 1024 (~1M/partition at a
-    # billion edges). Flooring at defaultParallelism instead (the r3
-    # rule) was measured 25% SLOWER at sf0.1 — iterative loops pay
-    # per-round scheduler latency on every near-empty task, and the
-    # per-row work here is trivial (contrast ensure_parallelism, whose
-    # floor exists for expensive per-row compute on few partitions)
-    n_parts = int(max(4, min(1024, n_edges // 250_000 + 1)))
+    # billion edges). The round-5 interleaved A/B (tools/ab_pagerank.py,
+    # results in PLANS.md) re-measured this rule against the r3
+    # defaultParallelism floor back-to-back: at sf0.1 (137k edges) the
+    # two are within noise of each other (the r4 "25% slower" claim and
+    # the r4 bench's +35% regression were BOTH host noise); the
+    # edge-derived rule stays because small per-round tasks pay pure
+    # scheduler latency at this size and the rule converges to the same
+    # per-partition volume at scale.
+    if n_parts is None:
+        n_parts = int(max(4, min(1024, n_edges // 250_000 + 1)))
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # loop-invariant: the degree-annotated edge list, partitioned on the
     # join key so every iteration's edges-x-ranks join reuses this
