@@ -18,21 +18,18 @@ MATCHED INSERT; this module keeps the engine format-agnostic
 caller dedups first (``dropDuplicates(keys)``) — we do NOT hide that
 choice, because which duplicate wins is business logic.
 
-Delta/Iceberg position (SURVEY.md §4.3, stated explicitly): delta-spark
-is NOT installable in this build environment (no package installs), so
-the transactional `MERGE INTO` variant is not wired. This DataFrame
-construction is the supported form; plain ``merge_upsert`` rewrites the
-full target (no file-level pruning), and ``merge_upsert_partitioned``
-recovers the file-pruning half on a Hive-partitioned table by scoping
-the read+rewrite to the partitions the source touches (dynamic
-partition overwrite; untouched partitions byte-identical). On a cluster
-with Delta/Iceberg on the classpath, replace a
-``merge_upsert(...).write`` with:
-
-    target_tbl.alias("t").merge(source.alias("s"), "<key equi-pred>")
-        .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute()
-
-— semantics identical to this module (source wins on key collision).
+Delta/Iceberg position (SURVEY.md §4.3): the transactional `MERGE INTO`
+variant IS wired (:func:`merge_upsert_delta`, same semantics — source
+wins on key collision) but gated on delta-spark being importable
+(:func:`delta_available`), which it is not in this build environment
+(no package installs). The DataFrame construction remains the always-
+available form; plain ``merge_upsert`` rewrites the full target (no
+file-level pruning), and ``merge_upsert_partitioned`` recovers the
+file-pruning half on a Hive-partitioned table by scoping the
+read+rewrite to the partitions the source touches (dynamic partition
+overwrite; untouched partitions byte-identical). The gated pytest
+(tests/test_migration.py) asserts merge_upsert_delta ==
+merge_upsert row-for-row whenever the package is present.
 """
 
 from __future__ import annotations
@@ -49,6 +46,43 @@ def merge_upsert(source: DataFrame, target: DataFrame,
     plus the ``target`` rows whose key the source does not touch."""
     kept = incremental_delta(target, source.select(*key_cols), key_cols)
     return source.unionByName(kept)
+
+
+def delta_available() -> bool:
+    """True when delta-spark (Python package + jars) is importable —
+    the gate for :func:`merge_upsert_delta`. False in this build
+    environment (no package installs, SURVEY.md §4.3); true on a
+    cluster with Delta on the classpath."""
+    try:
+        import delta  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def merge_upsert_delta(source: DataFrame, target_path: str,
+                       key_cols: list[str]) -> DataFrame:
+    """The at-scale form of J1/upsert (SURVEY.md §1.4, §4.3): a
+    transactional Delta ``MERGE INTO`` with the SAME semantics as
+    :func:`merge_upsert` (source wins on key collision, untouched keys
+    pass through) — plus what the parquet construction cannot give:
+    ACID commit, concurrent-writer isolation, and data-file skipping on
+    the merge condition instead of whole-partition rewrites.
+
+    Requires delta-spark (:func:`delta_available`); tests gate on it
+    (tests/test_migration.py) and the semantics contract is asserted
+    against :func:`merge_upsert` whenever the package is present. The
+    null-safe ``<=>`` key predicate mirrors the anti-join's null-key
+    behavior.
+    """
+    from delta.tables import DeltaTable  # gated import (delta_available)
+
+    spark = source.sparkSession
+    tbl = DeltaTable.forPath(spark, target_path)
+    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key_cols)
+    (tbl.alias("t").merge(source.alias("s"), cond)
+     .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
+    return spark.read.format("delta").load(target_path)
 
 
 def merge_upsert_partitioned(source: DataFrame, target_path: str,

@@ -66,6 +66,15 @@ def has_top_k(df: DataFrame) -> bool:
     return "TakeOrderedAndProject" in plan_string(df)
 
 
+def executed_plan_string(df: DataFrame) -> str:
+    """The FINAL physical plan after execution — for properties only the
+    adaptive runtime decides (skew-join split, runtime broadcast,
+    partition coalescing), which never appear in the static explain.
+    Call after an action has run; with AQE the string carries
+    isFinalPlan=true and per-node runtime annotations like skew=true."""
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
 def partition_filters(df: DataFrame) -> list[str]:
     """PartitionFilters entries of every file scan: predicates resolved
     against the directory layout at PLANNING time — entire partition

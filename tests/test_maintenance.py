@@ -321,6 +321,49 @@ def test_merge_upsert_partitioned_scopes_rewrite(spark, tmp_path):
     assert day3.select("k").distinct().count() == 105
 
 
+def test_merge_upsert_delta_gate_is_honest():
+    """delta_available() must reflect real importability, and the gated
+    entry point must fail with ImportError (not something weirder) when
+    the gate is closed — the contract callers dispatch on."""
+    from oracle_to_snowflake_etl_spark.operators.merge import (
+        delta_available, merge_upsert_delta)
+
+    avail = delta_available()
+    assert isinstance(avail, bool)
+    if not avail:
+        import pytest as _pytest
+        with _pytest.raises(ImportError):
+            merge_upsert_delta(None, "/nonexistent", ["k"])
+
+
+def test_merge_upsert_delta_matches_dataframe_form(spark, tmp_path):
+    """When delta-spark IS on the classpath, the transactional MERGE
+    INTO path must produce row-for-row the same table state as the
+    format-agnostic DataFrame construction (source wins on collision,
+    untouched keys pass through). Skipped where delta-spark cannot be
+    installed (this build env); runs on any Delta-enabled cluster."""
+    import pytest as _pytest
+    _pytest.importorskip("delta")
+
+    from oracle_to_snowflake_etl_spark.operators.merge import (
+        merge_upsert, merge_upsert_delta)
+
+    path = str(tmp_path / "delta_target")
+    base = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit("old").alias("val"))
+    try:
+        base.write.format("delta").save(path)
+    except Exception as exc:  # python pkg present but jars absent
+        _pytest.skip(f"delta jars unavailable: {exc}")
+    source = spark.createDataFrame(
+        [(k, "new") for k in range(90, 110)], "k BIGINT, val STRING")
+    expected = {tuple(r) for r in
+                merge_upsert(source, base, ["k"]).collect()}
+    got = {tuple(r) for r in
+           merge_upsert_delta(source, path, ["k"]).collect()}
+    assert got == expected
+
+
 def test_observed_write_collects_metrics_in_one_pass(spark, tmp_path):
     """DataFrame.observe metrics must arrive with the write action
     itself (no second scan) and match an explicit recount."""

@@ -311,6 +311,62 @@ def test_hll_register_agg_bounded(spark, sf_dir):
     assert exchange_count(df) <= 5
 
 
+def test_aqe_skew_join_split_engages(spark):
+    """SCALE.md's standing answer to join-key skew is "AQE skew-join
+    split handles it" — this asserts the mitigation actually ENGAGES: a
+    deliberately skewed sort-merge join (90% of a padded fact on one hot
+    key) must come out of execution with the join marked skew=true,
+    i.e. OptimizeSkewedJoin split the hot partition into parallel
+    subtasks instead of leaving one straggler. Thresholds are scaled
+    down from their 256MB defaults so a local-size fact exercises the
+    same code path a 100 TB fact would."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.plans.inspect import (
+        executed_plan_string)
+
+    tuned = {
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2.0",
+        # force SMJ: a broadcast join has no skewed shuffle to split
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old = {k: spark.conf.get(k, None) for k in tuned}
+    for k, v in tuned.items():
+        spark.conf.set(k, v)
+    try:
+        # pad must be row-dependent and high-entropy: a constant pad
+        # folds out of the shuffle entirely, and low-entropy rows
+        # compress below the skew threshold in the shuffle files
+        fact = (spark.range(0, 200_000)
+                .select(F.when(F.col("id") % 10 < 9, F.lit(0))
+                        .otherwise(F.col("id")).alias("k"),
+                        F.concat(F.md5(F.col("id").cast("string")),
+                                 F.md5((F.col("id") + 1).cast("string")))
+                        .alias("pad")))
+        dim = spark.range(0, 1_000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        joined = fact.join(dim, "k").select("k", "v", "pad")
+        # collect() (not count()) so the action runs THIS DataFrame's own
+        # QueryExecution — count() builds a separate aggregate plan and
+        # joined's adaptive plan would never finalize
+        assert len(joined.collect()) == 180_000 + 100  # hot key + tail
+        final = executed_plan_string(joined)
+        assert "isFinalPlan=true" in final
+        assert "skew=true" in final, final[:2000]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_global_hash_sample_is_topk(spark, sf_dir):
     """The fixed-k global sample must plan TakeOrderedAndProject
     (per-partition heaps), never a global sort of the corpus."""

@@ -1,0 +1,122 @@
+#!/usr/bin/env python3
+"""Derive a larger scale factor from the driver's sf0.1 testdata by
+replication with per-replica key offsets — for SCALING MEASUREMENT only
+(tools/scale_sweep.py), never for correctness runs (the driver's
+generated parquet stays the only correctness input).
+
+Design: each replica i gets offset i*OFF added to every entity-key
+column, making it an independent sub-database — join selectivities,
+group cardinalities per key, and date ranges are preserved, so a query
+over N replicas does N times the work of one replica (the scaling shape
+a 10x bigger TPC-H would have). Two columns need more than an offset:
+
+- documents.text: copied verbatim, every near-dup/shingle/minhash
+  operator would find each document's 9 twins — pair output would grow
+  QUADRATICALLY in replica count, measuring an artifact of the
+  replication instead of the operator. Replicas i>0 therefore prefix
+  every token with 'r{i}': token-injective (within-replica duplicate
+  structure and length distribution preserved) while cross-replica
+  shingle sets become disjoint — pair counts scale linearly.
+- embeddings.embedding: same issue in cosine space. Replicas i>0 apply
+  a deterministic per-replica diagonal ±1 sign flip: an orthogonal
+  transform, so ALL within-replica inner products (and norms) are
+  preserved exactly, while cross-replica similarities collapse to
+  noise at dim=64.
+
+nation/region (global dims every replica shares) are copied once,
+unchanged.
+
+Usage: python tools/make_scale_data.py [--replicas 10] [--out DIR]
+Default out: <repo>/.scaledata/sf1 (gitignored).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+#: per-replica key offset — larger than any sf0.1 key space
+OFF = 10_000_000
+
+#: entity-key columns to offset, per table (nationkey/regionkey excluded:
+#: those reference the shared global dims)
+KEY_COLS = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
+}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--src", default="/root/testdata/sf0.1")
+    ap.add_argument("--replicas", type=int, default=10)
+    ap.add_argument("--out", default=os.path.join(REPO, ".scaledata", "sf1"))
+    args = ap.parse_args()
+
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.session import get_spark
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    spark = get_spark("make-scale-data")
+    spark.sparkContext.setLogLevel("ERROR")
+    os.makedirs(args.out, exist_ok=True)
+
+    for t in ("region", "nation"):
+        load_table(spark, args.src, t).coalesce(1).write.mode(
+            "overwrite").parquet(os.path.join(args.out, f"{t}.parquet"))
+        print(f"{t}: copied")
+
+    for t, keys in KEY_COLS.items():
+        base = load_table(spark, args.src, t)
+        parts = []
+        for i in range(args.replicas):
+            df = base
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(i * OFF))
+            if i > 0 and t == "documents":
+                toks = F.split(F.trim(F.col("text")), " +")
+                df = df.withColumn(
+                    "text",
+                    F.array_join(
+                        F.transform(toks,
+                                    lambda x: F.concat(F.lit(f"r{i}"), x)),
+                        " "))
+                df = df.withColumn("n_chars", F.length("text"))
+            if i > 0 and t == "embeddings":
+                # deterministic diagonal sign flip per (replica, dim)
+                df = df.withColumn(
+                    "embedding",
+                    F.transform(
+                        "embedding",
+                        lambda x, j: (x * F.when(
+                            F.pmod(F.xxhash64(F.lit(i) * 1000 + j), 2) == 0,
+                            F.lit(1.0)).otherwise(F.lit(-1.0))
+                        ).cast("float")))
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # single file per table, mirroring the driver's testdata layout
+        # (streaming queries batch per file; parquet stays splittable
+        # at read time via row groups)
+        out.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.out, f"{t}.parquet"))
+        n = spark.read.parquet(os.path.join(args.out, f"{t}.parquet")).count()
+        print(f"{t}: {n} rows")
+
+    print(f"done -> {args.out}")
+
+
+if __name__ == "__main__":
+    main()
