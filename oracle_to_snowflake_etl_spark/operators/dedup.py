@@ -716,8 +716,14 @@ def containment_pairs_incremental(new_df: DataFrame,
     operator can afford because it computes corpus-wide DF anyway).
     The containing index is then LOSSLESSLY bounded by a semi-join
     against the batch's prefix-shingle set — per-ingest cost
-    O(|batch| + Σ_{h in batch prefixes} DF(h) + matches), never a
-    corpus pair scan.
+    O(|batch| + Σ_{h in batch prefixes} DF(h) + matches) in SHUFFLED
+    rows, never a corpus pair scan. One term is honest-to-state
+    separately: the semi-join still SCANS the full stored index (Spark
+    has no point lookup), a compact columnar pass at ~16 bytes/shingle
+    — 1-2 orders cheaper per byte than the text it replaces. Measured
+    (round 5, pre-materialized index, 4% drop): per-drop 3.1s at sf0.1
+    → 5.1s at sf1, i.e. ×1.6 per decade of corpus — the gentle
+    index-scan slope, vs ×10/decade for re-shingling corpus text.
 
     Returns (doc_a=contained NEW doc, doc_b=containing doc,
     containment), exact-rescored. Oracle: the brute-force ordered-pairs

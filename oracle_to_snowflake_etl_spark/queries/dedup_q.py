@@ -302,10 +302,14 @@ def q_dedup_containment_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     of documents with doc_id % {mod} == 0, corpus = the other 96% (whose
     stored shingle index is reused, text never re-read). Same operator as
     dedup_containment_incr (operators/dedup.containment_pairs_incremental);
-    this entry exists to MEASURE the per-ingest cost claim O(batch +
-    prefix-hit index + matches) at steady-state batch:corpus proportions
-    instead of the 92%-of-corpus stress scenario. Oracle: brute-force
-    ordered containment restricted to contained-side-in-batch."""
+    this entry exists to MEASURE the per-ingest cost at steady-state
+    batch:corpus proportions instead of the 92%-of-corpus stress
+    scenario. Finding (SCALE.md): end-to-end both scenarios are
+    dominated by the in-query index build the oracle requires; the
+    production marginal cost (pre-materialized index) is 3.1s at sf0.1
+    scaling x1.6/decade — the compact-index scan term. Oracle:
+    brute-force ordered containment restricted to
+    contained-side-in-batch."""
     from pyspark.sql import functions as F
 
     from ..operators.dedup import (containment_pairs_incremental,

@@ -63,6 +63,9 @@ def main() -> None:
     ap.add_argument("--out", default=os.path.join(REPO, ".scaledata", "sf1"))
     args = ap.parse_args()
 
+    import glob
+    import shutil
+
     from pyspark.sql import functions as F
 
     from oracle_to_snowflake_etl_spark.session import get_spark
@@ -72,9 +75,24 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     os.makedirs(args.out, exist_ok=True)
 
+    def write_single_file(df, t: str) -> None:
+        """Mirror the driver's layout EXACTLY: one plain FILE named
+        <t>.parquet — streaming readers glob on that name
+        (streaming/jobs.read_events_stream pathGlobFilter), so a
+        directory-shaped table would silently stream zero files."""
+        tmp = os.path.join(args.out, f"_tmp_{t}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(args.out, f"{t}.parquet")
+        if os.path.isdir(dst):
+            shutil.rmtree(dst)
+        elif os.path.exists(dst):
+            os.remove(dst)
+        shutil.move(part, dst)
+        shutil.rmtree(tmp)
+
     for t in ("region", "nation"):
-        load_table(spark, args.src, t).coalesce(1).write.mode(
-            "overwrite").parquet(os.path.join(args.out, f"{t}.parquet"))
+        write_single_file(load_table(spark, args.src, t), t)
         print(f"{t}: copied")
 
     for t, keys in KEY_COLS.items():
@@ -84,6 +102,16 @@ def main() -> None:
             df = base
             for k in keys:
                 df = df.withColumn(k, F.col(k) + F.lit(i * OFF))
+            if i > 0 and t == "customer":
+                # same reason as documents.text below: verbatim-copied
+                # name STRINGS put all 10 replicas in the same fuzzy-
+                # matching prefix block (pairs would grow quadratically
+                # in replicas); a replica-distinct same-length prefix
+                # keeps block sizes — and pair counts — scaling linearly
+                df = df.withColumn(
+                    "c_name",
+                    F.concat(F.lit(f"C{i}"),
+                             F.substring(F.col("c_name"), 3, 1_000)))
             if i > 0 and t == "documents":
                 toks = F.split(F.trim(F.col("text")), " +")
                 df = df.withColumn(
@@ -107,11 +135,11 @@ def main() -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        # single file per table, mirroring the driver's testdata layout
-        # (streaming queries batch per file; parquet stays splittable
-        # at read time via row groups)
-        out.coalesce(1).write.mode("overwrite").parquet(
-            os.path.join(args.out, f"{t}.parquet"))
+        if t == "events":
+            # match the round-3+ testdata physical shape (timestamp[us]
+            # NTZ) so stream/batch readers take the same probe branch
+            out = out.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        write_single_file(out, t)
         n = spark.read.parquet(os.path.join(args.out, f"{t}.parquet")).count()
         print(f"{t}: {n} rows")
 

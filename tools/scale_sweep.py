@@ -83,6 +83,13 @@ def main() -> None:
             print(f"{name:38s} ERR {results[name]['err'][:120]}", flush=True)
 
     out = os.path.join(REPO, "SCALE_SWEEP.json")
+    if args.only and os.path.exists(out):
+        # targeted re-measure: merge into the committed full sweep
+        with open(out) as fh:
+            prev = json.load(fh)
+        merged = prev.get("results", {})
+        merged.update(results)
+        results = merged
     with open(out, "w") as fh:
         json.dump({"small": args.small, "large": args.large,
                    "runs": args.runs, "results": results}, fh, indent=1,
