@@ -88,6 +88,37 @@ def split_assign(df: DataFrame, key_col: str,
     return df.withColumn(out_col, expr)
 
 
+def split_assign_leakage_free(df: DataFrame, clusters: DataFrame,
+                              key_col: str,
+                              weights: dict[str, float] | None = None,
+                              salt: str = "split",
+                              out_col: str = "split") -> DataFrame:
+    """Train/val/test assignment that cannot leak near-duplicates across
+    the split boundary: rows are hashed by their near-dup CLUSTER
+    representative, not their own key, so every member of a cluster
+    lands in the same split — per-row :func:`split_assign` would put a
+    document in train and its 0.9-Jaccard twin in test, silently
+    inflating eval scores (the standard contamination failure
+    text_decontaminate guards against BENCHMARKS; this guards the
+    pipeline's own eval split).
+
+    ``clusters`` is the (doc, keep_id) output of
+    operators/dedup.dedup_clusters over any near-dup pair source;
+    unclustered keys (the overwhelming majority) fall back to
+    themselves via one left join — broadcast when the cluster map is
+    small, which it is by construction (bounded by docs that HAVE a
+    near-dup). Determinism contract is inherited: same key set + salt
+    => same assignment forever, regardless of partitioning.
+    """
+    rep = clusters.select(F.col("doc").alias(key_col),
+                          F.col("keep_id").alias("_rep"))
+    joined = (df.join(rep, key_col, "left")
+              .withColumn("_rep", F.coalesce(F.col("_rep"),
+                                             F.col(key_col))))
+    return split_assign(joined, "_rep", weights, salt, out_col) \
+        .drop("_rep")
+
+
 def weighted_sample(df: DataFrame, weight_col: str, key_col: str,
                     salt: str = "wsample",
                     max_weight: int | None = None) -> DataFrame:

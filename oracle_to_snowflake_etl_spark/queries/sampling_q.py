@@ -269,3 +269,43 @@ def q_sample_global_topk_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.select("doc_id", "lang", h.alias("_h"))
             .orderBy(F.asc("_h"), F.asc("doc_id")).limit(50)
             .drop("_h"))
+
+
+# Leakage-free split: reuses dedup_q's recursive-CTE clusters oracle so
+# the per-row assignment contract (every cluster member shares its
+# representative's split) is value-checked end to end.
+from .dedup_q import _CLUSTERS_SQL  # noqa: E402
+
+_LF_REP = "COALESCE(c.keep_id, d.doc_id)"
+_LF_U = _duck_unit('split', _LF_REP)
+
+
+@register(
+    "split_leakage_free",
+    f"""
+    SELECT d.doc_id,
+           CASE WHEN {_LF_U} < 0.1 THEN 'test'
+                WHEN {_LF_U} < 0.9 THEN 'train'
+                ELSE 'val' END AS split
+    FROM documents d
+    LEFT JOIN ({_CLUSTERS_SQL}) c ON d.doc_id = c.doc
+    """)
+def q_split_leakage_free(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contamination-safe train/val/test assignment
+    (operators/sampling.split_assign_leakage_free): rows are hashed by
+    their near-dup CLUSTER representative (MinHash-LSH pairs ->
+    dedup_clusters), so a document and its 0.9-Jaccard twin can never
+    straddle the eval boundary — the split-level complement of
+    text_decontaminate's benchmark guard. Unclustered docs (the
+    majority) hash by their own id, making this a strict refinement of
+    split_assign_docs: identical labels except inside near-dup
+    clusters. Oracle: the recursive-reachability cluster CTE joined
+    back per row."""
+    from ..operators.dedup import dedup_clusters, minhash_lsh_pairs
+    from ..operators.sampling import split_assign_leakage_free
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(minhash_lsh_pairs(docs))
+    return (split_assign_leakage_free(docs, clusters, "doc_id",
+                                      SPLIT_WEIGHTS)
+            .select("doc_id", "split"))

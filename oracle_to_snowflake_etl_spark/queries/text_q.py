@@ -561,3 +561,39 @@ def q_text_familiarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import familiarity_scores
 
     return familiarity_scores(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "source_health_report",
+    f"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(COUNT(*) - COUNT(DISTINCT {duck_hash60_sql('text')})
+                AS BIGINT) AS dup_docs,
+           COUNT(DISTINCT lang) AS n_langs,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars,
+           CAST(SUM(len(regexp_split_to_array(trim(text), ' +')))
+                AS BIGINT) AS total_tokens
+    FROM documents
+    GROUP BY source
+    """)
+def q_source_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus governance report — the triage table a
+    web-scale pipeline reads before deciding mixture weights or
+    dropping a feed: volume (docs/chars/tokens), exact-duplicate rate
+    (60-bit content hash, same convention as dedup_exact), and language
+    spread, per `source`. All measures are exact integers (counts and
+    integer sums — order-independent, hash-stable across engines and
+    partitionings). ONE hash-agg shuffle on source; distinct-aggregates
+    expand map-side like any multi-distinct group."""
+    from ..functions.hashing import hash60
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.trim(F.col("text")), " +"))
+    return (docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        (F.count(F.lit(1)) - F.countDistinct(hash60(F.col("text"))))
+        .cast("long").alias("dup_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.sum(F.length("text")).cast("long").alias("total_chars"),
+        F.sum(toks).cast("long").alias("total_tokens")))

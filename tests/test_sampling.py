@@ -164,3 +164,36 @@ def test_mixture_sample_hits_target_composition(spark):
     for s, w in weights.items():
         # expected share w with ~sqrt noise; loose 10-point tolerance
         assert abs(got[s] / total - w) < 0.10, (s, got, t_max)
+
+
+def test_leakage_free_split_contracts(spark, sf_dir):
+    """The two defining properties: (1) every near-dup cluster's members
+    share ONE split label — no pair can straddle train/test; (2) strict
+    refinement — docs outside any cluster get exactly the label plain
+    split_assign gives them."""
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        dedup_clusters, minhash_lsh_pairs)
+    from oracle_to_snowflake_etl_spark.operators.sampling import (
+        split_assign_leakage_free)
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(minhash_lsh_pairs(docs))
+    out = split_assign_leakage_free(docs, clusters, "doc_id") \
+        .select("doc_id", "split")
+
+    labels = {r.doc_id: r.split for r in out.collect()}
+    assert set(labels) == {r.doc_id for r in docs.collect()}
+
+    cl = {r.doc: r.keep_id for r in clusters.collect()}
+    assert cl, "fixture must contain near-dup clusters"
+    by_rep: dict[int, set[str]] = {}
+    for doc, rep in cl.items():
+        by_rep.setdefault(rep, set()).add(labels[doc])
+    assert all(len(s) == 1 for s in by_rep.values()), by_rep
+
+    plain = {r.doc_id: r.split
+             for r in split_assign(docs, "doc_id").select(
+                 "doc_id", "split").collect()}
+    unclustered = set(labels) - set(cl)
+    assert unclustered
+    assert all(labels[d] == plain[d] for d in unclustered)
