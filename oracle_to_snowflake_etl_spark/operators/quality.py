@@ -97,3 +97,40 @@ def observed_write(df: DataFrame, path: str, name: str = "dq",
     out = df.observe(obs, *[m.alias(k) for k, m in metrics.items()])
     out.write.mode(mode).parquet(path)
     return obs.get
+
+
+def drift_report(df: DataFrame, group_col: str, in_a: Column, in_b: Column,
+                 key_col: str, value_q: Column) -> DataFrame:
+    """Side-by-side distribution drift between two slices of one table
+    (week-over-week, pre/post backfill, old vs new feed) — the check a
+    pipeline runs BEFORE publishing when a contract (run_checks) can
+    only say "valid", not "suddenly different".
+
+    Per ``group_col`` group: row counts, distinct ``key_col`` counts,
+    and exact integer sums of the pre-quantized ``value_q`` for each
+    side, plus deltas. Built as ONE conditional aggregation over ONE
+    scan — `sum(when(in_a, ...))` style — so the table is read once and
+    the plan is a single hash-agg shuffle on the group key; a
+    two-scan/self-join formulation would double the 100 TB read and add
+    a join shuffle for no information gain. Rows in neither slice
+    contribute nothing but still flow through the scan: push a
+    combined filter before calling when the slices are narrow (the
+    predicate composes with partition pruning).
+
+    All measures are exact integers (counts + integer sums of the
+    quantized value), so the report is bit-stable across engines and
+    partitionings — same convention as the exact-sum stats family.
+    """
+    def side(name: str, pred: Column) -> list[Column]:
+        return [
+            F.count(F.when(pred, 1)).alias(f"n_{name}"),
+            F.countDistinct(F.when(pred, F.col(key_col)))
+            .alias(f"keys_{name}"),
+            F.coalesce(F.sum(F.when(pred, value_q)), F.lit(0))
+            .cast("long").alias(f"vsum_{name}"),
+        ]
+
+    return (df.groupBy(group_col)
+            .agg(*side("a", in_a), *side("b", in_b))
+            .withColumn("n_delta", F.col("n_b") - F.col("n_a"))
+            .withColumn("vsum_delta", F.col("vsum_b") - F.col("vsum_a")))

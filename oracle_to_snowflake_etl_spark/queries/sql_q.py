@@ -1379,3 +1379,60 @@ def q_stat_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_customers"),
         F.floor(gini * 1_000_000 + F.lit(0.5)).cast("long")
          .alias("gini_q6"))
+
+
+@register(
+    "drift_weekly_events",
+    """
+    SELECT event_type,
+           COUNT(*) FILTER (ts >= TIMESTAMP '2024-01-01 00:00:00'
+                        AND ts <  TIMESTAMP '2024-01-08 00:00:00') AS n_a,
+           COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00'
+                                AND ts <  TIMESTAMP '2024-01-08 00:00:00'
+                               THEN user_id END) AS keys_a,
+           CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00'
+                                   AND ts < TIMESTAMP '2024-01-08 00:00:00'
+                  THEN CAST(floor(value * 10000 + 0.5) AS BIGINT) END), 0)
+                AS BIGINT) AS vsum_a,
+           COUNT(*) FILTER (ts >= TIMESTAMP '2024-01-08 00:00:00'
+                        AND ts <  TIMESTAMP '2024-01-15 00:00:00') AS n_b,
+           COUNT(DISTINCT CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                                AND ts <  TIMESTAMP '2024-01-15 00:00:00'
+                               THEN user_id END) AS keys_b,
+           CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                                   AND ts < TIMESTAMP '2024-01-15 00:00:00'
+                  THEN CAST(floor(value * 10000 + 0.5) AS BIGINT) END), 0)
+                AS BIGINT) AS vsum_b,
+           (COUNT(*) FILTER (ts >= TIMESTAMP '2024-01-08 00:00:00'
+                         AND ts <  TIMESTAMP '2024-01-15 00:00:00')
+            - COUNT(*) FILTER (ts >= TIMESTAMP '2024-01-01 00:00:00'
+                           AND ts <  TIMESTAMP '2024-01-08 00:00:00'))
+             AS n_delta,
+           (CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-08 00:00:00'
+                                    AND ts < TIMESTAMP '2024-01-15 00:00:00'
+                  THEN CAST(floor(value * 10000 + 0.5) AS BIGINT) END), 0)
+                 AS BIGINT)
+            - CAST(COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-01 00:00:00'
+                                      AND ts < TIMESTAMP '2024-01-08 00:00:00'
+                  THEN CAST(floor(value * 10000 + 0.5) AS BIGINT) END), 0)
+                 AS BIGINT)) AS vsum_delta
+    FROM events
+    GROUP BY event_type
+    """)
+def q_drift_weekly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week drift report per event_type
+    (operators/quality.drift_report): counts, distinct users, and exact
+    quantized value sums for two adjacent weeks plus deltas — the
+    publish-gate complement of dq_orders_contract ("valid" vs "suddenly
+    different"). ONE conditional-aggregation scan, one hash-agg shuffle;
+    quantization uses the repo-wide floor(x*1e4+0.5) convention so both
+    engines sum identical integers."""
+    from ..operators.quality import drift_report
+
+    ev = load_table(spark, sf_dir, "events")
+    in_a = ((F.col("ts") >= F.lit("2024-01-01").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-08").cast("timestamp")))
+    in_b = ((F.col("ts") >= F.lit("2024-01-08").cast("timestamp"))
+            & (F.col("ts") < F.lit("2024-01-15").cast("timestamp")))
+    vq = F.floor(F.col("value") * 10_000 + F.lit(0.5)).cast("long")
+    return drift_report(ev, "event_type", in_a, in_b, "user_id", vq)

@@ -276,6 +276,11 @@ def test_round3_operators_plan_shapes(spark, sf_dir):
         "cdc_apply_changes": 2,
         "hist_order_totals": 1,
         "share_of_total_by_nation": 2,
+        # round 5: drift report must stay ONE conditional-agg scan (the
+        # distinct-aggregate expansion adds one extra exchange), never a
+        # two-scan self-join
+        "drift_weekly_events": 2,
+        "source_health_report": 2,
     }
     qs = queries()
     for name, budget in budgets.items():
