@@ -104,11 +104,14 @@ def split_assign_leakage_free(df: DataFrame, clusters: DataFrame,
 
     ``clusters`` is the (doc, keep_id) output of
     operators/dedup.dedup_clusters over any near-dup pair source;
-    unclustered keys (the overwhelming majority) fall back to
-    themselves via one left join — broadcast when the cluster map is
-    small, which it is by construction (bounded by docs that HAVE a
-    near-dup). Determinism contract is inherited: same key set + salt
-    => same assignment forever, regardless of partitioning.
+    unclustered keys fall back to themselves via one left join. Plan
+    regimes: the join carries TWO LONGS per row, so even the shuffle
+    form is a key-only exchange, never document payloads; when the
+    cluster map is small AQE converts it to broadcast at runtime, and
+    at web scale (10-30% dup rates make the map a constant fraction of
+    corpus keys — beyond broadcast) the sort-merge form is the correct
+    plan. Determinism contract is inherited: same key set + salt =>
+    same assignment forever, regardless of partitioning.
     """
     rep = clusters.select(F.col("doc").alias(key_col),
                           F.col("keep_id").alias("_rep"))
