@@ -425,3 +425,47 @@ def familiarity_scores(df: DataFrame, text_col: str = "text",
                 .cast("double")
                 / (F.col("n_toks") * F.col("_total")).cast("double")
                 * 1_000_000_000 + F.lit(0.5)).cast("long").alias("fam_q9"))
+
+
+def chunk_documents(df: DataFrame, window: int = 64, overlap: int = 16,
+                    text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Deterministic fixed-window chunking with overlap — the step that
+    turns variable-length documents into training-window-sized pieces
+    (the complement of pack_bins, which PACKS whole short docs; this
+    SPLITS long ones). Chunk i covers tokens [i*stride, i*stride +
+    window), stride = window - overlap; the final chunk keeps its
+    natural (shorter) length; every document yields >= 1 chunk (an
+    empty/short doc is its own single chunk), so no data silently
+    disappears.
+
+    Returns (id, chunk_id, chunk_text, n_tokens). Everything is integer
+    arithmetic + array slicing in ONE codegen pass ending in a single
+    explode — zero shuffles, no UDFs; chunk identity is
+    (doc, position), so reruns and repartitionings produce identical
+    chunks (the determinism training-data reproducibility needs).
+    At 100 TB: output rows ~= token_mass/stride; follow with
+    shard_assign/write_shards for layout.
+    """
+    stride = window - overlap
+    if stride <= 0:
+        raise ValueError(f"window {window} must exceed overlap {overlap}")
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"))
+    out = (df.select(F.col(id_col), toks.alias("_toks"),
+                     n_chunks.alias("_nc"))
+           .select(id_col, "_toks",
+                   F.explode(F.sequence(F.lit(0), F.col("_nc") - 1))
+                   .alias("chunk_id"))
+           .select(id_col, "chunk_id",
+                   F.array_join(
+                       F.slice("_toks",
+                               F.col("chunk_id") * stride + 1, window),
+                       " ").alias("chunk_text"),
+                   F.size(F.slice("_toks",
+                                  F.col("chunk_id") * stride + 1, window))
+                   .alias("n_tokens")))
+    return out

@@ -597,3 +597,34 @@ def q_source_health_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("lang").alias("n_langs"),
         F.sum(F.length("text")).cast("long").alias("total_chars"),
         F.sum(toks).cast("long").alias("total_tokens")))
+
+
+@register(
+    "text_chunk_windows",
+    """
+    WITH t AS (SELECT doc_id,
+                      regexp_split_to_array(trim(text), ' +') AS toks
+               FROM documents),
+    c AS (SELECT doc_id, toks,
+                 GREATEST(1, CAST(ceil((len(toks) - 16) / 48.0) AS BIGINT))
+                   AS nc
+          FROM t),
+    e AS (SELECT doc_id, toks, UNNEST(range(0, nc)) AS chunk_id FROM c)
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(toks[chunk_id*48+1 : chunk_id*48+64], ' ')
+             AS chunk_text,
+           CAST(len(toks[chunk_id*48+1 : chunk_id*48+64]) AS INT)
+             AS n_tokens
+    FROM e
+    """)
+def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic document chunking
+    (operators/textstats.chunk_documents): 64-token windows with
+    16-token overlap (stride 48), final chunk keeps its natural length,
+    every doc yields >= 1 chunk. The SPLIT-long-docs complement of
+    text_pack_bins' PACK-short-docs; one codegen pass ending in a
+    single explode, zero shuffles. Oracle checks every chunk's exact
+    text and token count."""
+    from ..operators.textstats import chunk_documents
+
+    return chunk_documents(load_table(spark, sf_dir, "documents"))

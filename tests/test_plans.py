@@ -281,6 +281,8 @@ def test_round3_operators_plan_shapes(spark, sf_dir):
         # two-scan self-join
         "drift_weekly_events": 2,
         "source_health_report": 2,
+        # chunking is one codegen pass + explode: any exchange is a bug
+        "text_chunk_windows": 0,
     }
     qs = queries()
     for name, budget in budgets.items():
