@@ -50,7 +50,7 @@ def pagerank_int(edges: DataFrame, iterations: int = 5,
     # mid-size graph never serializes, cap 1024 (~1M/partition at a
     # billion edges). The round-5 interleaved A/B (tools/ab_pagerank.py,
     # results in PLANS.md) re-measured this rule against the r3
-    # defaultParallelism floor back-to-back: at sf0.1 (137k edges) the
+    # defaultParallelism floor back-to-back: at sf0.1 (176,784 edges) the
     # two are within noise of each other (the r4 "25% slower" claim and
     # the r4 bench's +35% regression were BOTH host noise); the
     # edge-derived rule stays because small per-round tasks pay pure

@@ -28,7 +28,7 @@ file-level pruning), and ``merge_upsert_partitioned`` recovers the
 file-pruning half on a Hive-partitioned table by scoping the
 read+rewrite to the partitions the source touches (dynamic partition
 overwrite; untouched partitions byte-identical). The gated pytest
-(tests/test_migration.py) asserts merge_upsert_delta ==
+(tests/test_maintenance.py) asserts merge_upsert_delta ==
 merge_upsert row-for-row whenever the package is present.
 """
 
@@ -70,16 +70,21 @@ def merge_upsert_delta(source: DataFrame, target_path: str,
     the merge condition instead of whole-partition rewrites.
 
     Requires delta-spark (:func:`delta_available`); tests gate on it
-    (tests/test_migration.py) and the semantics contract is asserted
+    (tests/test_maintenance.py) and the semantics contract is asserted
     against :func:`merge_upsert` whenever the package is present. The
-    null-safe ``<=>`` key predicate mirrors the anti-join's null-key
-    behavior.
+    merge condition uses plain ``=`` deliberately: the anti-join form
+    treats NULL keys as matching NOTHING (a NULL-keyed target row
+    survives and a NULL-keyed source row appends), and ``=`` reproduces
+    exactly that, where a null-safe ``<=>`` would instead pair NULL
+    with NULL — updating rows the anti-join keeps, and aborting with
+    Delta's multiple-source-rows-matched error when two source rows
+    carry NULL keys.
     """
     from delta.tables import DeltaTable  # gated import (delta_available)
 
     spark = source.sparkSession
     tbl = DeltaTable.forPath(spark, target_path)
-    cond = " AND ".join(f"t.{k} <=> s.{k}" for k in key_cols)
+    cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
     (tbl.alias("t").merge(source.alias("s"), cond)
      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
     return spark.read.format("delta").load(target_path)

@@ -109,10 +109,13 @@ def drift_report(df: DataFrame, group_col: str, in_a: Column, in_b: Column,
     Per ``group_col`` group: row counts, distinct ``key_col`` counts,
     and exact integer sums of the pre-quantized ``value_q`` for each
     side, plus deltas. Built as ONE conditional aggregation over ONE
-    scan — `sum(when(in_a, ...))` style — so the table is read once and
-    the plan is a single hash-agg shuffle on the group key; a
+    scan — `sum(when(in_a, ...))` style — so the table is read once; a
     two-scan/self-join formulation would double the 100 TB read and add
-    a join shuffle for no information gain. Rows in neither slice
+    a join shuffle for no information gain. Plan cost: the distinct
+    aggregates expand two-phase (Expand + a second Exchange on the
+    group key — budget 2, plan-asserted in tests/test_plans.py), the
+    price of EXACT per-side key counts; swap in approx_count_distinct
+    when estimates suffice and the plan collapses to one exchange. Rows in neither slice
     contribute nothing but still flow through the scan: push a
     combined filter before calling when the slices are narrow (the
     predicate composes with partition pruning).

@@ -224,17 +224,23 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_containment",
-    f"""
+def _containment_oracle_sql(batch_pred: str = "TRUE") -> str:
+    """Brute-force ordered-pairs containment oracle, shared by the
+    full/incremental/drop scenarios so the threshold and shingle
+    expression live in ONE place; ``batch_pred`` restricts the
+    contained (a) side."""
+    c = "CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)"
+    return f"""
     WITH docs AS (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS sh FROM documents)
-    SELECT a.doc AS doc_a, b.doc AS doc_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
-             AS containment
+    SELECT a.doc AS doc_a, b.doc AS doc_b, {c} AS containment
     FROM docs a JOIN docs b ON a.doc != b.doc
-    WHERE len(a.sh) > 0 AND len(b.sh) > 0
-      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
-    """)
+    WHERE {batch_pred}
+      AND len(a.sh) > 0 AND len(b.sh) > 0
+      AND {c} >= 0.8
+    """
+
+
+@register("dedup_containment", _containment_oracle_sql())
 def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Asymmetric containment near-dup (operators/dedup.
     containment_pairs): ordered pairs where >= 80% of A's shingles also
@@ -246,18 +252,8 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return containment_pairs(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_containment_incr",
-    f"""
-    WITH docs AS (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS sh FROM documents)
-    SELECT a.doc AS doc_a, b.doc AS doc_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
-             AS containment
-    FROM docs a JOIN docs b ON a.doc != b.doc
-    WHERE a.doc >= {_INC_SPLIT}
-      AND len(a.sh) > 0 AND len(b.sh) > 0
-      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
-    """)
+@register("dedup_containment_incr",
+          _containment_oracle_sql(f"a.doc >= {_INC_SPLIT}"))
 def q_dedup_containment_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental containment at ingest (operators/dedup.
     containment_pairs_incremental): which NEW documents (doc_id >=
@@ -285,18 +281,8 @@ def q_dedup_containment_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
 _DROP_MOD = 25
 
 
-@register(
-    "dedup_containment_drop",
-    f"""
-    WITH docs AS (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS sh FROM documents)
-    SELECT a.doc AS doc_a, b.doc AS doc_b,
-           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh)
-             AS containment
-    FROM docs a JOIN docs b ON a.doc != b.doc
-    WHERE a.doc % {_DROP_MOD} = 0
-      AND len(a.sh) > 0 AND len(b.sh) > 0
-      AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh) >= 0.8
-    """)
+@register("dedup_containment_drop",
+          _containment_oracle_sql(f"a.doc % {_DROP_MOD} = 0"))
 def q_dedup_containment_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental containment at a REALISTIC drop size: batch = the 4%
     of documents with doc_id % {mod} == 0, corpus = the other 96% (whose

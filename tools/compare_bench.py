@@ -31,6 +31,12 @@ def load(path: str) -> tuple[dict[str, float], float]:
             if line.startswith("{") and '"queries"' in line:
                 d = json.loads(line)
                 break
+    if "queries" not in d:
+        raise SystemExit(
+            f"{path}: no per-query timings found — not a BENCH_DETAIL "
+            "shape, and no parseable metric JSON line in its 'tail' "
+            "(the driver's ~2000-char stdout capture may have truncated "
+            "the line's opening brace)")
     qs = {k: float(v) for k, v in d["queries"].items()}
     floor = float(d.get("floor_s") or min(qs.values()))
     return qs, floor

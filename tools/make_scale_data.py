@@ -106,12 +106,19 @@ def main() -> None:
                 # same reason as documents.text below: verbatim-copied
                 # name STRINGS put all 10 replicas in the same fuzzy-
                 # matching prefix block (pairs would grow quadratically
-                # in replicas); a replica-distinct same-length prefix
-                # keeps block sizes — and pair counts — scaling linearly
+                # in replicas); a replica-distinct FIXED-WIDTH prefix
+                # ("C01".."C99", 3 chars replacing 3) keeps name lengths
+                # — and so prefix-block sizes and pair counts — scaling
+                # linearly for any replica count up to 100
+                if i > 99:
+                    raise ValueError("c_name prefix is 2-digit fixed "
+                                     "width; >99 replicas would change "
+                                     "name lengths and reintroduce the "
+                                     "block-inflation artifact")
                 df = df.withColumn(
                     "c_name",
-                    F.concat(F.lit(f"C{i}"),
-                             F.substring(F.col("c_name"), 3, 1_000)))
+                    F.concat(F.lit(f"C{i:02d}"),
+                             F.substring(F.col("c_name"), 4, 1_000)))
             if i > 0 and t == "documents":
                 toks = F.split(F.trim(F.col("text")), " +")
                 df = df.withColumn(
