@@ -33,8 +33,10 @@ def main() -> None:
     next(iter(qs.values()))(spark, sf_dir).count()
 
     # Floor calibration (PLANS.md: ±1.55x ambient host noise between
-    # bench runs): time the cheapest possible 2-stage Spark job — a bare
-    # parquet scan-count — best-of-3. Every per-query number in this run
+    # bench runs): time the cheapest possible 2-stage Spark job — a
+    # parquet count() (served largely from footer metadata, so this
+    # bounds per-job SCHEDULING latency, not a minimal data scan) —
+    # best-of-3. Every per-query number in this run
     # carries this constant as its lower bound; round-over-round deltas
     # should be read as (query - floor_s), making host-noise shifts
     # attributable instead of looking like engine regressions.

@@ -133,7 +133,8 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, df_cap: int | None = None,
                         materialize: bool = True,
-                        docs: DataFrame | None = None) -> DataFrame:
+                        docs: DataFrame | None = None,
+                        scale_safe: bool = False) -> DataFrame:
     """ALL pairs with exact Jaccard(shingle sets) >= threshold — exact
     recall AND exact scores.
 
@@ -184,6 +185,24 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     operators to pay the tokenize→shingle pass once; lifecycle then
     belongs to the caller (this function neither persists nor
     unpersists a caller-provided frame).
+
+    ``scale_safe``: how the per-shingle document frequency is computed.
+    False (default, small-corpus fast path): a COUNT window partitioned
+    on the shingle hash ``h`` — one shuffle annotates every (doc, h)
+    row in place, measured 3x faster end-to-end at bench scale than the
+    agg+join-back form. The hazard at web scale: a WindowExec partition
+    holds EVERY occurrence of its key in ONE task, so a boilerplate
+    shingle present in 10% of documents makes one task hold 10% of all
+    (doc, h) rows — a straggler/OOM that AQE cannot split (skew
+    handling does not apply to window exchanges). True (scale path):
+    DF(h) via ``groupBy("h").count()`` — partial map-side aggregation
+    absorbs hot keys (each map task emits ONE row per distinct h
+    regardless of occurrence count) — joined back onto the (doc, h)
+    rows; the join-back shuffle on h IS AQE-skew-splittable (the
+    count side is one row per key, replicated to the split partitions).
+    Same results bit-for-bit (oracle-checked as dedup_ngram_jaccard_scale);
+    plan-asserted to contain no Window keyed on h
+    (tests/test_plans.py test_scale_safe_dedup_no_hot_key_window).
     """
     from pyspark import StorageLevel
 
@@ -207,13 +226,17 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     # index entries, they never remove them).
     sh = (docs.select("doc", F.explode("sh").alias("s"))
           .select("doc", F.xxhash64("s").alias("h")))
-    # DF per hash as a WINDOW over h (shingles are distinct per doc, so
-    # COUNT per h == document frequency): one shuffle annotates every
-    # (doc, h) row in place — the agg+join-back formulation pays a
-    # second h-shuffle for the join and measured 3x slower end-to-end
+    # DF per hash (shingles are distinct per doc, so COUNT per h ==
+    # document frequency): window form vs partial-agg join-back per the
+    # scale_safe docstring tradeoff above
     from pyspark.sql import Window as _W
 
-    wdf = sh.withColumn("_dfs", F.count(F.lit(1)).over(_W.partitionBy("h")))
+    if scale_safe:
+        dfh = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_dfs"))
+        wdf = sh.join(dfh, "h")
+    else:
+        wdf = sh.withColumn("_dfs",
+                            F.count(F.lit(1)).over(_W.partitionBy("h")))
     if df_cap is not None:
         wdf = wdf.where(F.col("_dfs") <= df_cap)
     # global total order (df asc, hash asc) via struct sort; slice each
@@ -586,7 +609,8 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
                       text_col: str = "text", id_col: str = "doc_id",
                       k: int = 3, df_cap: int | None = None,
                       materialize: bool = True,
-                      docs: DataFrame | None = None) -> DataFrame:
+                      docs: DataFrame | None = None,
+                      scale_safe: bool = False) -> DataFrame:
     """ALL ordered pairs (a, b), a != b, with containment
     |A∩B| / |A| >= threshold — the ASYMMETRIC near-dup relation that
     catches doc-in-doc duplication (a page embedded in a larger page,
@@ -628,6 +652,22 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     ``materialize=False`` = lazy plan for inspection, no caching;
     ``docs`` = caller-owned pre-built :func:`shingled_docs` frame,
     shared across operators, never persisted/released here).
+
+    ``scale_safe``: replaces BOTH h-partitioned windows (the hot-key
+    straggler hazard documented at :func:`ngram_jaccard_pairs`) with
+    skew-tolerant forms that compute the same values —
+      ``_dfs``  groupBy("h") partial-agg + join-back (map-side combine
+                absorbs hot keys; the join-back is AQE-skew-splittable);
+      ``_any``  the prefix-shingle set distinct'd (partial-agg, one row
+                per h) and LEFT SEMI-joined against the annotated rows
+                — the join formulation the default path deliberately
+                avoids at small scale (measured 4x slower end-to-end at
+                sf0.1) but the one whose per-task input stays bounded
+                when one shingle covers a third of the corpus.
+    The doc-partitioned windows (``_n``, ``_r``) are kept in BOTH
+    paths: their partition size is bounded by a single document's
+    shingle count, which does not grow with corpus size. Same results
+    (oracle-checked as dedup_containment_scale); plan-asserted h-window-free.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window as _W
@@ -639,26 +679,41 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
             docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     sh = (docs.select("doc", F.explode("sh").alias("s"))
           .select("doc", F.xxhash64("s").alias("h")))
-    wdf = sh.withColumn("_dfs", F.count(F.lit(1)).over(_W.partitionBy("h")))
+    if scale_safe:
+        dfh = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_dfs"))
+        wdf = sh.join(dfh, "h")
+    else:
+        wdf = sh.withColumn("_dfs",
+                            F.count(F.lit(1)).over(_W.partitionBy("h")))
     nn = F.count(F.lit(1)).over(_W.partitionBy("doc"))
     rr = F.row_number().over(_W.partitionBy("doc").orderBy("_dfs", "h"))
     ranked = (wdf.withColumn("_n", nn).withColumn("_r", rr)
               .withColumn("_pf", F.col("_r")
                           <= (F.col("_n")
                               - F.ceil(F.col("_n") * F.lit(float(threshold)))
-                              + 1))
-              .withColumn("_any",
-                          F.max(F.col("_pf").cast("int"))
-                          .over(_W.partitionBy("h")) == 1))
+                              + 1)))
+    if not scale_safe:
+        ranked = ranked.withColumn(
+            "_any",
+            F.max(F.col("_pf").cast("int")).over(_W.partitionBy("h")) == 1)
     # the annotated frame feeds both index sides; fixed-width rows
     # (2 longs + counters), bounded by corpus shingle count — persist it
-    # so the three-window chain runs once, released in the finally
+    # so the window chain runs once, released in the finally
     if materialize:
         ranked = ranked.persist(StorageLevel.MEMORY_AND_DISK)
     prefix = ranked.where("_pf").select(F.col("doc").alias("doc_a"), "h")
-    full_idx = ranked.where("_any").select(F.col("doc").alias("doc_b"), "h")
-    if df_cap is not None:
-        full_idx = (ranked.where(F.col("_any") & (F.col("_dfs") <= df_cap))
+    capped = (ranked if df_cap is None
+              else ranked.where(F.col("_dfs") <= df_cap))
+    if scale_safe:
+        # "h occurs in some prefix" as a semi-join against the distinct'd
+        # prefix-shingle set instead of the max-over-h window (scale_safe
+        # docstring): distinct is a partial agg, the semi-join is
+        # AQE-splittable
+        pre_h = prefix.select("h").distinct()
+        full_idx = (capped.join(pre_h, "h", "left_semi")
+                    .select(F.col("doc").alias("doc_b"), "h"))
+    else:
+        full_idx = (capped.where("_any")
                     .select(F.col("doc").alias("doc_b"), "h"))
     cand = (prefix.join(full_idx, "h")
             .where(F.col("doc_a") != F.col("doc_b"))
@@ -699,7 +754,8 @@ def containment_pairs_incremental(new_df: DataFrame,
                                   threshold: float = 0.8,
                                   text_col: str = "text",
                                   id_col: str = "doc_id",
-                                  k: int = 3) -> DataFrame:
+                                  k: int = 3,
+                                  scale_safe: bool = False) -> DataFrame:
     """Incremental doc-in-doc containment: which NEW documents are
     mostly contained in something already ingested (or in a batch
     sibling) — boilerplate detection at ingest time. Contained side =
@@ -741,9 +797,17 @@ def containment_pairs_incremental(new_df: DataFrame,
     # but candidate VOLUME is not — plain-hash prefixes admit frequent
     # shingles and fan out against the whole containing index
     # (measured 6.0s -> ~2s at sf0.1 where the batch is corpus-sized);
-    # batch-local DF approximates global DF without touching the corpus
-    dfs = F.count(F.lit(1)).over(_W.partitionBy("h"))
-    bsh = bsh.withColumn("_dfs", dfs)
+    # batch-local DF approximates global DF without touching the corpus.
+    # scale_safe: same hot-shingle window hazard and partial-agg
+    # alternative as containment_pairs — the window partition here holds
+    # only BATCH occurrences of a shingle, so the hazard needs a large
+    # batch, but "large drop" is a normal backfill shape
+    if scale_safe:
+        bdf = bsh.groupBy("h").agg(F.count(F.lit(1)).alias("_dfs"))
+        bsh = bsh.join(bdf, "h")
+    else:
+        bsh = bsh.withColumn(
+            "_dfs", F.count(F.lit(1)).over(_W.partitionBy("h")))
     nn = F.count(F.lit(1)).over(_W.partitionBy("doc"))
     rr = F.row_number().over(_W.partitionBy("doc").orderBy("_dfs", "h"))
     prefix = (bsh.withColumn("_n", nn).withColumn("_r", rr)

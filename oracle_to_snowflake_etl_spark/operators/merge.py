@@ -84,7 +84,9 @@ def merge_upsert_delta(source: DataFrame, target_path: str,
 
     spark = source.sparkSession
     tbl = DeltaTable.forPath(spark, target_path)
-    cond = " AND ".join(f"t.{k} = s.{k}" for k in key_cols)
+    # backtick-quoted so key columns with spaces/dots/reserved words
+    # build a valid condition, matching the DataFrame form's tolerance
+    cond = " AND ".join(f"t.`{k}` = s.`{k}`" for k in key_cols)
     (tbl.alias("t").merge(source.alias("s"), cond)
      .whenMatchedUpdateAll().whenNotMatchedInsertAll().execute())
     return spark.read.format("delta").load(target_path)

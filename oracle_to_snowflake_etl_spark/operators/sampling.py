@@ -113,13 +113,19 @@ def split_assign_leakage_free(df: DataFrame, clusters: DataFrame,
     plan. Determinism contract is inherited: same key set + salt =>
     same assignment forever, regardless of partitioning.
     """
-    rep = clusters.select(F.col("doc").alias(key_col),
-                          F.col("keep_id").alias("_rep"))
+    # collision-safe temp column (df may legitimately carry "_rep"), and
+    # dropDuplicates guards the join's fan-out invariant: a pair source
+    # that yields duplicate (doc, keep_id) rows must not silently
+    # duplicate corpus rows through the left join
+    tmp = "_rep"
+    while tmp in df.columns:
+        tmp += "_"
+    rep = (clusters.select(F.col("doc").alias(key_col),
+                           F.col("keep_id").alias(tmp))
+           .dropDuplicates([key_col]))
     joined = (df.join(rep, key_col, "left")
-              .withColumn("_rep", F.coalesce(F.col("_rep"),
-                                             F.col(key_col))))
-    return split_assign(joined, "_rep", weights, salt, out_col) \
-        .drop("_rep")
+              .withColumn(tmp, F.coalesce(F.col(tmp), F.col(key_col))))
+    return split_assign(joined, tmp, weights, salt, out_col).drop(tmp)
 
 
 def weighted_sample(df: DataFrame, weight_col: str, key_col: str,

@@ -90,6 +90,34 @@ def partition_filters(df: DataFrame) -> list[str]:
     return out
 
 
+def window_partition_cols(df: DataFrame) -> list[list[str]]:
+    """Partition-key column names of every window spec in the plan, one
+    list per windowspecdefinition. A WindowExec funnels EVERY occurrence
+    of one partition-key value into a single task — unlike join/agg
+    exchanges there is no AQE skew split and no partial aggregation —
+    so a window partitioned on a power-law key (shingle hash, user id)
+    is a straggler at scale; scale-path plans assert such keys never
+    appear here."""
+    plan = plan_string(df)
+    out: list[list[str]] = []
+    # args: partition cols, then order cols ("x ASC NULLS FIRST"), then
+    # specifiedwindowframe(...); nothing before the frame spec contains
+    # parens, so capture up to it and keep the unordered leading
+    # attribute references
+    for m in re.finditer(r"windowspecdefinition\(([^()]*)specifiedwindowframe",
+                         plan):
+        cols: list[str] = []
+        for tok in m.group(1).split(","):
+            tok = tok.strip()
+            if " ASC" in tok or " DESC" in tok:
+                break
+            am = re.match(r"(\w+)#\d+", tok)
+            if am:
+                cols.append(am.group(1))
+        out.append(cols)
+    return out
+
+
 def codegen_stage_count(df: DataFrame) -> int:
     """Whole-stage-codegen span count — fewer, wider spans mean more of
     the query runs as generated JVM loops."""

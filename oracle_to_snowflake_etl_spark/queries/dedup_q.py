@@ -56,9 +56,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(load_table(spark, sf_dir, "documents"))
 
 
-@register(
-    "dedup_ngram_jaccard",
-    f"""
+_NGRAM_JACCARD_SQL = f"""
     WITH docs AS (SELECT doc_id AS doc, {_DUCK_SHINGLES} AS sh FROM documents)
     SELECT a.doc AS doc_a, b.doc AS doc_b,
            CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -68,7 +66,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
             >= 0.5
-    """)
+    """
+
+
+@register("dedup_ngram_jaccard", _NGRAM_JACCARD_SQL)
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ALL 3-gram-shingle Jaccard >= 0.5 pairs via the lossless
     All-Pairs/PPJoin prefix filter + exact array_intersect rescore
@@ -76,6 +77,20 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-recall, the oracle is BRUTE-FORCE all-pairs Jaccard — the
     semantic ground truth, not a mirror of the algorithm."""
     return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard_scale", _NGRAM_JACCARD_SQL)
+def q_dedup_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact-Jaccard prefix-filter operator on the SCALE-SAFE path
+    (scale_safe=True): document frequency via groupBy partial-agg +
+    join-back instead of a COUNT window partitioned on the shingle hash
+    — the formulation whose per-task input stays bounded when one
+    boilerplate shingle covers a large corpus fraction (hot-key window
+    hazard, operators/dedup.py ngram_jaccard_pairs docstring). Same
+    brute-force all-pairs oracle: both paths must produce identical
+    pairs and scores."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+                               scale_safe=True)
 
 
 _MH_A, _MH_B = _affine_constants()
@@ -250,6 +265,20 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import containment_pairs
 
     return containment_pairs(load_table(spark, sf_dir, "documents"))
+
+
+@register("dedup_containment_scale", _containment_oracle_sql())
+def q_dedup_containment_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment dedup on the SCALE-SAFE path (scale_safe=True): both
+    shingle-hash-partitioned windows replaced — DF via groupBy
+    partial-agg + join-back, the containing-side membership bound via
+    distinct + left-semi join (operators/dedup.py containment_pairs
+    docstring). Same brute-force ordered-pairs oracle as
+    dedup_containment: the two paths must agree exactly."""
+    from ..operators.dedup import containment_pairs
+
+    return containment_pairs(load_table(spark, sf_dir, "documents"),
+                             scale_safe=True)
 
 
 @register("dedup_containment_incr",

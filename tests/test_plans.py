@@ -93,6 +93,86 @@ def test_lsh_candidate_paths_stay_narrow(spark, sf_dir):
         containment_pairs(docs, materialize=False)) <= 10
 
 
+def test_scale_safe_dedup_no_hot_key_window(spark, sf_dir):
+    """The prefix-filter dedups' scale path (scale_safe=True) must plan
+    NO window partitioned on the shingle hash ``h`` — a WindowExec
+    funnels every occurrence of one key into one task with no AQE skew
+    split, so a boilerplate shingle in 10% of a web corpus is a
+    straggler/OOM; the scale path computes document frequency by
+    groupBy partial-agg + join-back instead. Windows partitioned on
+    ``doc`` remain allowed (bounded by one document's shingle count).
+    Sanity: the default path DOES carry the h-window (it is the
+    measured-faster small-corpus form — if it disappears, the two
+    paths have converged and the flag should be retired)."""
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+    from oracle_to_snowflake_etl_spark.plans.inspect import (
+        window_partition_cols)
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    for op in (ngram_jaccard_pairs, containment_pairs):
+        safe = op(docs, materialize=False, scale_safe=True)
+        assert all("h" not in cols for cols in window_partition_cols(safe)), \
+            (op.__name__, window_partition_cols(safe))
+        # doc-partitioned ranking windows are still expected in
+        # containment (per-doc size, corpus-growth-independent)
+        fast = op(docs, materialize=False, scale_safe=False)
+        assert any("h" in cols for cols in window_partition_cols(fast)), \
+            op.__name__
+
+
+def test_hot_shingle_scale_path_bounded(spark):
+    """Hot-shingle fixture (one boilerplate shingle in 30% of docs):
+    the scale path must (a) stay exactly correct vs python brute force,
+    and (b) keep its max-task input bounded. Boundedness is asserted
+    mechanically: the hot shingle's (doc, h) rows only ever travel
+    through partial-aggregating or AQE-splittable operators — the DF
+    aggregate's map-side combine emits ONE row per distinct h per map
+    partition (asserted via the agg output: one row for the hot key),
+    and the join-back is a join, not a window, so OptimizeSkewedJoin
+    can split it (the engagement itself is proven by
+    test_aqe_skew_join_split_engages on the same join machinery). The
+    default window path on this corpus puts all 30% of rows in one
+    window partition — the hazard the flag exists to avoid."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+
+    n, hot = 1000, 300
+    rows = [(i, ("hot hot hot " if i < hot else "")
+             + f"a{i} b{i} c{i} d{i} e{i}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def sh(text):
+        t = text.split()
+        return {" ".join(t[i:i + 3]) for i in range(len(t) - 2)}
+
+    shs = {i: sh(t) for i, t in rows}
+    want_jac = {(a, b) for a in shs for b in shs if a < b
+                and len(shs[a] & shs[b])
+                / len(shs[a] | shs[b]) >= 0.5}
+    want_con = {(a, b) for a in shs for b in shs if a != b and shs[a]
+                and len(shs[a] & shs[b]) / len(shs[a]) >= 0.8}
+    got_jac = {(r.doc_a, r.doc_b) for r in
+               ngram_jaccard_pairs(df, scale_safe=True).collect()}
+    got_con = {(r.doc_a, r.doc_b) for r in
+               containment_pairs(df, scale_safe=True).collect()}
+    assert got_jac == want_jac
+    assert got_con == want_con
+    # the mechanism: after the partial agg, the hot shingle is ONE row
+    # (count=300) — the shuffle carries per-map-partition partials,
+    # never the 300 raw occurrences into one task
+    sh_rows = (df.select("doc_id", F.explode(
+        F.expr("transform(sequence(1, size(split(trim(text), ' +')) - 2),"
+               " i -> concat_ws(' ', slice(split(trim(text), ' +'), i, 3)))"))
+        .alias("s")))
+    dfh = sh_rows.groupBy(F.xxhash64("s").alias("h")).count()
+    hot_df = dfh.where(F.col("count") == hot).count()
+    assert hot_df == 1
+
+
 def test_no_cartesian_or_nested_loop_joins(spark, sf_dir):
     """Blanket scale guard: no query may plan CartesianProduct or
     BroadcastNestedLoopJoin — except the brute-force ANN baseline, whose

@@ -38,7 +38,10 @@ def load(path: str) -> tuple[dict[str, float], float]:
             "(the driver's ~2000-char stdout capture may have truncated "
             "the line's opening brace)")
     qs = {k: float(v) for k, v in d["queries"].items()}
-    floor = float(d.get("floor_s") or min(qs.values()))
+    # explicit None check: a recorded floor of 0.0 is a real measurement,
+    # not a missing one — `or` would silently swap in the min-query proxy
+    floor = float(d["floor_s"] if d.get("floor_s") is not None
+                  else min(qs.values()))
     return qs, floor
 
 
