@@ -258,12 +258,15 @@ def _cell_sims(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
 
 
 def ivf_cell(vec: Column, cells: int = IVF_CELLS,
-             dims: int = DEFAULT_DIMS) -> Column:
+             dims: int = DEFAULT_DIMS,
+             centroids: tuple | None = None) -> Column:
     """Nearest-centroid cell id (first index on cosine ties — matches the
-    oracle's list_position-of-max)."""
+    oracle's list_position-of-max). ``centroids`` overrides the default
+    md5-derived matrix (e.g. a :func:`ivf_train_centroids` snapshot)."""
     from pyspark.sql.functions import pandas_udf
 
-    C = np.array(centroid_weights(cells, dims), dtype=np.float64)
+    C = np.array(centroids if centroids is not None
+                 else centroid_weights(cells, dims), dtype=np.float64)
 
     @pandas_udf("int")
     def cell(v: pd.Series) -> pd.Series:
@@ -279,11 +282,13 @@ def ivf_cell(vec: Column, cells: int = IVF_CELLS,
 
 def ivf_probe_cells(vec: Column, nprobe: int = IVF_NPROBE,
                     cells: int = IVF_CELLS,
-                    dims: int = DEFAULT_DIMS) -> Column:
+                    dims: int = DEFAULT_DIMS,
+                    centroids: tuple | None = None) -> Column:
     """The nprobe nearest cells for a query vector (ties by cell asc)."""
     from pyspark.sql.functions import pandas_udf
 
-    C = np.array(centroid_weights(cells, dims), dtype=np.float64)
+    C = np.array(centroids if centroids is not None
+                 else centroid_weights(cells, dims), dtype=np.float64)
 
     @pandas_udf("array<int>")
     def probes(v: pd.Series) -> pd.Series:
@@ -296,9 +301,58 @@ def ivf_probe_cells(vec: Column, nprobe: int = IVF_NPROBE,
     return probes(vec)
 
 
+def ivf_train_centroids(corpus: DataFrame, cells: int = IVF_CELLS,
+                        dims: int = DEFAULT_DIMS,
+                        sample: int = 4096, iters: int = 10,
+                        vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> tuple:
+    """Deterministic spherical k-means centroid snapshot — the training
+    pass the md5 centroids skip, recovering the recall that random
+    cells leave on the table (measured in SCALE.md: recall@10 at
+    nprobe=4/16 improves ~1.5x on the bench corpus; the gap widens on
+    real, clustered embedding corpora).
+
+    Deterministic by construction, so the snapshot is reproducible and
+    the index it partitions is rebuildable bit-for-bit: the training
+    sample is the ``sample`` lowest-hash vectors (hash order, not file
+    order — partitioning-independent), initialization is the fixed
+    md5 matrix, and Lloyd's runs exactly ``iters`` assign/update
+    rounds in driver-side numpy (cosine assignment = the index's own
+    metric; empty cells keep their previous centroid). The collect is
+    bounded by ``sample`` x dims floats (4096 x 64 = 1 MB) — at 100 TB
+    you still sample thousands, not billions; train once, version the
+    snapshot with the index directory (write_ivf_index docstring).
+
+    Returns a tuple-of-tuples centroid matrix for the ``centroids``
+    parameter of :func:`ivf_cell` / :func:`ivf_probe_cells` /
+    :func:`ivf_topk` / :func:`write_ivf_index`.
+    """
+    from ..functions.hashing import hash60
+
+    s = (corpus.select(F.col(vec_col).alias("v"),
+                       hash60(F.col(id_col).cast("string")).alias("_h"))
+         .orderBy("_h", F.col("v")[0])
+         .limit(sample))
+    X = np.stack([r.v for r in s.collect()]).astype(np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = np.array(centroid_weights(cells, dims), dtype=np.float64)
+    C = C / np.linalg.norm(C, axis=1, keepdims=True)
+    for _ in range(iters):
+        assign = np.argmax(Xn @ C.T, axis=1)
+        for c in range(cells):
+            members = Xn[assign == c]
+            if len(members):
+                m = members.mean(axis=0)
+                n = np.linalg.norm(m)
+                if n > 0:
+                    C[c] = m / n
+    return tuple(tuple(float(x) for x in row) for row in C)
+
+
 def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              nprobe: int = IVF_NPROBE, vec_col: str = "embedding",
-             id_col: str = "vec_id") -> DataFrame:
+             id_col: str = "vec_id",
+             centroids: tuple | None = None) -> DataFrame:
     """IVF approximate top-k: assign the corpus to 16 deterministic cells
     (one Arrow pass, map-only), probe each query's nprobe nearest cells,
     exact-rescore only the probed fraction (~nprobe/cells of the corpus
@@ -312,10 +366,12 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     """
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"),
-                      ivf_cell(F.col(vec_col)).alias("cell"))
+                      ivf_cell(F.col(vec_col),
+                               centroids=centroids).alias("cell"))
     qx = (queries.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("q_vec"),
-                         ivf_probe_cells(F.col(vec_col), nprobe).alias("cells"))
+                         ivf_probe_cells(F.col(vec_col), nprobe,
+                                         centroids=centroids).alias("cells"))
           .select("query_id", "q_vec", F.explode("cells").alias("cell")))
     scored = (
         c.join(F.broadcast(qx), "cell")
@@ -426,6 +482,68 @@ def embedding_near_dups(df: DataFrame, threshold_q6: int = 350_000,
     return pairs.where(F.col("sim_q6") >= threshold_q6)
 
 
+def brute_force_pairs(df: DataFrame, threshold_q6: int,
+                      vec_col: str = "embedding",
+                      id_col: str = "vec_id") -> DataFrame:
+    """ALL unordered pairs at quantized cosine >= threshold — the exact
+    ground truth :func:`embedding_near_dups` approximates. O(n^2)
+    cosines by construction (a deliberate nested-loop, like
+    brute_force_topk): recall-measurement and small-corpus use only,
+    never the scale path. Returns (doc_a, doc_b, sim_q6)."""
+    a = df.select(F.col(id_col).alias("doc_a"), F.col(vec_col).alias("va"))
+    b = df.select(F.col(id_col).alias("doc_b"), F.col(vec_col).alias("vb"))
+    return (a.crossJoin(b)
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b",
+                    _cos_q6_udf()(F.col("va"), F.col("vb")).alias("sim_q6"))
+            .where(F.col("sim_q6") >= threshold_q6))
+
+
+def ann_recall_at_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    nprobe: int = IVF_NPROBE, vec_col: str = "embedding",
+                    id_col: str = "vec_id",
+                    centroids: tuple | None = None) -> float:
+    """Recall@k of :func:`ivf_topk` against the exact
+    :func:`brute_force_topk` ground truth: |approx ∩ truth| / |truth|
+    over (query_id, neighbor_id) pairs. Both sides break sim ties by
+    ascending neighbor id, so the set comparison is well-defined.
+
+    This measures retrieval QUALITY, which index-consistency oracles
+    cannot: ann_ivf_topk's driver check proves the index returns
+    exactly what its own spec says, recall proves what it returns is
+    CLOSE TO THE TRUE neighbors. Counts are metadata-sized (|queries|
+    x k); the heavy work stays distributed."""
+    truth = brute_force_topk(corpus, queries, k, vec_col, id_col)
+    approx = ivf_topk(corpus, queries, k, nprobe, vec_col, id_col,
+                      centroids=centroids)
+    n_truth = truth.count()
+    if n_truth == 0:
+        return 1.0
+    n_hit = truth.join(approx, ["query_id", "neighbor_id"],
+                       "left_semi").count()
+    return n_hit / n_truth
+
+
+def srp_pair_recall(df: DataFrame, threshold_q6: int = 350_000,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> float:
+    """Pair-recall of :func:`embedding_near_dups` (SRP-LSH banded
+    candidates + exact rescore) against :func:`brute_force_pairs`
+    ground truth at the same threshold: the fraction of true near-dup
+    pairs the banded index surfaces. Precision is 1.0 by construction
+    (candidates are exact-rescored), so recall is the only quality
+    number LSH banding leaves open."""
+    truth = brute_force_pairs(df, threshold_q6, vec_col, id_col)
+    got = embedding_near_dups(df, threshold_q6, vec_col, id_col)
+    # normalize orientation: embedding_near_dups emits doc_a < doc_b
+    # (bucket_pairs contract), same as brute_force_pairs
+    n_truth = truth.count()
+    if n_truth == 0:
+        return 1.0
+    n_hit = truth.join(got, ["doc_a", "doc_b"], "left_semi").count()
+    return n_hit / n_truth
+
+
 def quantize_int8(vec: Column, out_scale: str = "scale",
                   out_q: str = "q") -> list[Column]:
     """Per-vector symmetric int8 quantization: q_i = round(x_i * 127 /
@@ -454,7 +572,8 @@ def quantize_int8(vec: Column, out_scale: str = "scale",
 def write_ivf_index(corpus: DataFrame, path: str,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",
-                    cells: int = IVF_CELLS) -> None:
+                    cells: int = IVF_CELLS,
+                    centroids: tuple | None = None) -> None:
     """Materialize the IVF index AT REST: the corpus written
     partitionBy(cell), so probing stops being a join-side filter and
     becomes PARTITION PRUNING — a query that probes 4 of 16 cells
@@ -469,7 +588,8 @@ def write_ivf_index(corpus: DataFrame, path: str,
     assignments."""
     out = corpus.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).alias("c_vec"),
-                        ivf_cell(F.col(vec_col), cells).alias("cell"))
+                        ivf_cell(F.col(vec_col), cells,
+                                 centroids=centroids).alias("cell"))
     (out.repartition(cells, "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(path))
 
@@ -478,7 +598,8 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
                      k: int = 10, nprobe: int = IVF_NPROBE,
                      cells: int = IVF_CELLS, dims: int = DEFAULT_DIMS,
                      vec_col: str = "embedding",
-                     id_col: str = "vec_id") -> DataFrame:
+                     id_col: str = "vec_id",
+                     centroids: tuple | None = None) -> DataFrame:
     """ivf_topk against a :func:`write_ivf_index` table: the probed
     cell set is collected (tiny — |queries| x nprobe ints), pushed as a
     literal IN-filter on the partition column so the scan prunes at
@@ -490,7 +611,8 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
     qx = (queries.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("q_vec"),
                          ivf_probe_cells(F.col(vec_col), nprobe,
-                                         cells, dims).alias("cells"))
+                                         cells, dims,
+                                         centroids=centroids).alias("cells"))
           .select("query_id", "q_vec", F.explode("cells").alias("cell")))
     probed = sorted({r.cell for r in qx.select("cell").distinct().collect()})
     c = spark.read.parquet(index_path).where(F.col("cell").isin(probed))

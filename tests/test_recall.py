@@ -1,0 +1,85 @@
+"""ANN retrieval QUALITY tests (round-6 verdict item 3): the
+correctness oracles prove each index returns exactly what its own spec
+says; these prove what it returns is close to the TRUE neighbors.
+
+Every quantity here is fully deterministic (md5 centroids, fixed-seed
+perturbations, deterministic k-means), so the bounds are tight guards
+under the measured values (tools/ann_recall.py; curves in SCALE.md),
+not statistical tolerances.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oracle_to_snowflake_etl_spark.operators.similarity import (
+    IVF_NPROBE,
+    ann_recall_at_k,
+    ivf_train_centroids,
+    srp_pair_recall,
+)
+from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_ivf_recall_at_default_nprobe(spark, emb):
+    """IVF recall@10 at the default nprobe=4/16 on the bench corpus:
+    measured 0.450 (near-orthogonal random vectors — the hardest
+    recall regime; random md5 centroids give ~1.8x the probed
+    fraction). Guard at >= 0.35."""
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") < 50)
+    assert ann_recall_at_k(emb, q, k=10, nprobe=IVF_NPROBE) >= 0.35
+
+
+def test_ivf_trained_centroids_beat_random(spark, emb):
+    """The deterministic k-means snapshot (ivf_train_centroids) must
+    beat the untrained md5 centroids at the default nprobe — the
+    training pass exists to buy recall (measured 0.550 vs 0.450 at
+    sf0.01; the gap widens on clustered real-world corpora)."""
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") < 50)
+    trained = ivf_train_centroids(emb)
+    r_trained = ann_recall_at_k(emb, q, k=10, nprobe=IVF_NPROBE,
+                                centroids=trained)
+    r_random = ann_recall_at_k(emb, q, k=10, nprobe=IVF_NPROBE)
+    assert r_trained >= r_random
+    assert r_trained >= 0.45
+
+
+def test_srp_recall_at_near_dup_operating_point(spark, emb):
+    """SRP-LSH pair-recall where the operator is MEANT to operate:
+    plant a true near-duplicate twin (deterministic perturbation at
+    cosine ~0.95) for every corpus vector and require the 4x8 banded
+    index to recover >= 0.75 of the planted pairs at threshold 0.90
+    (measured 0.854 at sf0.01; LSH theory predicts 0.892 at cos 0.95
+    — 1-(1-(1-acos(s)/pi)^8)^4). The corpus's own mid-similarity
+    range (max pairwise cos ~0.51) is OUTSIDE the design envelope and
+    its low recall there matches the same formula (SCALE.md)."""
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in rows])
+    V = np.stack([np.asarray(r.embedding, dtype=np.float64)
+                  for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    rng = np.random.default_rng(60)
+    delta = np.sqrt(1.0 / 0.95**2 - 1.0)
+    U = rng.standard_normal(Vn.shape)
+    U -= (U * Vn).sum(axis=1, keepdims=True) * Vn
+    U /= np.linalg.norm(U, axis=1, keepdims=True)
+    twins = Vn + delta * U
+    base = int(ids.max()) + 1
+    data = ([(int(i), [float(x) for x in v]) for i, v in zip(ids, V)]
+            + [(int(i) + base, [float(x) for x in t])
+               for i, t in zip(ids, twins)])
+    planted = spark.createDataFrame(
+        data, "vec_id long, embedding array<float>")
+    assert srp_pair_recall(planted, threshold_q6=900_000) >= 0.75
