@@ -102,6 +102,92 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
     return b.join(s, keys + ["_salt"], how).drop("_salt")
 
 
+def choose_salt_buckets(df: DataFrame, keys: list[str], salt_col: str,
+                        sample_fraction: float = 0.1,
+                        skew_threshold: float = 8.0,
+                        max_buckets: int = 256) -> int:
+    """The measurement→decision wire between :func:`skew_report` and
+    :func:`salted_agg`: diagnose key skew on a deterministic row sample
+    and return the salt bucket count a two-phase aggregation should use
+    (1 = don't salt).
+
+    Sample: hash60('autosalt:' + salt_col) % 1000 < fraction*1000 — a
+    per-row deterministic Bernoulli (same rows every run, partitioning-
+    independent), so the decision itself is reproducible, unlike
+    ``df.sample()``'s seed-per-partition draw. The sampled
+    :func:`skew_report` is collected as ONE row (metadata-sized).
+
+    Rule: ratio = max per-key count / median per-key count (both from
+    the sample; the ratio is scale-invariant under uniform row
+    sampling). Below ``skew_threshold`` salting would add a combine
+    stage for nothing — return 1. At or above it, return
+    ceil(max_cnt/p50_cnt) capped at ``max_buckets``: enough buckets
+    that the hot key's per-task slice shrinks to roughly a MEDIAN
+    key's volume — more buckets would multiply phase-2 rows (and, for
+    :func:`salted_join`, small-side replication) with no straggler
+    left to fix.
+
+    Cost: one pass over fraction*|df| rows + a distinct-keys-bounded
+    agg — run it where you'd otherwise guess. At 100 TB sample 0.1-1%
+    (hot keys at straggler scale are present in any uniform sample;
+    a key too rare to sample is too small to straggle).
+    """
+    sample = df.where(
+        (hash60(F.col(salt_col).cast("string"), prefix="autosalt:")
+         % 1000) < int(sample_fraction * 1000))
+    rep = skew_report(sample.select(*keys), keys).collect()[0]
+    if rep.n_keys is None or rep.n_keys == 0:
+        return 1
+    ratio = rep.max_cnt / max(rep.p50_cnt, 1)
+    if ratio < skew_threshold:
+        return 1
+    import math
+
+    return min(max_buckets, math.ceil(ratio))
+
+
+def salted_agg_auto(df: DataFrame, keys: list[str], salt_col: str,
+                    sample_fraction: float = 0.1,
+                    skew_threshold: float = 8.0,
+                    max_buckets: int = 256,
+                    count_alias: str = "n",
+                    sum_cols: dict[str, str] | None = None,
+                    min_cols: dict[str, str] | None = None,
+                    max_cols: dict[str, str] | None = None) -> DataFrame:
+    """:func:`salted_agg` with the bucket count DECIDED by
+    :func:`choose_salt_buckets` instead of guessed: measure on a
+    sample, salt only when the exact-rank report says the key is hot,
+    size the salt to the measured ratio. When the decision is "not
+    skewed" the plan is the PLAIN single hash-aggregation — no phase-2
+    combine stage paid as insurance. Either branch produces results
+    identical to the direct GROUP BY (the oracle for
+    salted_agg_auto_status, same contract as salted_agg_status);
+    the decision function itself is pytest-covered on synthetic hot-key
+    and uniform fixtures (tests/test_edge_cases.py).
+
+    On the bench corpus every natural key is near-uniform, so the
+    registered query takes (and thereby exercises) the measured
+    no-salt branch; the salted branch is driven by the synthetic
+    fixtures.
+    """
+    sum_cols = sum_cols or {}
+    min_cols = min_cols or {}
+    max_cols = max_cols or {}
+    buckets = choose_salt_buckets(df, keys, salt_col, sample_fraction,
+                                  skew_threshold, max_buckets)
+    if buckets > 1:
+        return salted_agg(df, keys, salt_col, buckets, count_alias,
+                          sum_cols, min_cols, max_cols)
+    return (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias(count_alias),
+             *[F.sum(F.col(c).cast(DEC)).cast("double").alias(a)
+               for c, a in sum_cols.items()],
+             *[F.min(c).alias(a) for c, a in min_cols.items()],
+             *[F.max(c).alias(a) for c, a in max_cols.items()])
+    )
+
+
 def skew_report(df: DataFrame, key_cols: list[str],
                 quantiles: tuple[float, ...] = (0.5, 0.9, 0.99)) -> DataFrame:
     """One-row skew diagnosis for a prospective join/agg key: distinct

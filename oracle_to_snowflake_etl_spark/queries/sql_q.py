@@ -264,6 +264,37 @@ def q_salted_agg_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "salted_agg_auto_status",
+    f"""
+    SELECT o_orderstatus,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o_totalprice AS {_DECU})) AS DOUBLE) AS total_price,
+           MIN(o_custkey) AS min_cust,
+           MAX(o_custkey) AS max_cust
+    FROM orders
+    GROUP BY o_orderstatus
+    """)
+def q_salted_agg_auto_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-REPORT-DRIVEN salted aggregation (operators/skew.py
+    salted_agg_auto): the exact-rank skew report runs on a
+    deterministic 10% row sample and DECIDES the salt bucket count —
+    measure, then salt, instead of guessing. o_orderstatus is
+    near-uniform on the bench corpus, so the measured decision is
+    buckets=1 (plain single hash-agg, no insurance stage); the salted
+    branch is exercised by synthetic hot-key fixtures in
+    tests/test_edge_cases.py. Oracle: the plain GROUP BY — the
+    decision must be semantically invisible either way."""
+    from ..operators.skew import salted_agg_auto
+
+    orders = load_table(spark, sf_dir, "orders")
+    return salted_agg_auto(
+        orders, ["o_orderstatus"], salt_col="o_orderkey",
+        sum_cols={"o_totalprice": "total_price"},
+        min_cols={"o_custkey": "min_cust"},
+        max_cols={"o_custkey": "max_cust"})
+
+
+@register(
     "range_join_promo",
     """
     WITH promo AS (

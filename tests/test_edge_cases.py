@@ -121,3 +121,44 @@ def test_apply_changes_empty_changelog(spark):
         "o_totalprice").where(F.lit(False))
     out = apply_changes(orders, empty, ["o_orderkey"], "seq")
     assert out.count() == orders.count()
+
+
+def test_choose_salt_buckets_decision_paths(spark):
+    """The skew-report→salt wire (operators/skew.choose_salt_buckets):
+    a uniform key must decide buckets=1 (don't pay the combine stage),
+    a hot key must size the salt to the measured max/median ratio
+    (capped), and salted_agg_auto must produce the exact plain-GROUP-BY
+    result on BOTH branches."""
+    from oracle_to_snowflake_etl_spark.operators.skew import (
+        choose_salt_buckets,
+        salted_agg_auto,
+    )
+
+    # uniform: 100 keys x 100 rows -> ratio 1 -> don't salt
+    uni = spark.range(0, 10_000).select(
+        F.col("id").alias("rid"), (F.col("id") % 100).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"))
+    assert choose_salt_buckets(uni, ["k"], "rid") == 1
+
+    # hot: one key holds 90% of rows, 100 tail keys share the rest
+    # -> sampled max/p50 ratio ~ 9000/10 -> capped at max_buckets
+    hot = spark.range(0, 10_000).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") < 9_000, F.lit(0))
+        .otherwise(1 + F.col("id") % 100).alias("k"),
+        (F.col("id") % 7).cast("double").alias("v"))
+    b = choose_salt_buckets(hot, ["k"], "rid", max_buckets=64)
+    assert b == 64  # ratio >> cap -> cap
+    b2 = choose_salt_buckets(hot, ["k"], "rid", max_buckets=10_000)
+    assert 8 <= b2 <= 2_000  # ~ sampled max/p50, uncapped
+
+    # both branches equal the plain GROUP BY, exactly
+    for df in (uni, hot):
+        got = {tuple(r) for r in salted_agg_auto(
+            df, ["k"], "rid", sum_cols={"v": "sv"}).collect()}
+        want = {tuple(r) for r in
+                df.groupBy("k").agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(F.col("v").cast("decimal(28,6)"))
+                    .cast("double").alias("sv")).collect()}
+        assert got == want
