@@ -7,12 +7,14 @@ correct Spark shape for per-blob Python work: executors stream
 RecordBatches into pandas, Python sees columnar zero-copy buffers, and
 the operator parallelizes per partition with no shuffle.
 
-The container has no image/audio libraries, so the real decoders are
-gated behind import-try (NotImplementedError with a clear message);
-a DETERMINISTIC FAKE path (byte-level numpy stats, md5 frame ids)
-exercises the full plumbing — schema, partitioning, UDF signature,
-Arrow batch shape — and is value-checked against DuckDB where the
-payload derives from ASCII text (byte == char there).
+Image decode is REAL for PNG via a pure-stdlib codec (zlib + struct;
+``png_decode``/``png_encode`` below) — no imaging library needed, and
+the mm_image_png_roundtrip oracle value-checks the decoded
+width/height/mean end-to-end. Other formats (JPEG etc.) stay gated
+behind a PIL import-try; audio/video decode remains out of scope. A
+DETERMINISTIC FAKE path (byte-level numpy stats, md5 frame ids)
+covers non-image payloads and is value-checked against DuckDB where
+the payload derives from ASCII text (byte == char there).
 
 Scale notes:
   - mapInPandas keeps blobs inside Arrow buffers end-to-end; tune
@@ -140,21 +142,174 @@ def frame_sample(media: DataFrame, frame_size: int = FRAME_SIZE,
                 .mapInPandas(frames, schema=FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# Pure-stdlib PNG codec (zlib + struct + zlib.crc32) — makes the "real"
+# image-decode branch capability-real in a container with no imaging
+# libraries. Scope: 8-bit greyscale (color type 0) and RGB (color type
+# 2), non-interlaced — the fixtures this repo generates; anything else
+# raises ValueError and image_features falls through to its gates.
+# ---------------------------------------------------------------------------
+
+PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def png_encode(img, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer for fixtures: 8-bit, greyscale (h x w array)
+    or RGB (h x w x 3), non-interlaced, one IDAT, every scanline
+    filtered with ``filter_type`` (0..4 — non-zero types exist so the
+    decoder's unfilter paths are testable against a known image)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    a = np.asarray(img, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w, ch, ctype = a.shape[0], a.shape[1], 1, 0
+        flat = a
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w, ch, ctype = a.shape[0], a.shape[1], 3, 2
+        flat = a.reshape(h, w * 3)
+    else:
+        raise ValueError("expected h x w (grey) or h x w x 3 (RGB)")
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int64)
+    for y in range(h):
+        line = flat[y].astype(np.int64)
+        out = np.empty_like(line)
+        for i in range(len(line)):
+            a_ = int(line[i - ch]) if i >= ch else 0
+            b_ = int(prev[i])
+            c_ = int(prev[i - ch]) if i >= ch else 0
+            x = int(line[i])
+            if filter_type == 0:
+                out[i] = x
+            elif filter_type == 1:
+                out[i] = (x - a_) % 256
+            elif filter_type == 2:
+                out[i] = (x - b_) % 256
+            elif filter_type == 3:
+                out[i] = (x - (a_ + b_) // 2) % 256
+            elif filter_type == 4:
+                out[i] = (x - _paeth(a_, b_, c_)) % 256
+            else:
+                raise ValueError(f"bad filter {filter_type}")
+        raw.append(filter_type)
+        raw.extend(out.astype(np.uint8).tobytes())
+        prev = line
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+            + chunk(b"IEND", b""))
+
+
+def png_decode(payload: bytes):
+    """Minimal PNG reader (stdlib only): returns (width, height,
+    ndarray) — h x w uint8 for greyscale, h x w x 3 for RGB. Handles
+    all five scanline filters; rejects (ValueError) interlacing,
+    palettes, alpha, and non-8-bit depths — out-of-scope formats fail
+    loudly instead of decoding wrong."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != PNG_MAGIC:
+        raise ValueError("not a PNG")
+    pos, w = 8, None
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        (ln,), tag = struct.unpack(">I", payload[pos:pos + 4]), \
+            payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + ln]
+        pos += 12 + ln
+        if tag == b"IHDR":
+            w, h, depth, ctype, comp, filt, interlace = \
+                struct.unpack(">IIBBBBB", data)
+            if depth != 8 or ctype not in (0, 2) or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG (depth={depth}, color={ctype}, "
+                    f"interlace={interlace})")
+            ch = 1 if ctype == 0 else 3
+        elif tag == b"IDAT":
+            idat.extend(data)
+        elif tag == b"IEND":
+            break
+    if w is None:
+        raise ValueError("no IHDR")
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("bad IDAT length")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.int64)
+    for y in range(h):
+        ft = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride,
+            offset=y * (stride + 1) + 1).astype(np.int64)
+        if ft == 0:
+            rec = line
+        elif ft == 2:
+            rec = (line + prev) % 256
+        else:
+            rec = np.empty(stride, dtype=np.int64)
+            for i in range(stride):
+                a_ = int(rec[i - ch]) if i >= ch else 0
+                b_ = int(prev[i])
+                c_ = int(prev[i - ch]) if i >= ch else 0
+                x = int(line[i])
+                if ft == 1:
+                    rec[i] = (x + a_) % 256
+                elif ft == 3:
+                    rec[i] = (x + (a_ + b_) // 2) % 256
+                elif ft == 4:
+                    rec[i] = (x + _paeth(a_, b_, c_)) % 256
+                else:
+                    raise ValueError(f"bad filter byte {ft}")
+        out[y] = rec.astype(np.uint8)
+        prev = rec
+    if ch == 3:
+        return w, h, out.reshape(h, w, 3)
+    return w, h, out
+
+
 def image_features(media: DataFrame, fake_width: int = 16) -> DataFrame:
     """Decode images and emit (width, height, mean pixel).
 
-    Real path requires PIL — not in this container — and raises
-    NotImplementedError per the stub contract. The deterministic FAKE
-    decoder treats the payload as a row-major uint8 grayscale image of
-    width ``fake_width`` (truncating the ragged tail), so the plumbing
-    (mapInPandas signature, struct schema, Arrow batches) runs and is
-    testable end-to-end.
+    Three branches per payload, most-capable first:
+      1. REAL stdlib PNG decode (``png_decode``) when the payload
+         carries the PNG signature — width/height from IHDR, mean over
+         every decoded sample (all channels), exact integer sum / count
+         so the value is differentially checkable (the
+         mm_image_png_roundtrip oracle does exactly that).
+      2. PIL, when importable, for other real formats (JPEG etc.) —
+         absent in this container, import-try gated.
+      3. The deterministic FAKE decoder otherwise: payload reinterpreted
+         as a row-major uint8 greyscale image of width ``fake_width``
+         (truncating the ragged tail) — keeps the plumbing (mapInPandas
+         signature, struct schema, Arrow batches) testable on text-
+         derived payloads, which can never carry the (non-ASCII) PNG
+         magic.
     """
     import numpy as np
     import pandas as pd
 
     try:  # pragma: no cover - not available in this container
-        from PIL import Image  # noqa: F401
+        from PIL import Image
         have_pil = True
     except ImportError:
         have_pil = False
@@ -166,13 +321,18 @@ def image_features(media: DataFrame, fake_width: int = 16) -> DataFrame:
                 if payload is None:
                     rows.append((mid, None, None, None))
                     continue
-                if have_pil:
-                    # Real decode would be:
-                    #   img = Image.open(io.BytesIO(payload))
-                    #   arr = np.asarray(img)
-                    raise NotImplementedError(
-                        "real image decode not wired in this environment; "
-                        "fake decoder is the supported path here")
+                if bytes(payload[:8]) == PNG_MAGIC:
+                    w, h, arr = png_decode(bytes(payload))
+                    rows.append((mid, w, h,
+                                 int(arr.astype(np.int64).sum()) / arr.size))
+                    continue
+                if have_pil:  # pragma: no cover - PIL-bearing clusters
+                    import io
+
+                    arr = np.asarray(Image.open(io.BytesIO(bytes(payload))))
+                    rows.append((mid, arr.shape[1], arr.shape[0],
+                                 int(arr.astype(np.int64).sum()) / arr.size))
+                    continue
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 h = len(arr) // fake_width
                 if h == 0:
@@ -189,3 +349,38 @@ def image_features(media: DataFrame, fake_width: int = 16) -> DataFrame:
 
     return media.select("media_id", "payload") \
                 .mapInPandas(decode, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def media_as_png(media: DataFrame, width: int = 16) -> DataFrame:
+    """Re-encode each payload's bytes as a REAL PNG: the byte stream
+    becomes a ``width``-wide 8-bit greyscale image (ragged tail
+    truncated; payloads shorter than one row are dropped). Exists so a
+    differential oracle can reach the real decode branch — pixel
+    values equal the original bytes, so DuckDB can predict
+    width/height/mean with codepoint arithmetic while Spark runs the
+    full encode→decode round trip through Arrow batches."""
+    import pandas as pd
+
+    out_schema = T.StructType([
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+    ])
+
+    def encode(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                arr = np.frombuffer(payload, dtype=np.uint8)
+                h = len(arr) // width
+                if h == 0:
+                    continue
+                img = arr[: h * width].reshape(h, width)
+                rows.append((mid, png_encode(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "payload"])
+
+    return media.select("media_id", "payload") \
+                .mapInPandas(encode, schema=out_schema)

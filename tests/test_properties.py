@@ -530,3 +530,56 @@ def test_snapshot_diff_roundtrip_arbitrary(spark, old_rows, new_rows):
     nm = {r[0]: r for r in new_rows}
     changed = {k for k in om.keys() | nm.keys() if om.get(k) != nm.get(k)}
     assert diff.count() == len(changed)
+
+
+@given(st.integers(1, 9), st.integers(1, 24), st.booleans(),
+       st.integers(0, 4), st.integers(0, 2**32 - 1))
+@settings(max_examples=40, deadline=None)
+def test_png_codec_roundtrip(h, w, rgb, filter_type, seed):
+    """The stdlib PNG codec (operators/multimodal.py) must round-trip
+    any 8-bit grey/RGB image exactly, under EVERY scanline filter type
+    (the encoder's filter_type parameter exists precisely so the
+    decoder's five unfilter paths are all reachable from a test)."""
+    import numpy as np
+
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        png_decode,
+        png_encode,
+    )
+
+    shape = (h, w, 3) if rgb else (h, w)
+    img = np.random.default_rng(seed).integers(
+        0, 256, size=shape, dtype=np.uint8)
+    ww, hh, out = png_decode(png_encode(img, filter_type))
+    assert (ww, hh) == (w, h)
+    assert (out == img).all()
+
+
+def test_png_decode_rejects_out_of_scope():
+    """Out-of-scope PNGs (non-8-bit, palette, interlaced) and non-PNG
+    bytes must fail LOUDLY (ValueError), never decode wrong."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pytest as _pytest
+
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        PNG_MAGIC,
+        png_decode,
+        png_encode,
+    )
+
+    with _pytest.raises(ValueError):
+        png_decode(b"not a png at all")
+
+    # corrupt a valid header into a 16-bit-depth claim
+    img = np.zeros((2, 2), dtype=np.uint8)
+    good = bytearray(png_encode(img))
+    depth_off = 8 + 8 + 8  # magic + len/tag + w+h
+    good[depth_off] = 16
+    # fix the IHDR crc so the depth check (not crc) is what fires
+    ihdr = bytes(good[12:16]) + bytes(good[16:16 + 13])
+    good[29:33] = struct.pack(">I", zlib.crc32(ihdr) & 0xFFFFFFFF)
+    with _pytest.raises(ValueError):
+        png_decode(bytes(good))
