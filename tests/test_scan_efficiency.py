@@ -80,6 +80,67 @@ def test_sorted_layout_skips_row_groups_at_read(spark, tmp_path):
     assert urows > n // 2, f"shuffled control unexpectedly skipped: {urows}"
 
 
+def _stage_totals(spark) -> tuple[int, int]:
+    """(shuffle-write bytes, spilled bytes) summed over every stage in
+    the app status store — the same numbers the Spark UI's stage page
+    shows, read via AppStatusStore so multi-job operators (iterative
+    clusters, checkpointing dedups, composed pipelines) are measured in
+    FULL, not just the final job's plan metrics."""
+    jvm = spark.sparkContext._jvm
+    gw = spark.sparkContext._gateway
+    store = spark.sparkContext._jsc.sc().statusStore()
+    empty = jvm.java.util.Collections.emptyList()
+    qarr = gw.new_array(jvm.double, 0)
+    it = store.stageList(empty, False, False, qarr, empty).iterator()
+    sw = sp = 0
+    while it.hasNext():
+        s = it.next()
+        sw += s.shuffleWriteBytes()
+        sp += s.memoryBytesSpilled() + s.diskBytesSpilled()
+    return sw, sp
+
+
+#: recorded executed shuffle-write bytes at sf0.01 (round 6; measure by
+#: running this test — the assertion message prints the observed value)
+SHUFFLE_BUDGETS = {
+    "dedup_ngram_jaccard": 1_207_072,
+    "dedup_containment": 1_498_287,
+    "dedup_containment_incr": 300_667,
+    "dedup_containment_drop": 152_120,
+    "dedup_clusters": 643_280,
+    "ingest_batch_pipeline": 225_607,
+}
+
+
+def test_heavy_query_shuffle_volume_budgets(spark):
+    """Executed-METRICS budgets for the heaviest queries: plan-shape
+    tests catch operator regressions but not VOLUME regressions (the
+    round-3 cache leak shipped with unchanged plan shapes and showed up
+    only in bench). Each heavy query's total executed shuffle-write
+    bytes at sf0.01 must stay within ±50% of its recorded budget —
+    above catches a fattened shuffle (wider rows, lost partial-agg,
+    lost prefix pruning), below catches work silently not happening
+    (a leaked cache serving a stage that should have run). Spill
+    budget is zero: nothing at this scale may spill at all."""
+    import gc
+
+    from oracle_to_snowflake_etl_spark.queries import queries
+
+    spark.catalog.clearCache()
+    qs = queries()
+    sf = "/root/testdata/sf0.01"
+    for name, budget in SHUFFLE_BUDGETS.items():
+        gc.collect()
+        sw0, sp0 = _stage_totals(spark)
+        qs[name](spark, sf).count()
+        sw1, sp1 = _stage_totals(spark)
+        spark.catalog.clearCache()
+        dsw, dsp = sw1 - sw0, sp1 - sp0
+        assert dsp == 0, f"{name} spilled {dsp} bytes at sf0.01"
+        assert budget * 0.5 <= dsw <= budget * 1.5, \
+            f"{name}: shuffle-write {dsw} vs budget {budget}"
+
+
 def test_runtime_bloom_filter_injects_on_selective_join(spark):
     """AQE's runtime bloom filter: a selective dim filter on the build
     side of a shuffle join must inject a BloomFilterMightContain
