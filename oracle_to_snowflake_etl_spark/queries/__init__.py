@@ -74,10 +74,13 @@ PRIORITY = [
     "merge_upsert_orders", "asof_click_attribution", "range_join_promo",
     "scd2_user_status", "zorder_orders", "salted_join_nation",
     "pagerank_supplier_orders", "fuzzy_name_pairs",
-    # Dedup family (dedup_simhash rotated to full-local in round 5; its
-    # slot carries the incremental-containment pair — the r4 operators
-    # the verdict asked to put under the driver's hard signal)
-    "dedup_exact", "dedup_minhash_lsh", "dedup_containment_incr",
+    # Dedup family (dedup_simhash rotated to full-local in round 5;
+    # dedup_exact rotated to full-local in round 6 — its slot carries
+    # dedup_containment_scale, the round-6 top-item scale-safe path,
+    # so the hot-key-window fix sits under the driver's hard signal
+    # alongside the window-path originals the verdict pinned)
+    "dedup_containment_scale", "dedup_minhash_lsh",
+    "dedup_containment_incr",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_containment_drop",
     # Similarity / embeddings
     "ann_brute_topk", "ann_ivf_topk", "ann_srp_neardup",
@@ -88,8 +91,11 @@ PRIORITY = [
     # (text_corpus_quantiles + pii_redact_contacts rotated to full-local
     # in round 5; their slots carry the r4 skew-diagnosis + exact-sum
     # stats family)
+    # (stat_gini rotated to full-local in round 6; its slot carries the
+    # REAL-image-decode round trip so the PNG capability is
+    # driver-verified, per the r5 verdict's item 5)
     "text_winnow_fp", "skew_report_custkey", "text_decontaminate",
-    "stat_gini_customer_revenue", "text_bm25_topk", "corpus_prep_pipeline",
+    "mm_image_png_roundtrip", "text_bm25_topk", "corpus_prep_pipeline",
     # Multimodal (mm_byte_stats stays full-local-checked; its slot
     # carries the round-4 incremental ingest composition instead)
     # (mm_frame_sample rotated to full-local in round 5; slot carries

@@ -36,6 +36,10 @@ def main() -> None:
                     default=os.path.join(REPO, ".scaledata", "sf1"))
     ap.add_argument("--only", nargs="*", default=None)
     ap.add_argument("--runs", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_SWEEP.json"),
+                    help="output JSON (e.g. SCALE_SWEEP2.json for the "
+                         "second decade, so --only merges never mix "
+                         "decades in one artifact)")
     args = ap.parse_args()
 
     from oracle_to_snowflake_etl_spark.queries import queries
@@ -82,7 +86,7 @@ def main() -> None:
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
             print(f"{name:38s} ERR {results[name]['err'][:120]}", flush=True)
 
-    out = os.path.join(REPO, "SCALE_SWEEP.json")
+    out = args.out
     if args.only and os.path.exists(out):
         # targeted re-measure: merge into the committed full sweep
         with open(out) as fh:
