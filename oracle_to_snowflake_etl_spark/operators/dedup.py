@@ -231,7 +231,16 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     # scale_safe docstring tradeoff above
     from pyspark.sql import Window as _W
 
+    sh_cached = False
     if scale_safe:
+        # the scale path consumes sh TWICE (DF aggregate + join-back);
+        # persisting the two-long frame runs the explode+hash pass once
+        # (interleaved A/B at sf0.1: ~5-8% end-to-end — the join-back
+        # shuffle, not the recompute, dominates; at corpus scale the
+        # saved pass is a full re-read). Released in the finally.
+        if materialize:
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+            sh_cached = True
         dfh = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_dfs"))
         wdf = sh.join(dfh, "h")
     else:
@@ -296,10 +305,16 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         # the returned frame.
         if owned:
             docs.count()
+        if sh_cached:
+            # stage the (doc, h) cache before the branching consumers
+            # race on it cold (same rationale as the docs.count above)
+            sh.count()
         return out.localCheckpoint(eager=True)
     finally:
         if owned:
             docs.unpersist()
+        if sh_cached:
+            sh.unpersist()
 
 
 # ---------------------------------------------------------------------------
@@ -679,7 +694,14 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
             docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     sh = (docs.select("doc", F.explode("sh").alias("s"))
           .select("doc", F.xxhash64("s").alias("h")))
+    sh_cached = False
     if scale_safe:
+        # two consumers of sh (DF agg + join-back) — persist the
+        # two-long frame so the explode+hash pass runs once (see
+        # ngram_jaccard_pairs), released in the finally
+        if materialize:
+            sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+            sh_cached = True
         dfh = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_dfs"))
         wdf = sh.join(dfh, "h")
     else:
@@ -739,12 +761,16 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
         # Measured at sf0.1: 12.5s (racing) -> 4.9s -> ~3.6s (staged).
         if owned:
             docs.count()
+        if sh_cached:
+            sh.count()
         ranked.count()
         cand.count()
         return out.localCheckpoint(eager=True)
     finally:
         if owned:
             docs.unpersist()
+        if sh_cached:
+            sh.unpersist()
         ranked.unpersist()
         cand.unpersist()
 
