@@ -180,31 +180,40 @@ def png_encode(img, filter_type: int = 0) -> bytes:
         flat = a.reshape(h, w * 3)
     else:
         raise ValueError("expected h x w (grey) or h x w x 3 (RGB)")
+    # PNG filters are functions of the RAW (unfiltered) neighbor bytes,
+    # so ENCODING vectorizes fully — no sequential dependency (unlike
+    # decoding filters 1/3/4, which need reconstructed bytes). This is
+    # the hot path: the mm_image_png_roundtrip driver query encodes
+    # every corpus byte through here.
+    if filter_type not in (0, 1, 2, 3, 4):
+        raise ValueError(f"bad filter {filter_type}")
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int64)
+    lines = flat.astype(np.int64)
+    prev_rows = np.vstack([np.zeros((1, w * ch), dtype=np.int64),
+                           lines[:-1]])
+    left = np.zeros_like(lines)
+    left[:, ch:] = lines[:, :-ch]
+    upleft = np.zeros_like(lines)
+    upleft[:, ch:] = prev_rows[:, :-ch]
+    if filter_type == 0:
+        out = lines
+    elif filter_type == 1:
+        out = (lines - left) % 256
+    elif filter_type == 2:
+        out = (lines - prev_rows) % 256
+    elif filter_type == 3:
+        out = (lines - (left + prev_rows) // 2) % 256
+    else:  # Paeth, elementwise
+        p = left + prev_rows - upleft
+        pa, pb, pc = (np.abs(p - left), np.abs(p - prev_rows),
+                      np.abs(p - upleft))
+        pred = np.where((pa <= pb) & (pa <= pc), left,
+                        np.where(pb <= pc, prev_rows, upleft))
+        out = (lines - pred) % 256
+    out8 = out.astype(np.uint8)
     for y in range(h):
-        line = flat[y].astype(np.int64)
-        out = np.empty_like(line)
-        for i in range(len(line)):
-            a_ = int(line[i - ch]) if i >= ch else 0
-            b_ = int(prev[i])
-            c_ = int(prev[i - ch]) if i >= ch else 0
-            x = int(line[i])
-            if filter_type == 0:
-                out[i] = x
-            elif filter_type == 1:
-                out[i] = (x - a_) % 256
-            elif filter_type == 2:
-                out[i] = (x - b_) % 256
-            elif filter_type == 3:
-                out[i] = (x - (a_ + b_) // 2) % 256
-            elif filter_type == 4:
-                out[i] = (x - _paeth(a_, b_, c_)) % 256
-            else:
-                raise ValueError(f"bad filter {filter_type}")
         raw.append(filter_type)
-        raw.extend(out.astype(np.uint8).tobytes())
-        prev = line
+        raw.extend(out8[y].tobytes())
 
     def chunk(tag: bytes, data: bytes) -> bytes:
         return (struct.pack(">I", len(data)) + tag + data
@@ -321,17 +330,31 @@ def image_features(media: DataFrame, fake_width: int = 16) -> DataFrame:
                 if payload is None:
                     rows.append((mid, None, None, None))
                     continue
-                if bytes(payload[:8]) == PNG_MAGIC:
-                    w, h, arr = png_decode(bytes(payload))
-                    rows.append((mid, w, h,
-                                 int(arr.astype(np.int64).sum()) / arr.size))
-                    continue
+                is_png = bytes(payload[:8]) == PNG_MAGIC
+                if is_png:
+                    try:
+                        w, h, arr = png_decode(bytes(payload))
+                        rows.append(
+                            (mid, w, h,
+                             int(arr.astype(np.int64).sum()) / arr.size))
+                        continue
+                    except ValueError:
+                        # out-of-codec-scope PNG (palette, alpha,
+                        # 16-bit, interlaced): fall through to PIL when
+                        # present, else nulls below — a real-but-
+                        # undecodable image must not be reinterpreted
+                        # by the fake grayscale path (silent garbage
+                        # features) nor kill the query
+                        pass
                 if have_pil:  # pragma: no cover - PIL-bearing clusters
                     import io
 
                     arr = np.asarray(Image.open(io.BytesIO(bytes(payload))))
                     rows.append((mid, arr.shape[1], arr.shape[0],
                                  int(arr.astype(np.int64).sum()) / arr.size))
+                    continue
+                if is_png:
+                    rows.append((mid, None, None, None))
                     continue
                 arr = np.frombuffer(payload, dtype=np.uint8)
                 h = len(arr) // fake_width

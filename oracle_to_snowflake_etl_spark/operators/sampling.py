@@ -114,15 +114,18 @@ def split_assign_leakage_free(df: DataFrame, clusters: DataFrame,
     same assignment forever, regardless of partitioning.
     """
     # collision-safe temp column (df may legitimately carry "_rep"), and
-    # dropDuplicates guards the join's fan-out invariant: a pair source
-    # that yields duplicate (doc, keep_id) rows must not silently
-    # duplicate corpus rows through the left join
+    # a DETERMINISTIC one-row-per-doc reduction guards the join's
+    # fan-out invariant: a pair source that yields duplicate — or
+    # conflicting — (doc, keep_id) rows must not duplicate corpus rows
+    # through the left join, and which representative wins must not
+    # depend on partition order (dropDuplicates keeps an arbitrary
+    # row; MIN keeps the same one forever, preserving the module's
+    # same-input-same-assignment contract)
     tmp = "_rep"
     while tmp in df.columns:
         tmp += "_"
-    rep = (clusters.select(F.col("doc").alias(key_col),
-                           F.col("keep_id").alias(tmp))
-           .dropDuplicates([key_col]))
+    rep = (clusters.groupBy(F.col("doc").alias(key_col))
+           .agg(F.min("keep_id").alias(tmp)))
     joined = (df.join(rep, key_col, "left")
               .withColumn(tmp, F.coalesce(F.col(tmp), F.col(key_col))))
     return split_assign(joined, tmp, weights, salt, out_col).drop(tmp)

@@ -524,6 +524,37 @@ def ann_recall_at_k(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return n_hit / n_truth
 
 
+def plant_near_dup_twins(df: DataFrame, target_cos: float = 0.95,
+                         seed: int = 60, vec_col: str = "embedding",
+                         id_col: str = "vec_id") -> DataFrame:
+    """Corpus ∪ one true near-duplicate twin per vector, for measuring
+    near-dup recall at its operating point: twin_i = normalize(v_i) +
+    δ·u_i with u_i a fixed-seed random unit vector orthogonalized
+    against v_i and δ = sqrt(1/cos² - 1), so cos(v_i, twin_i) =
+    ``target_cos`` exactly (up to float rounding). Twin ids are
+    original id + (max id + 1). Deterministic given ``seed`` — the
+    measured recall reproduces bit-for-bit, which is why
+    tests/test_recall.py can pin a tight bound under the value
+    tools/ann_recall.py prints. Driver-side numpy on a collected
+    corpus: a measurement fixture, not a scale path."""
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[0] for r in rows])
+    V = np.stack([np.asarray(r[1], dtype=np.float64) for r in rows])
+    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
+    rng = np.random.default_rng(seed)
+    delta = np.sqrt(1.0 / target_cos**2 - 1.0)
+    U = rng.standard_normal(Vn.shape)
+    U -= (U * Vn).sum(axis=1, keepdims=True) * Vn
+    U /= np.linalg.norm(U, axis=1, keepdims=True)
+    twins = Vn + delta * U
+    base = int(ids.max()) + 1
+    data = ([(int(i), [float(x) for x in v]) for i, v in zip(ids, V)]
+            + [(int(i) + base, [float(x) for x in t])
+               for i, t in zip(ids, twins)])
+    return df.sparkSession.createDataFrame(
+        data, f"{id_col} long, {vec_col} array<float>")
+
+
 def srp_pair_recall(df: DataFrame, threshold_q6: int = 350_000,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id") -> float:

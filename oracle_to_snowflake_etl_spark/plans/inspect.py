@@ -100,20 +100,48 @@ def window_partition_cols(df: DataFrame) -> list[list[str]]:
     appear here."""
     plan = plan_string(df)
     out: list[list[str]] = []
-    # args: partition cols, then order cols ("x ASC NULLS FIRST"), then
-    # specifiedwindowframe(...); nothing before the frame spec contains
-    # parens, so capture up to it and keep the unordered leading
-    # attribute references
-    for m in re.finditer(r"windowspecdefinition\(([^()]*)specifiedwindowframe",
-                         plan):
+    # Parse each windowspecdefinition(...) with real paren counting so a
+    # partition key that is an EXPRESSION — xxhash64(s#3, 42), CASE WHEN
+    # (...) — is not silently skipped (a naive [^()]* regex cannot cross
+    # its parens, and a skipped spec would let the no-hot-key-window
+    # assertions pass vacuously). Partition args are the depth-0
+    # comma-separated tokens before the first ordered token ("x ASC/
+    # DESC ...") or the specifiedwindowframe arg; every attribute
+    # reference inside a partition expression is reported.
+    marker = "windowspecdefinition("
+    pos = 0
+    while True:
+        start = plan.find(marker, pos)
+        if start < 0:
+            break
+        i = start + len(marker)
+        depth = 1
+        args: list[str] = []
+        buf: list[str] = []
+        while i < len(plan) and depth > 0:
+            c = plan[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    args.append("".join(buf).strip())
+                    break
+            elif c == "," and depth == 1:
+                args.append("".join(buf).strip())
+                buf = []
+                i += 1
+                continue
+            buf.append(c)
+            i += 1
+        pos = i
         cols: list[str] = []
-        for tok in m.group(1).split(","):
-            tok = tok.strip()
-            if " ASC" in tok or " DESC" in tok:
+        for tok in args:
+            if tok.startswith("specifiedwindowframe"):
                 break
-            am = re.match(r"(\w+)#\d+", tok)
-            if am:
-                cols.append(am.group(1))
+            if re.search(r"\b(ASC|DESC)\b", tok):
+                break
+            cols.extend(re.findall(r"(\w+)#\d+", tok))
         out.append(cols)
     return out
 

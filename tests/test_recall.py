@@ -10,7 +10,6 @@ not statistical tolerances.
 
 from __future__ import annotations
 
-import numpy as np
 import pytest
 
 from oracle_to_snowflake_etl_spark.operators.similarity import (
@@ -65,21 +64,9 @@ def test_srp_recall_at_near_dup_operating_point(spark, emb):
     — 1-(1-(1-acos(s)/pi)^8)^4). The corpus's own mid-similarity
     range (max pairwise cos ~0.51) is OUTSIDE the design envelope and
     its low recall there matches the same formula (SCALE.md)."""
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows])
-    V = np.stack([np.asarray(r.embedding, dtype=np.float64)
-                  for r in rows])
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    rng = np.random.default_rng(60)
-    delta = np.sqrt(1.0 / 0.95**2 - 1.0)
-    U = rng.standard_normal(Vn.shape)
-    U -= (U * Vn).sum(axis=1, keepdims=True) * Vn
-    U /= np.linalg.norm(U, axis=1, keepdims=True)
-    twins = Vn + delta * U
-    base = int(ids.max()) + 1
-    data = ([(int(i), [float(x) for x in v]) for i, v in zip(ids, V)]
-            + [(int(i) + base, [float(x) for x in t])
-               for i, t in zip(ids, twins)])
-    planted = spark.createDataFrame(
-        data, "vec_id long, embedding array<float>")
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        plant_near_dup_twins,
+    )
+
+    planted = plant_near_dup_twins(emb)
     assert srp_pair_recall(planted, threshold_q6=900_000) >= 0.75

@@ -80,12 +80,17 @@ def test_sorted_layout_skips_row_groups_at_read(spark, tmp_path):
     assert urows > n // 2, f"shuffled control unexpectedly skipped: {urows}"
 
 
-def _stage_totals(spark) -> tuple[int, int]:
-    """(shuffle-write bytes, spilled bytes) summed over every stage in
-    the app status store — the same numbers the Spark UI's stage page
-    shows, read via AppStatusStore so multi-job operators (iterative
-    clusters, checkpointing dedups, composed pipelines) are measured in
-    FULL, not just the final job's plan metrics."""
+def _stages_after(spark, watermark: int) -> tuple[int, int, int]:
+    """(shuffle-write bytes, spilled bytes, max stage id) summed over
+    stages with stageId > watermark — the same numbers the Spark UI's
+    stage page shows, read via AppStatusStore so multi-job operators
+    (iterative clusters, checkpointing dedups, composed pipelines) are
+    measured in FULL, not just the final job's plan metrics. Summing
+    only stages NEWER than the watermark makes the measurement immune
+    to the store's retainedStages eviction: an evicted OLD stage would
+    otherwise shrink the after-snapshot and corrupt a snapshot-delta
+    (stages submitted during the measured query are never the eviction
+    victims — eviction takes the oldest first)."""
     jvm = spark.sparkContext._jvm
     gw = spark.sparkContext._gateway
     store = spark.sparkContext._jsc.sc().statusStore()
@@ -93,11 +98,16 @@ def _stage_totals(spark) -> tuple[int, int]:
     qarr = gw.new_array(jvm.double, 0)
     it = store.stageList(empty, False, False, qarr, empty).iterator()
     sw = sp = 0
+    max_id = watermark
     while it.hasNext():
         s = it.next()
+        sid = s.stageId()
+        max_id = max(max_id, sid)
+        if sid <= watermark:
+            continue
         sw += s.shuffleWriteBytes()
         sp += s.memoryBytesSpilled() + s.diskBytesSpilled()
-    return sw, sp
+    return sw, sp, max_id
 
 
 #: recorded executed shuffle-write bytes at sf0.01 (round 6; measure by
@@ -129,13 +139,12 @@ def test_heavy_query_shuffle_volume_budgets(spark):
     spark.catalog.clearCache()
     qs = queries()
     sf = "/root/testdata/sf0.01"
+    _, _, watermark = _stages_after(spark, -1)
     for name, budget in SHUFFLE_BUDGETS.items():
         gc.collect()
-        sw0, sp0 = _stage_totals(spark)
         qs[name](spark, sf).count()
-        sw1, sp1 = _stage_totals(spark)
+        dsw, dsp, watermark = _stages_after(spark, watermark)
         spark.catalog.clearCache()
-        dsw, dsp = sw1 - sw0, sp1 - sp0
         assert dsp == 0, f"{name} spilled {dsp} bytes at sf0.01"
         assert budget * 0.5 <= dsw <= budget * 1.5, \
             f"{name}: shuffle-write {dsw} vs budget {budget}"

@@ -81,23 +81,14 @@ def main() -> None:
     # SRP at its OPERATING POINT: plant true near-duplicates (corpus
     # vectors + deterministic perturbation at target cosine ~0.95) and
     # measure the fraction of planted pairs the banded index recovers.
-    rows = emb.select("vec_id", "embedding").collect()
-    ids = np.array([r.vec_id for r in rows])
-    V = np.stack([np.asarray(r.embedding, dtype=np.float64) for r in rows])
-    Vn = V / np.linalg.norm(V, axis=1, keepdims=True)
-    rng = np.random.default_rng(60)  # fixed seed: reproducible twins
+    # One shared fixture (operators/similarity.plant_near_dup_twins)
+    # keeps this number and the tests/test_recall.py bound in sync.
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        plant_near_dup_twins,
+    )
+
     target_cos = 0.95
-    delta = np.sqrt(1.0 / target_cos**2 - 1.0)
-    U = rng.standard_normal(Vn.shape)
-    U -= (U * Vn).sum(axis=1, keepdims=True) * Vn  # orthogonalize
-    U /= np.linalg.norm(U, axis=1, keepdims=True)
-    twins = Vn + delta * U
-    base = int(ids.max()) + 1
-    twin_rows = [(int(i) + base, [float(x) for x in t])
-                 for i, t in zip(ids, twins)]
-    orig_rows = [(int(i), [float(x) for x in v]) for i, v in zip(ids, V)]
-    planted = spark.createDataFrame(orig_rows + twin_rows,
-                                    "vec_id long, embedding array<float>")
+    planted = plant_near_dup_twins(emb, target_cos=target_cos)
     got = srp_pair_recall(planted, threshold_q6=900_000)
     th = (1 - np.arccos(target_cos) / np.pi) ** 8
     print(f"\nSRP pair-recall on PLANTED near-dups (cos~{target_cos}, "
