@@ -388,6 +388,72 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
         F.col(id_col), F.explode(F.array_distinct(mins)).alias("fp"))
 
 
+def repeated_spans(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = WINNOW_K,
+                   w: int = WINNOW_W, min_docs: int = 2) -> DataFrame:
+    """Cross-document repeated-span report: fingerprints shared by >=
+    ``min_docs`` distinct documents, with how widely each is shared.
+    Substring-level duplication detection (the training-data concern of
+    Lee et al., "Deduplicating Training Data Makes Language Models
+    Better", arXiv:2107.06499): doc-level near-dup ops miss a 200-char
+    boilerplate block pasted into otherwise-distinct pages; winnowing
+    guarantees any shared substring of length >= k+w-1 chars shares at
+    least one retained fingerprint, so every such block surfaces here.
+
+    Returns (fp, n_docs, first_doc, last_doc). Plan: the fingerprint
+    pass (:func:`winnow_fingerprints`, pure codegen) then ONE hash
+    aggregate on fp — map-side combine bounds the shuffle at distinct
+    fingerprints per input partition; no joins, no windows, nothing
+    hot-key-sensitive (a fingerprint shared by millions of docs still
+    partial-aggregates map-side).
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    # winnow_fingerprints array_distincts per doc before exploding, so
+    # (doc, fp) rows are already distinct: COUNT(*) == COUNT(DISTINCT
+    # doc) per fp, without the two-phase distinct-aggregate expansion
+    # (one exchange + a dedup pass saved; plan-budget-asserted)
+    return (fps.groupBy("fp")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.min(id_col).alias("first_doc"),
+                 F.max(id_col).alias("last_doc"))
+            .where(F.col("n_docs") >= min_docs))
+
+
+def span_dup_ratio(df: DataFrame, text_col: str = "text",
+                   id_col: str = "doc_id", k: int = WINNOW_K,
+                   w: int = WINNOW_W) -> DataFrame:
+    """Per-document span-duplication ratio: the fraction of a document's
+    winnowing fingerprints that also occur in at least one OTHER
+    document — "how much of this page is text found elsewhere", the
+    score a corpus-prep pipeline thresholds to drop boilerplate-heavy
+    pages that doc-level Jaccard/containment keep (each individual page
+    is globally unique; its parts are not).
+
+    Returns (doc_id, n_fp, n_shared, dup_ratio) for documents with at
+    least one fingerprint (texts shorter than k+w-1 chars have none and
+    are absent — nothing to measure). dup_ratio = n_shared/n_fp is one
+    IEEE division of exact integers: cross-engine deterministic, same
+    convention as the module's other scores.
+
+    Plan: fingerprint pass, ONE hash-agg building the (fp -> n_docs)
+    table (bounded by distinct fingerprints), hash-joined back onto the
+    per-doc fingerprint rows (AQE broadcasts it when small; at web
+    scale it is an equi-join on fp — skew-splittable, unlike a window),
+    then ONE per-doc aggregate.
+    """
+    fps = winnow_fingerprints(df, text_col, id_col, k, w)
+    # (doc, fp) rows are distinct per doc (see repeated_spans), so a
+    # plain COUNT is the distinct doc count — no distinct-agg expansion
+    shared = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("_nd"))
+    return (fps.join(shared, "fp")
+            .groupBy(id_col)
+            .agg(F.count(F.lit(1)).alias("n_fp"),
+                 F.sum((F.col("_nd") >= 2).cast("long")).alias("n_shared"))
+            .select(id_col, "n_fp", "n_shared",
+                    (F.col("n_shared").cast("double") / F.col("n_fp"))
+                    .alias("dup_ratio")))
+
+
 def familiarity_scores(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
     """Per-document corpus-familiarity: the mean corpus frequency of the

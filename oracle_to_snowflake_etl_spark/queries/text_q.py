@@ -153,6 +153,74 @@ def q_text_winnow_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints(load_table(spark, sf_dir, "documents"))
 
 
+#: shared DuckDB CTE mirroring winnow_fingerprints (same shape as the
+#: text_winnow_fp oracle above) — substring-level dedup oracles build on it
+_WINNOW_CTE = f"""
+    WITH g AS (
+      SELECT doc_id,
+             CASE WHEN length(text) >= {WINNOW_K}
+                  THEN list_transform(range(1, length(text) - {WINNOW_K} + 2),
+                         i -> {duck_hash60_sql(f"substr(text, i, {WINNOW_K})")})
+                  ELSE [] END AS hashes
+      FROM documents
+    ),
+    m AS (
+      SELECT doc_id,
+             CASE WHEN len(hashes) >= {WINNOW_W}
+                  THEN list_distinct(list_transform(
+                         range(1, len(hashes) - {WINNOW_W} + 2),
+                         s -> list_min(hashes[s : s + {WINNOW_W} - 1])))
+                  ELSE [] END AS fps
+      FROM g
+    ),
+    fp AS (SELECT doc_id, UNNEST(fps) AS fp FROM m)
+"""
+
+
+@register(
+    "text_repeated_spans",
+    _WINNOW_CTE + """
+    SELECT fp, COUNT(DISTINCT doc_id) AS n_docs,
+           MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+    FROM fp
+    GROUP BY fp
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """)
+def q_text_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document repeated spans: winnowing fingerprints shared by
+    >= 2 distinct documents (any shared substring of k+w-1 = 11 chars
+    is guaranteed to surface) — substring-level duplication that
+    doc-level near-dup ops miss (operators/textstats.py
+    repeated_spans; Lee et al. 2021 motivation). One map-combined hash
+    aggregate over the fingerprint stream."""
+    from ..operators.textstats import repeated_spans
+
+    return repeated_spans(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "text_span_dup_ratio",
+    _WINNOW_CTE + """
+    , nd AS (SELECT fp, COUNT(DISTINCT doc_id) AS _nd FROM fp GROUP BY fp)
+    SELECT fp.doc_id, COUNT(*) AS n_fp,
+           CAST(SUM(CASE WHEN nd._nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           CAST(SUM(CASE WHEN nd._nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_ratio
+    FROM fp JOIN nd USING (fp)
+    GROUP BY fp.doc_id
+    """)
+def q_text_span_dup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document span-duplication ratio: fraction of a doc's
+    fingerprints found in at least one other document — the
+    boilerplate-heaviness score a corpus gate thresholds
+    (operators/textstats.py span_dup_ratio). Fingerprint pass + one
+    (fp -> doc count) hash-agg joined back + one per-doc aggregate."""
+    from ..operators.textstats import span_dup_ratio
+
+    return span_dup_ratio(load_table(spark, sf_dir, "documents"))
+
+
 @register(
     "text_pack_bins",
     f"""

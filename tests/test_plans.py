@@ -363,6 +363,11 @@ def test_round3_operators_plan_shapes(spark, sf_dir):
         "source_health_report": 2,
         # chunking is one codegen pass + explode: any exchange is a bug
         "text_chunk_windows": 0,
+        # round 6: substring-level dedup — fingerprint repartition + ONE
+        # plain (non-distinct-expanded) fp agg; the ratio adds the
+        # join-back + per-doc agg
+        "text_repeated_spans": 2,
+        "text_span_dup_ratio": 4,
     }
     qs = queries()
     for name, budget in budgets.items():
