@@ -583,3 +583,36 @@ def test_png_decode_rejects_out_of_scope():
     good[29:33] = struct.pack(">I", zlib.crc32(ihdr) & 0xFFFFFFFF)
     with _pytest.raises(ValueError):
         png_decode(bytes(good))
+
+
+@given(st.integers(0, 2**31), st.integers(11, 40),
+       st.integers(20, 60), st.integers(20, 60))
+@SLOW
+def test_repeated_spans_guarantee(spark, seed, span_len, pre_len, post_len):
+    """The winnowing GUARANTEE behind repeated_spans: any substring of
+    length >= k+w-1 (= 11 chars at the module defaults) shared by two
+    documents must produce at least one shared fingerprint — so the
+    planted pair must appear in the repeated-span report regardless of
+    the random text surrounding the shared block on each side."""
+    import random
+
+    from oracle_to_snowflake_etl_spark.operators.textstats import (
+        repeated_spans,
+    )
+
+    rng = random.Random(seed)
+    alpha = "abcdefghijklmnopqrstuvwxyz"
+
+    def rand(n):
+        return "".join(rng.choice(alpha) for _ in range(n))
+
+    shared = rand(span_len)
+    d0 = rand(pre_len) + shared + rand(post_len)
+    d1 = rand(post_len) + shared + rand(pre_len)
+    # exactly the planted pair in the corpus, so every report row IS a
+    # {0, 1} share — no third doc to alias the min/max-doc columns
+    df = spark.createDataFrame(
+        [(0, d0), (1, d1)], "doc_id long, text string")
+    hits = repeated_spans(df).collect()
+    assert any(r.first_doc == 0 and r.last_doc == 1 for r in hits), \
+        (d0, d1)
