@@ -149,3 +149,34 @@ def cms_estimate(cms: DataFrame, queries: DataFrame,
             .groupBy(*queries.columns)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0)))
                  .alias("n_est")))
+
+
+def approx_group_quantiles(df: DataFrame, value_col: str,
+                           group_cols: list[str],
+                           probs: list[float] = (0.5, 0.9, 0.99),
+                           accuracy: int = 10_000) -> DataFrame:
+    """Per-group approximate quantiles — the p50/p90/p99-per-service
+    telemetry aggregate — via Spark's built-in Greenwald-Khanna
+    ``percentile_approx`` (SIGMOD'01; mergeable summaries, so the
+    aggregate partial-combines map-side like any algebraic agg and the
+    shuffle is bounded by groups x summary size, never row count).
+
+    This is the 100 TB complement of the EXACT rank quantiles used in
+    the oracle-checked queries (text_corpus_quantiles, skew_report):
+    exact ranks need a per-group sort/window over every row; the GK
+    summary guarantees rank error <= n/accuracy with a summary of
+    O(accuracy * log n) — at the default 10^4 that is a 0.01% rank
+    band, pytest-bounded against the exact answer in
+    tests/test_maintenance.py (no cross-engine value oracle BY
+    CONSTRUCTION: DuckDB's approx_quantile is t-digest, a different
+    algorithm — same treatment as the CMS/HLL error-bound contracts).
+
+    Returns one row per group with ``q_<prob>`` columns (dots stripped:
+    q50, q90, q99 at the defaults).
+    """
+    aggs = [
+        F.percentile_approx(value_col, float(p), accuracy)
+        .alias(f"q{round(p * 100)}")
+        for p in probs
+    ]
+    return df.groupBy(*group_cols).agg(*aggs)

@@ -454,3 +454,36 @@ def test_ivf_index_at_rest_prunes_and_matches(spark, tmp_path):
 
     pf = partition_filters(idx_df)
     assert any("cell" in f for f in pf), pf
+
+
+def test_approx_group_quantiles_rank_error_bound(spark):
+    """approx_group_quantiles' GK contract: each reported per-group
+    quantile must sit within the rank band [ (p - 1/accuracy)*n,
+    (p + 1/accuracy)*n ] of the group's sorted values — checked
+    against the exact sort at a deliberately coarse accuracy (100)
+    so the bound is actually exercised rather than trivially met."""
+    from oracle_to_snowflake_etl_spark.operators.sketch import (
+        approx_group_quantiles,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    acc = 100
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    got = approx_group_quantiles(
+        orders, "o_totalprice", ["o_orderstatus"],
+        probs=[0.5, 0.9, 0.99], accuracy=acc).collect()
+    assert len(got) == 3  # F / O / P
+    groups = {
+        r.o_orderstatus: sorted(
+            x.o_totalprice for x in
+            orders.where(F.col("o_orderstatus") == r.o_orderstatus)
+            .select("o_totalprice").collect())
+        for r in got
+    }
+    for r in got:
+        vals = groups[r.o_orderstatus]
+        n = len(vals)
+        for p, q in ((0.5, r.q50), (0.9, r.q90), (0.99, r.q99)):
+            lo = vals[max(0, int((p - 1.0 / acc) * n) - 1)]
+            hi = vals[min(n - 1, int((p + 1.0 / acc) * n))]
+            assert lo <= q <= hi, (r.o_orderstatus, p, q, lo, hi)
