@@ -50,3 +50,50 @@ def scd2_from_changelog(df: DataFrame, key: str, ts_col: str,
                         F.lead("valid_from_us").over(
                             Window.partitionBy(key).orderBy("_ts", "_tb")))
             .drop("_tb", "_ts"))
+
+
+def pit_join(facts: DataFrame, history: DataFrame, key: str,
+             fact_ts: str = "ts", attr_cols: list[str] | None = None,
+             suffix: str = "_dim") -> DataFrame:
+    """POINT-IN-TIME join — every fact row plus the dimension attribute
+    values that were true AT THE FACT'S TIMESTAMP: the query SCD2
+    history exists to answer (which status/price/tier did this user
+    have when this event happened), and the one a plain dimension join
+    silently gets wrong by using today's values for yesterday's facts.
+
+    ``history`` is :func:`scd2_from_changelog` output (validity as
+    epoch-µs ``valid_from_us``/``valid_to_us``, NULL valid_to =
+    current). A fact at time t matches the version with valid_from_us
+    <= t < valid_to_us (left semantics: attrs NULL when no version
+    covers t — facts before the first version, or in a gap of a
+    hand-built history).
+
+    NOT a range join: interval membership against a gapless,
+    non-overlapping SCD2 history is exactly a backward as-of join on
+    valid_from (the latest version starting at-or-before t), so this
+    composes operators/asof.asof_join — ONE shuffle (the union-sort
+    window on the key), never an inequality nested loop — then
+    null-guards the residual upper bound, which only fires for
+    pre-history and gap timestamps. Degenerate empty intervals
+    (valid_to == valid_from, produced by equal-timestamp changes) are
+    dropped first: they cover no instant, and removing them makes the
+    as-of tiebreak at equal valid_from unambiguous.
+    """
+    from .asof import asof_join
+
+    if attr_cols is None:
+        attr_cols = [c for c in history.columns
+                     if c not in (key, "valid_from_us", "valid_to_us")]
+    hist = history.where(
+        F.col("valid_to_us").isNull()
+        | (F.col("valid_to_us") > F.col("valid_from_us")))
+    f = facts.withColumn(
+        "_pit_us", F.unix_micros(F.col(fact_ts).cast("timestamp")))
+    joined = asof_join(
+        f, hist, key, left_ts="_pit_us", right_ts="valid_from_us",
+        payload=attr_cols + ["valid_to_us"], suffix=suffix)
+    covered = (F.col(f"valid_to_us{suffix}").isNull()
+               | (F.col("_pit_us") < F.col(f"valid_to_us{suffix}")))
+    guarded = [F.when(covered, F.col(f"{c}{suffix}"))
+               .alias(f"{c}{suffix}") for c in attr_cols]
+    return joined.select(*[F.col(c) for c in facts.columns], *guarded)

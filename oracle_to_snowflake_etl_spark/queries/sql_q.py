@@ -548,6 +548,60 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ["event_type"])
 
 
+@register(
+    "pit_join_purchases",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_et
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_et IS NULL OR event_type <> prev_et),
+    hist AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS vf,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS vt
+      FROM changes),
+    hist2 AS (SELECT * FROM hist WHERE vt IS NULL OR vt > vf),
+    facts AS (
+      SELECT event_id, user_id, ts - INTERVAL 30 MINUTE AS fts
+      FROM events WHERE event_type = 'purchase')
+    SELECT f.event_id, f.user_id, epoch_us(f.fts) AS pit_us,
+           h.event_type AS status_dim
+    FROM facts f LEFT JOIN hist2 h
+      ON f.user_id = h.user_id
+     AND h.vf <= epoch_us(f.fts)
+     AND (h.vt IS NULL OR epoch_us(f.fts) < h.vt)
+    """)
+def q_pit_join_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME temporal join (operators/scd.pit_join): each
+    purchase event, time-shifted 30 minutes back (so pre-history
+    timestamps exercise the NULL guard), joined to the user's SCD2
+    status version valid AT that instant — the which-attributes-were-
+    true-at-event-time query a plain dimension join silently answers
+    with today's values. ONE shuffle: interval membership against
+    gapless SCD2 history is a backward as-of join on valid_from plus a
+    residual upper-bound guard, never an inequality nested loop.
+    Oracle: brute-force interval LEFT JOIN."""
+    from ..operators.scd import pit_join, scd2_from_changelog
+
+    events = load_table(spark, sf_dir, "events")
+    hist = scd2_from_changelog(events, "user_id", "ts", "event_id",
+                               ["event_type"])
+    facts = (events.where(F.col("event_type") == "purchase")
+             .select("event_id", "user_id",
+                     (F.col("ts") - F.expr("INTERVAL 30 MINUTES"))
+                     .alias("fts")))
+    out = pit_join(facts, hist, "user_id", fact_ts="fts",
+                   attr_cols=["event_type"], suffix="_dim")
+    return out.select("event_id", "user_id",
+                      F.unix_micros(F.col("fts")).alias("pit_us"),
+                      F.col("event_type_dim").alias("status_dim"))
+
+
 from ..operators.zorder import zorder_sql, zorder_value  # noqa: E402
 
 _Z_CUST = "o_custkey & 65535"

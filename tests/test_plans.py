@@ -368,6 +368,9 @@ def test_round3_operators_plan_shapes(spark, sf_dir):
         # join-back + per-doc agg
         "text_repeated_spans": 2,
         "text_span_dup_ratio": 4,
+        # point-in-time join: SCD2 history window + the as-of
+        # union-sort window — never an interval nested loop
+        "pit_join_purchases": 2,
     }
     qs = queries()
     for name, budget in budgets.items():
