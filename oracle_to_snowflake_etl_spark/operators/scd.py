@@ -52,6 +52,21 @@ def scd2_from_changelog(df: DataFrame, key: str, ts_col: str,
             .drop("_tb", "_ts"))
 
 
+def scd2_snapshot(history: DataFrame, at_us: int) -> DataFrame:
+    """Dimension TIME TRAVEL: reconstruct the dimension as it stood at
+    epoch-µs instant ``at_us`` — one row per key that had a version
+    covering that instant (valid_from_us <= at < valid_to_us, NULL
+    valid_to = still current). A pure scan-side filter: zero shuffles,
+    and on a history table partitioned/sorted by validity the
+    predicates prune at the scan. The degenerate empty intervals
+    pit_join drops can never match (no instant satisfies t < vt when
+    vt == vf <= t), so no extra filter is needed."""
+    return history.where(
+        (F.col("valid_from_us") <= F.lit(int(at_us)))
+        & (F.col("valid_to_us").isNull()
+           | (F.lit(int(at_us)) < F.col("valid_to_us"))))
+
+
 def pit_join(facts: DataFrame, history: DataFrame, key: str,
              fact_ts: str = "ts", attr_cols: list[str] | None = None,
              suffix: str = "_dim") -> DataFrame:

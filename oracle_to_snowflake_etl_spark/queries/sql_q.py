@@ -548,6 +548,47 @@ def q_scd2_user_status(spark: SparkSession, sf_dir: str) -> DataFrame:
                                ["event_type"])
 
 
+#: fixed snapshot instant for scd2_snapshot_status: 2024-01-15 12:00 UTC,
+#: mid-range of the events table's January-2024 span
+_SNAP_US = 1_705_320_000_000_000
+
+
+@register(
+    "scd2_snapshot_status",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_et
+      FROM events),
+    changes AS (
+      SELECT user_id, ts, event_id, event_type FROM ordered
+      WHERE prev_et IS NULL OR event_type <> prev_et),
+    hist AS (
+      SELECT user_id, event_type,
+             epoch_us(ts) AS valid_from_us,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS valid_to_us
+      FROM changes)
+    SELECT user_id, event_type, valid_from_us, valid_to_us
+    FROM hist
+    WHERE valid_from_us <= {_SNAP_US}
+      AND (valid_to_us IS NULL OR {_SNAP_US} < valid_to_us)
+    """)
+def q_scd2_snapshot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension TIME TRAVEL (operators/scd.scd2_snapshot): the per-user
+    status dimension reconstructed as it stood at a fixed past instant
+    (2024-01-15 12:00 UTC) — one covering version per user, pure
+    scan-side filter, zero shuffles beyond the history build. Oracle:
+    the same interval predicate on the recursive-window history."""
+    from ..operators.scd import scd2_from_changelog, scd2_snapshot
+
+    events = load_table(spark, sf_dir, "events")
+    hist = scd2_from_changelog(events, "user_id", "ts", "event_id",
+                               ["event_type"])
+    return scd2_snapshot(hist, _SNAP_US)
+
+
 @register(
     "pit_join_purchases",
     """

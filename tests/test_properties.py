@@ -616,3 +616,65 @@ def test_repeated_spans_guarantee(spark, seed, span_len, pre_len, post_len):
     hits = repeated_spans(df).collect()
     assert any(r.first_doc == 0 and r.last_doc == 1 for r in hits), \
         (d0, d1)
+
+
+_pit_chg = st.tuples(st.integers(0, 3),   # key
+                     st.integers(0, 20),  # ts (epoch-µs scale)
+                     st.integers(0, 99),  # tiebreak id
+                     st.sampled_from(["a", "b", "c"]))
+
+
+@given(st.lists(_pit_chg, min_size=1, max_size=14,
+                unique_by=lambda r: (r[0], r[1], r[2])),
+       st.lists(st.tuples(st.integers(0, 3), st.integers(-2, 22)),
+                min_size=1, max_size=10))
+@SLOW
+def test_pit_join_matches_bruteforce(spark, chg, facts):
+    """pit_join vs a python brute force over the SAME scd2 history, on
+    adversarial changelogs: equal-timestamp changes (degenerate empty
+    intervals), facts before the first version (NULL guard), facts at
+    exact boundary instants (inclusive-from / exclusive-to)."""
+    from pyspark.sql import functions as FF
+
+    from oracle_to_snowflake_etl_spark.operators.scd import (
+        pit_join,
+        scd2_from_changelog,
+    )
+
+    cdf = spark.createDataFrame(
+        [(k, t, i, v) for k, t, i, v in chg],
+        "k long, tus long, tb long, val string")
+    # changelog ts as a real timestamp column (µs scale)
+    cdf = cdf.withColumn("ts", FF.timestamp_micros(FF.col("tus")))
+    hist = scd2_from_changelog(cdf, "k", "ts", "tb", ["val"])
+    fdf = spark.createDataFrame(
+        [(i, k, t) for i, (k, t) in enumerate(facts)],
+        "fid long, k long, ftus long")
+    fdf = fdf.withColumn("fts", FF.timestamp_micros(FF.col("ftus")))
+    got = {(r.fid, r.val_dim) for r in
+           pit_join(fdf.select("fid", "k", "fts"), hist, "k",
+                    fact_ts="fts", attr_cols=["val"]).collect()}
+
+    # python reference: compress changes per key in (ts, tb) order,
+    # then interval lookup
+    want = set()
+    hist_py: dict[int, list[tuple[int, int | None, str]]] = {}
+    for k in {c[0] for c in chg}:
+        rows = sorted([c for c in chg if c[0] == k],
+                      key=lambda c: (c[1], c[2]))
+        kept = []
+        for _, t, _tb, v in rows:
+            if not kept or kept[-1][1] != v:
+                kept.append((t, v))
+        iv = []
+        for j, (t, v) in enumerate(kept):
+            vt = kept[j + 1][0] if j + 1 < len(kept) else None
+            iv.append((t, vt, v))
+        hist_py[k] = iv
+    for i, (k, t) in enumerate(facts):
+        hit = None
+        for vf, vt, v in hist_py.get(k, []):
+            if vf <= t and (vt is None or t < vt):
+                hit = v
+        want.add((i, hit))
+    assert got == want
