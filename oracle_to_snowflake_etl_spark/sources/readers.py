@@ -159,6 +159,27 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink — the other columnar interchange format (Hive/Trino
+    ecosystems standardize on it where parquet is not the default).
+    Same footer-statistics story as parquet: min/max per stripe, so
+    predicate pushdown and row-group skipping survive the format
+    change (pushdown asserted in tests/test_pipeline.py). Engine-native
+    storage stays parquet; ORC is a boundary format like CSV/JSON."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (schema from file metadata, like parquet — columnar
+    self-describing formats need no explicit StructType; the CSV/JSON
+    explicit-schema rule is about TEXT formats with no embedded types).
+    Avro, by contrast, is NOT wired: Spark ships it as an external
+    module absent from this environment — same import-try gate policy
+    as Delta/protobuf (try it and Spark raises its standard
+    deployment-instructions error)."""
+    return spark.read.orc(path)
+
+
 def read_json_lines(spark: SparkSession, path: str, schema: T.StructType,
                     corrupt_col: str = "_corrupt_record") -> DataFrame:
     """ndjson source with QUARANTINE semantics: explicit schema (never

@@ -105,3 +105,36 @@ def test_analyze_table_populates_stats(spark):
         assert "1000 rows" in stats["Statistics"], stats
     finally:
         spark.sql("DROP TABLE IF EXISTS stats_demo")
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    """ORC boundary format (sources/readers.write_orc/read_orc): exact
+    value roundtrip of a mixed-type frame, AND the scale property that
+    justifies the format — a range predicate must reach the ORC scan as
+    a pushed filter (stripe statistics make it a skip, not an
+    annotation), with column pruning in the read schema."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.plans.inspect import (
+        plan_string,
+        pushed_filters,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import (
+        load_table,
+        read_orc,
+        write_orc,
+    )
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.schema == orders.schema
+    want = {tuple(r) for r in orders.collect()}
+    assert {tuple(r) for r in back.collect()} == want
+
+    q = (back.where(F.col("o_totalprice") > 100_000)
+         .select("o_orderkey", "o_totalprice"))
+    assert any("o_totalprice" in f for f in pushed_filters(q))
+    plan = plan_string(q)
+    assert "o_orderstatus" not in plan.split("ReadSchema")[-1]
