@@ -34,7 +34,17 @@ def main() -> None:
     ap.add_argument("names", nargs="+", help="registry query names")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--rounds", type=int, default=5)
+    ap.add_argument("--controls", action="store_true",
+                    help="append two stable untouched control queries "
+                         "(revenue_by_nation, zorder_orders) so ambient "
+                         "machine-state shifts are visible in the same "
+                         "table — ratios TO the controls are the "
+                         "noise-immune statistic (PLANS.md round-6)")
     args = ap.parse_args()
+    if args.controls:
+        for c in ("revenue_by_nation", "zorder_orders"):
+            if c not in args.names:
+                args.names.append(c)
 
     from oracle_to_snowflake_etl_spark.queries import queries
     from oracle_to_snowflake_etl_spark.session import get_spark
