@@ -272,26 +272,30 @@ def q_tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # ONE lineitem pass: the HAVING aggregate already computes each
+    # qualifying order's total quantity, which IS the query's final
+    # sum_qty (grouping by order key makes the outer re-aggregation a
+    # per-order identity) — so the classic re-join-lineitem-and-
+    # re-aggregate shape does a second 60M-row scan for a value it
+    # threw away. Keep _tq, broadcast the tiny qualifying set (selective
+    # BY CONSTRUCTION — the threshold keeps a ~1e-4 tail at any scale;
+    # pinned rather than AQE-derived because at the sf10 second decade
+    # the aggregate's measured size sat on the broadcast boundary and
+    # the strategy coin-flipped a 14s<->123s swing, SCALE.md ‡), and
+    # join orders+customer to it map-side: lineitem is scanned once and
+    # never shuffled past its own aggregate.
     big = (li.groupBy("l_orderkey")
            .agg(F.sum(F.col("l_quantity").cast(DEC)).alias("_tq"))
-           .where(F.col("_tq") > 95)
-           .select("l_orderkey"))
-    # Semi-filter ORDERS first: the HAVING tail is tiny, so every
-    # downstream join fans out over the few surviving orders (AQE
-    # broadcasts them into the lineitem probe) instead of joining the
-    # full customer x orders x lineitem tree and filtering last.
-    sel = (orders.join(big.withColumnRenamed("l_orderkey", "_bk"),
-                       F.col("o_orderkey") == F.col("_bk"), "left_semi"))
-    joined = (sel.join(li, F.col("o_orderkey") == F.col("l_orderkey"))
-              .join(cust, cust.c_custkey == sel.o_custkey))
-    return (joined.groupBy("c_name", F.col("c_custkey"), F.col("o_orderkey"),
-                           "o_orderdate", "o_totalprice")
-            .agg(dsum("l_quantity", "sum_qty"))
+           .where(F.col("_tq") > 95))
+    joined = (orders.join(F.broadcast(big),
+                          F.col("o_orderkey") == F.col("l_orderkey"))
+              .join(cust, F.col("c_custkey") == F.col("o_custkey")))
+    return (joined
             .select("c_name", "c_custkey", "o_orderkey",
                     F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
                     F.col("o_totalprice").cast(DEC).cast("double")
                      .alias("total_price"),
-                    "sum_qty")
+                    F.col("_tq").cast("double").alias("sum_qty"))
             .orderBy(F.desc("total_price"), F.asc("o_orderkey"))
             .limit(100))
 

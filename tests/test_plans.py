@@ -281,6 +281,20 @@ def test_tpch_q21_single_fact_agg_no_self_joins(spark, sf_dir):
     assert exchange_count(df) <= 5
 
 
+def test_tpch_q18_single_lineitem_scan_and_pinned_broadcast(spark, sf_dir):
+    """Round-6 Q18 rewrite: the HAVING aggregate's per-order total IS
+    the final sum_qty, so lineitem must be scanned exactly ONCE (the
+    classic re-join shape scans it twice), and the tiny qualifying set
+    must be broadcast by PIN, not AQE coin-flip (the sf10 second decade
+    measured a 14s<->123s strategy flip on identical data before the
+    pin — SCALE.md)."""
+    df = queries()["tpch_q18_large_orders"](spark, sf_dir)
+    schemas = read_schemas(df)
+    li_scans = [s for s in schemas if "l_quantity" in s or "l_orderkey" in s]
+    assert len(li_scans) == 1, schemas
+    assert has_broadcast_join(df)
+
+
 def test_tpch_q17_prunes_before_agg(spark, sf_dir):
     """Q17's per-part AVG aggregate runs over the part-filtered
     semi-join, not all of lineitem: the brand filter must appear as a
