@@ -128,13 +128,86 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 #: optional extra document-frequency cap (see ngram_jaccard_pairs df_cap)
 NGRAM_DF_CAP = 100
 
+#: scale_safe="auto" decision thresholds (see choose_dedup_scale_path).
+#: Row threshold: the measured window↔partial-agg crossover sits between
+#: sf0.1 (~240k exploded (doc,h) rows — window 3x faster) and sf1
+#: (~2.4M rows — partial-agg 2.9x faster; SCALE_SWEEP2.json), so 1M
+#: splits the decades. Hot fraction: the WindowExec straggler hazard the
+#: scale path exists for — one shingle in >=10% of documents puts >=10%
+#: of all rows in ONE un-splittable task regardless of corpus size.
+DEDUP_AUTO_ROW_THRESHOLD = 1_000_000
+DEDUP_AUTO_HOT_FRAC = 0.10
+DEDUP_AUTO_SAMPLE_FRACTION = 0.1
+
+
+def _auto_scale_safe(docs: DataFrame,
+                     sample_fraction: float = DEDUP_AUTO_SAMPLE_FRACTION,
+                     row_threshold: int = DEDUP_AUTO_ROW_THRESHOLD,
+                     hot_frac: float = DEDUP_AUTO_HOT_FRAC) -> bool:
+    """Decide window (False) vs partial-agg (True) DF computation from a
+    deterministic document sample of a (doc, sh) shingle frame — the
+    measurement→decision wire of skew.choose_salt_buckets applied to the
+    dedup prefix filters.
+
+    Sample: hash60('dedupauto:' + doc) % 1000 < fraction*1000 — per-doc
+    deterministic Bernoulli (same docs every run, partitioning-
+    independent), pushed below the shingle projection so only sampled
+    docs are ever tokenized. Two sample-bounded jobs, metadata-sized
+    collects:
+
+      est_rows  = sampled exploded (doc, h) rows / fraction — the total
+                  window-shuffle volume proxy; past ``row_threshold``
+                  the partial-agg form's map-side combine wins
+                  regardless of skew (the measured sf1/sf10 regime).
+      max_frac  = max sampled shingle DF / sampled doc count — the
+                  hot-key hazard, scale-invariant under uniform doc
+                  sampling; past ``hot_frac`` one WindowExec task holds
+                  that fraction of ALL rows (AQE cannot split a window
+                  exchange), so take the partial-agg path even on a
+                  small corpus.
+
+    At 100 TB run with fraction 0.001: hot shingles at straggler scale
+    are present in any uniform sample, and a shingle too rare to sample
+    is too small to straggle (same argument as choose_salt_buckets).
+    """
+    sample = docs.where(
+        (hash60(F.col("doc").cast("string"), prefix="dedupauto:")
+         % 1000) < int(sample_fraction * 1000))
+    n_docs = sample.count()
+    if n_docs == 0:
+        return False
+    sh = sample.select(F.explode("sh").alias("s")) \
+               .select(F.xxhash64("s").alias("h"))
+    stats = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+             .agg(F.sum("c").alias("rows"), F.max("c").alias("maxdf"))
+             .collect()[0])
+    if stats["rows"] is None:
+        return False
+    est_rows = stats["rows"] / sample_fraction
+    max_frac = stats["maxdf"] / n_docs
+    return est_rows >= row_threshold or max_frac >= hot_frac
+
+
+def choose_dedup_scale_path(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id", k: int = 3,
+                            sample_fraction: float =
+                            DEDUP_AUTO_SAMPLE_FRACTION,
+                            row_threshold: int = DEDUP_AUTO_ROW_THRESHOLD,
+                            hot_frac: float = DEDUP_AUTO_HOT_FRAC) -> bool:
+    """Public form of the ``scale_safe="auto"`` decision: True = take
+    the partial-agg (scale) path, False = the window path. Exposed so a
+    pipeline can measure once and pass the explicit bool to several
+    operators sharing one corpus."""
+    return _auto_scale_safe(shingled_docs(df, text_col, id_col, k),
+                            sample_fraction, row_threshold, hot_frac)
+
 
 def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 3, df_cap: int | None = None,
                         materialize: bool = True,
                         docs: DataFrame | None = None,
-                        scale_safe: bool = False) -> DataFrame:
+                        scale_safe: bool | str = False) -> DataFrame:
     """ALL pairs with exact Jaccard(shingle sets) >= threshold — exact
     recall AND exact scores.
 
@@ -203,6 +276,11 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
     Same results bit-for-bit (oracle-checked as dedup_ngram_jaccard_scale);
     plan-asserted to contain no Window keyed on h
     (tests/test_plans.py test_scale_safe_dedup_no_hot_key_window).
+    ``"auto"``: decide from a deterministic doc sample
+    (:func:`choose_dedup_scale_path`) — partial-agg when the estimated
+    exploded-row volume or hot-shingle fraction crosses the measured
+    crossover, window otherwise; both branches give identical results,
+    so auto only moves the plan, never the answer.
     """
     from pyspark import StorageLevel
 
@@ -214,6 +292,12 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         # bounded by corpus size, the same move MLlib's MinHashLSH
         # makes. Released in the finally below (materialize path).
         docs = shingled_docs(df, text_col, id_col, k)
+    if scale_safe == "auto":
+        # decide BEFORE persisting: the sample filter pushes below the
+        # shingle projection, so the decision jobs shingle only the
+        # sampled docs instead of materializing the corpus cache
+        scale_safe = _auto_scale_safe(docs)
+    if owned:
         if materialize:
             docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     # The candidate machinery runs on 64-bit shingle HASHES, not the
@@ -625,7 +709,7 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
                       k: int = 3, df_cap: int | None = None,
                       materialize: bool = True,
                       docs: DataFrame | None = None,
-                      scale_safe: bool = False) -> DataFrame:
+                      scale_safe: bool | str = False) -> DataFrame:
     """ALL ordered pairs (a, b), a != b, with containment
     |A∩B| / |A| >= threshold — the ASYMMETRIC near-dup relation that
     catches doc-in-doc duplication (a page embedded in a larger page,
@@ -683,6 +767,8 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     paths: their partition size is bounded by a single document's
     shingle count, which does not grow with corpus size. Same results
     (oracle-checked as dedup_containment_scale); plan-asserted h-window-free.
+    ``"auto"``: sampled-decision form, see :func:`ngram_jaccard_pairs`
+    and :func:`choose_dedup_scale_path`.
     """
     from pyspark import StorageLevel
     from pyspark.sql import Window as _W
@@ -690,6 +776,11 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     owned = docs is None
     if owned:
         docs = shingled_docs(df, text_col, id_col, k)
+    if scale_safe == "auto":
+        # decide before persisting — the decision jobs shingle only the
+        # sampled docs (see ngram_jaccard_pairs)
+        scale_safe = _auto_scale_safe(docs)
+    if owned:
         if materialize:
             docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     sh = (docs.select("doc", F.explode("sh").alias("s"))
@@ -781,7 +872,7 @@ def containment_pairs_incremental(new_df: DataFrame,
                                   text_col: str = "text",
                                   id_col: str = "doc_id",
                                   k: int = 3,
-                                  scale_safe: bool = False) -> DataFrame:
+                                  scale_safe: bool | str = False) -> DataFrame:
     """Incremental doc-in-doc containment: which NEW documents are
     mostly contained in something already ingested (or in a batch
     sibling) — boilerplate detection at ingest time. Contained side =
@@ -827,7 +918,11 @@ def containment_pairs_incremental(new_df: DataFrame,
     # scale_safe: same hot-shingle window hazard and partial-agg
     # alternative as containment_pairs — the window partition here holds
     # only BATCH occurrences of a shingle, so the hazard needs a large
-    # batch, but "large drop" is a normal backfill shape
+    # batch, but "large drop" is a normal backfill shape. "auto"
+    # therefore samples the BATCH (the only window-keyed frame here),
+    # not the corpus.
+    if scale_safe == "auto":
+        scale_safe = _auto_scale_safe(batch)
     if scale_safe:
         bdf = bsh.groupBy("h").agg(F.count(F.lit(1)).alias("_dfs"))
         bsh = bsh.join(bdf, "h")

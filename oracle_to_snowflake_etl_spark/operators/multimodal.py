@@ -240,26 +240,34 @@ def png_decode(payload: bytes):
         raise ValueError("not a PNG")
     pos, w = 8, None
     idat = bytearray()
-    while pos + 8 <= len(payload):
-        (ln,), tag = struct.unpack(">I", payload[pos:pos + 4]), \
-            payload[pos + 4:pos + 8]
-        data = payload[pos + 8:pos + 8 + ln]
-        pos += 12 + ln
-        if tag == b"IHDR":
-            w, h, depth, ctype, comp, filt, interlace = \
-                struct.unpack(">IIBBBBB", data)
-            if depth != 8 or ctype not in (0, 2) or interlace != 0:
-                raise ValueError(
-                    f"unsupported PNG (depth={depth}, color={ctype}, "
-                    f"interlace={interlace})")
-            ch = 1 if ctype == 0 else 3
-        elif tag == b"IDAT":
-            idat.extend(data)
-        elif tag == b"IEND":
-            break
-    if w is None:
-        raise ValueError("no IHDR")
-    raw = zlib.decompress(bytes(idat))
+    # Contract: EVERY malformed input raises ValueError — a corrupt or
+    # truncated payload bearing the PNG magic would otherwise surface
+    # struct.error (short IHDR) or zlib.error (damaged IDAT), escape
+    # image_features' except-ValueError fall-through, and kill the
+    # whole Spark task instead of yielding null features.
+    try:
+        while pos + 8 <= len(payload):
+            (ln,), tag = struct.unpack(">I", payload[pos:pos + 4]), \
+                payload[pos + 4:pos + 8]
+            data = payload[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+            if tag == b"IHDR":
+                w, h, depth, ctype, comp, filt, interlace = \
+                    struct.unpack(">IIBBBBB", data)
+                if depth != 8 or ctype not in (0, 2) or interlace != 0:
+                    raise ValueError(
+                        f"unsupported PNG (depth={depth}, color={ctype}, "
+                        f"interlace={interlace})")
+                ch = 1 if ctype == 0 else 3
+            elif tag == b"IDAT":
+                idat.extend(data)
+            elif tag == b"IEND":
+                break
+        if w is None:
+            raise ValueError("no IHDR")
+        raw = zlib.decompress(bytes(idat))
+    except (struct.error, zlib.error) as exc:
+        raise ValueError(f"malformed PNG: {exc}") from exc
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("bad IDAT length")

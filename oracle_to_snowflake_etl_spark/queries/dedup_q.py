@@ -93,6 +93,21 @@ def q_dedup_ngram_jaccard_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
                                scale_safe=True)
 
 
+@register("dedup_ngram_jaccard_auto", _NGRAM_JACCARD_SQL)
+def q_dedup_ngram_jaccard_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """scale_safe="auto": the engine DECIDES window vs partial-agg from
+    a deterministic corpus sample (operators/dedup.choose_dedup_scale_path
+    — est. exploded-row volume + hot-shingle fraction vs the measured
+    sf0.1↔sf1 crossover, VERDICT r6 #1) instead of making the caller
+    know their regime. On the bench corpus the sample says "small,
+    uniform" so this exercises decision + window branch end-to-end;
+    the partial-agg branch is driven by the 30%-hot fixture
+    (tests/test_plans.py test_auto_scale_safe_decision). Same
+    brute-force oracle — the decision moves the plan, never the answer."""
+    return ngram_jaccard_pairs(load_table(spark, sf_dir, "documents"),
+                               scale_safe="auto")
+
+
 _MH_A, _MH_B = _affine_constants()
 _MH_A_LIT = "[" + ", ".join(str(a) for a in _MH_A) + "]"
 _MH_B_LIT = "[" + ", ".join(str(b) for b in _MH_B) + "]"

@@ -159,27 +159,6 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).option("header", True).csv(path)
 
 
-def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
-    """ORC sink — the other columnar interchange format (Hive/Trino
-    ecosystems standardize on it where parquet is not the default).
-    Same footer-statistics story as parquet: min/max per stripe, so
-    predicate pushdown and row-group skipping survive the format
-    change (pushdown asserted in tests/test_pipeline.py). Engine-native
-    storage stays parquet; ORC is a boundary format like CSV/JSON."""
-    df.write.mode(mode).orc(path)
-
-
-def read_orc(spark: SparkSession, path: str) -> DataFrame:
-    """ORC source (schema from file metadata, like parquet — columnar
-    self-describing formats need no explicit StructType; the CSV/JSON
-    explicit-schema rule is about TEXT formats with no embedded types).
-    Avro, by contrast, is NOT wired: Spark ships it as an external
-    module absent from this environment — same import-try gate policy
-    as Delta/protobuf (try it and Spark raises its standard
-    deployment-instructions error)."""
-    return spark.read.orc(path)
-
-
 def read_json_lines(spark: SparkSession, path: str, schema: T.StructType,
                     corrupt_col: str = "_corrupt_record") -> DataFrame:
     """ndjson source with QUARANTINE semantics: explicit schema (never
@@ -328,14 +307,20 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     """ORC scan — the second columnar boundary format (Hive-ecosystem
     interchange). Same pushdown properties as parquet: predicate
     pushdown + column pruning reach the stripe reader, splittable for
-    partition-parallel scans."""
+    partition-parallel scans. Schema comes from file metadata, like
+    parquet — the CSV/JSON explicit-schema rule is about TEXT formats
+    with no embedded types. Avro, by contrast, is NOT wired: Spark
+    ships it as an external module absent from this environment — same
+    import-try gate policy as Delta/protobuf."""
     return spark.read.orc(path)
 
 
 def write_orc(df: DataFrame, path: str, mode: str = "overwrite",
               partition_by: list[str] | None = None) -> None:
-    """ORC sink. Engine-native storage stays parquet; ORC is for
-    Hive-stack consumers."""
+    """ORC sink — min/max per stripe like parquet footers, so predicate
+    pushdown and stripe skipping survive the format change (roundtrip
+    pushdown asserted in tests/test_pipeline.py). Engine-native storage
+    stays parquet; ORC is a boundary format for Hive-stack consumers."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)

@@ -138,3 +138,18 @@ def test_orc_roundtrip_with_pushdown(spark, tmp_path):
     assert any("o_totalprice" in f for f in pushed_filters(q))
     plan = plan_string(q)
     assert "o_orderstatus" not in plan.split("ReadSchema")[-1]
+
+    # Partitioned ORC write: same roundtrip plus PLANNING-time partition
+    # pruning — a partition-column equality must land in PartitionFilters
+    # (directories never listed), not in the data-filter set.
+    ppath = str(tmp_path / "orders_orc_part")
+    write_orc(orders, ppath, partition_by=["o_orderstatus"])
+    pback = read_orc(spark, ppath)
+    assert pback.count() == orders.count()
+    got = {tuple(r) for r in
+           pback.select(*orders.columns).collect()}
+    assert got == want
+    pq = pback.where(F.col("o_orderstatus") == "F").select("o_orderkey")
+    pplan = plan_string(pq)
+    assert "PartitionFilters" in pplan and "o_orderstatus" in \
+        pplan.split("PartitionFilters")[-1].split("]")[0]

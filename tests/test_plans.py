@@ -173,6 +173,69 @@ def test_hot_shingle_scale_path_bounded(spark):
     assert hot_df == 1
 
 
+def test_auto_scale_safe_decision(spark, sf_dir):
+    """scale_safe="auto" (VERDICT r6 #1): the engine picks the DF
+    regime itself — partial-agg on the 30%-hot-shingle fixture (the
+    hot_frac branch) and on anything past the volume crossover (the
+    row_threshold branch), the window form on the small uniform bench
+    corpus. Both decision branches + the operator-level wiring are
+    covered; equality of the two forms is proven elsewhere
+    (test_scale_safe_paths_equal_default), so auto can only move the
+    plan, never the answer."""
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        choose_dedup_scale_path, containment_pairs, ngram_jaccard_pairs)
+    from oracle_to_snowflake_etl_spark.plans.inspect import (
+        window_partition_cols)
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    n, hot = 1000, 300
+    hot_df = spark.createDataFrame(
+        [(i, ("hot hot hot " if i < hot else "")
+          + f"a{i} b{i} c{i} d{i} e{i}") for i in range(n)],
+        "doc_id long, text string")
+    docs = load_table(spark, sf_dir, "documents")
+
+    # decision function, deterministic full-sample form: hot fixture
+    # trips the hot_frac branch; the bench corpus (max shingle DF
+    # ~1.4% of 500 docs, ~24k exploded rows) trips neither
+    assert choose_dedup_scale_path(hot_df, sample_fraction=1.0) is True
+    assert choose_dedup_scale_path(docs, sample_fraction=1.0) is False
+    # volume branch alone: uniform corpus (no hot shingle) past an
+    # artificially low row threshold
+    assert choose_dedup_scale_path(
+        hot_df.where("doc_id >= 300"), sample_fraction=1.0,
+        row_threshold=100) is True
+    # empty corpus -> window form trivially
+    assert choose_dedup_scale_path(
+        hot_df.where("doc_id < 0"), sample_fraction=1.0) is False
+
+    # operator wiring at the DEFAULT sample fraction (hash-sampled docs
+    # are an unbiased DF estimate, deterministic for fixed ids): auto
+    # plans the partial-agg (h-window-free) form on the hot fixture and
+    # the window form on the bench corpus
+    for op in (ngram_jaccard_pairs, containment_pairs):
+        auto_hot = op(hot_df, materialize=False, scale_safe="auto")
+        assert all("h" not in cols
+                   for cols in window_partition_cols(auto_hot)), op.__name__
+        auto_small = op(docs, materialize=False, scale_safe="auto")
+        assert any("h" in cols
+                   for cols in window_partition_cols(auto_small)), op.__name__
+
+    # incremental: the decision samples the BATCH (its window is
+    # batch-keyed) — hot batch -> partial-agg, small uniform batch ->
+    # window
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        containment_pairs_incremental, shingled_docs)
+
+    corpus = shingled_docs(docs)
+    inc_hot = containment_pairs_incremental(hot_df, corpus,
+                                            scale_safe="auto")
+    assert all("h" not in cols for cols in window_partition_cols(inc_hot))
+    inc_small = containment_pairs_incremental(docs, corpus,
+                                              scale_safe="auto")
+    assert any("h" in cols for cols in window_partition_cols(inc_small))
+
+
 def test_no_cartesian_or_nested_loop_joins(spark, sf_dir):
     """Blanket scale guard: no query may plan CartesianProduct or
     BroadcastNestedLoopJoin — except the brute-force ANN baseline, whose

@@ -584,6 +584,54 @@ def test_png_decode_rejects_out_of_scope():
     with _pytest.raises(ValueError):
         png_decode(bytes(good))
 
+    # CORRUPT payloads bearing the PNG magic: a damaged IDAT stream
+    # (zlib.error inside) and a truncated IHDR (struct.error inside)
+    # must BOTH surface as ValueError — image_features' contract is
+    # that an undecodable image yields null features, never a task
+    # kill, and its fall-through catches ValueError only.
+    full = bytearray(png_encode(np.arange(16, dtype=np.uint8)
+                                .reshape(4, 4)))
+    idat_at = bytes(full).index(b"IDAT")
+    full[idat_at + 6] ^= 0xFF  # damage the deflate stream
+    with _pytest.raises(ValueError):
+        png_decode(bytes(full))
+    with _pytest.raises(ValueError):
+        png_decode(bytes(PNG_MAGIC) + b"\x00\x00\x00\x0dIHDR\x01\x02")
+
+
+def test_image_features_corrupt_png_yields_nulls(spark):
+    """End-to-end resilience contract: a corrupt/truncated payload that
+    BEARS the PNG magic must come back as null features — the query
+    completes; the malformed row never kills the Spark task (the
+    failure mode is a zlib/struct error escaping the UDF)."""
+    import numpy as np
+
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        PNG_MAGIC,
+        image_features,
+        png_encode,
+    )
+
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    good = bytearray(png_encode(img))
+    damaged = bytearray(good)
+    damaged[bytes(good).index(b"IDAT") + 6] ^= 0xFF
+    rows = [
+        (1, bytes(good)),                                    # decodes
+        (2, bytes(damaged)),                                 # zlib.error
+        (3, bytes(PNG_MAGIC) + b"\x00\x00\x00\x0dIHDR\x01"), # struct.error
+        (4, None),                                           # null payload
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {r["media_id"]: r for r in
+           image_features(media).collect()}
+    assert (got[1]["width"], got[1]["height"]) == (8, 8)
+    assert got[1]["mean_px"] == int(img.sum()) / img.size
+    for mid in (2, 3, 4):
+        assert got[mid]["width"] is None
+        assert got[mid]["height"] is None
+        assert got[mid]["mean_px"] is None
+
 
 @given(st.integers(0, 2**31), st.integers(11, 40),
        st.integers(20, 60), st.integers(20, 60))
