@@ -9,6 +9,7 @@ returned DataFrame after a write-free action) — not just planned.
 
 from __future__ import annotations
 
+import argparse
 import gc
 import json
 import os
@@ -22,6 +23,21 @@ from oracle_to_snowflake_etl_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    # Detail-artifact policy (VERDICT r6 #5, twice-burned): by default
+    # the per-query detail goes to a RUN-STAMPED file under bench_runs/
+    # (gitignored), so a driver or smoke run can never clobber the
+    # committed clean BENCH_DETAIL.json. Updating the canonical artifact
+    # is an explicit act: `python bench.py --detail`. `--out PATH`
+    # overrides the destination entirely.
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default=None,
+                    help="write per-query detail JSON here (default: "
+                         "bench_runs/bench_<utc-stamp>_sf<sf>.json)")
+    ap.add_argument("--detail", action="store_true",
+                    help="ALSO update the canonical BENCH_DETAIL.json "
+                         "(the committed clean-run artifact)")
+    args = ap.parse_args()
+
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     spark = get_spark("bench")
@@ -102,11 +118,20 @@ def main() -> None:
     floor_s = min(floor_s, _measure_floor())
 
     # Full per-query detail for local iteration.
-    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_DETAIL.json"), "w") as fh:
-        json.dump({"total": round(total, 4), "sf": sf,
-                   "floor_s": round(floor_s, 4), "queries": timings}, fh,
-                  indent=1, sort_keys=True)
+    detail = {"total": round(total, 4), "sf": sf,
+              "floor_s": round(floor_s, 4), "queries": timings}
+    here = os.path.dirname(os.path.abspath(__file__))
+    out = args.out
+    if out is None:
+        stamp = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
+        out = os.path.join(here, "bench_runs", f"bench_{stamp}_sf{sf}.json")
+    os.makedirs(os.path.dirname(out) or ".", exist_ok=True)
+    with open(out, "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    print(f"detail -> {out}", file=sys.stderr)
+    if args.detail:
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as fh:
+            json.dump(detail, fh, indent=1, sort_keys=True)
 
     # The driver captures only the final ~2000 chars of stdout, so the JSON
     # line must stay well under that. `value` totals ALL queries; the
