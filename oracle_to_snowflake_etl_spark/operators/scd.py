@@ -99,16 +99,29 @@ def pit_join(facts: DataFrame, history: DataFrame, key: str,
     if attr_cols is None:
         attr_cols = [c for c in history.columns
                      if c not in (key, "valid_from_us", "valid_to_us")]
+    if "valid_to_us" in attr_cols:
+        # the bound column is joined internally and consumed by the
+        # coverage guard; letting it double as an attr would emit a
+        # duplicate payload name and an ambiguous guard reference
+        raise ValueError("attr_cols must not contain 'valid_to_us' — "
+                         "the validity bound is not an attribute")
     hist = history.where(
         F.col("valid_to_us").isNull()
         | (F.col("valid_to_us") > F.col("valid_from_us")))
+    # collision-safe temp ts column: facts may legitimately carry
+    # "_pit_us", and withColumn would silently overwrite it — then the
+    # final facts.columns re-emit hands the caller the shifted value
+    # instead of their data (the split_assign_leakage_free pattern)
+    tmp = "_pit_us"
+    while tmp in facts.columns:
+        tmp += "_"
     f = facts.withColumn(
-        "_pit_us", F.unix_micros(F.col(fact_ts).cast("timestamp")))
+        tmp, F.unix_micros(F.col(fact_ts).cast("timestamp")))
     joined = asof_join(
-        f, hist, key, left_ts="_pit_us", right_ts="valid_from_us",
+        f, hist, key, left_ts=tmp, right_ts="valid_from_us",
         payload=attr_cols + ["valid_to_us"], suffix=suffix)
     covered = (F.col(f"valid_to_us{suffix}").isNull()
-               | (F.col("_pit_us") < F.col(f"valid_to_us{suffix}")))
+               | (F.col(tmp) < F.col(f"valid_to_us{suffix}")))
     guarded = [F.when(covered, F.col(f"{c}{suffix}"))
                .alias(f"{c}{suffix}") for c in attr_cols]
     return joined.select(*[F.col(c) for c in facts.columns], *guarded)

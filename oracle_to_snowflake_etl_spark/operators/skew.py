@@ -35,6 +35,17 @@ from ..functions.exact import DEC
 from ..functions.hashing import hash60
 
 
+def _salt_str(salt_col: str) -> Column:
+    """NULL-total string form of the salt column: hash60(NULL) is NULL,
+    which would give NULL-salted rows on the big side of
+    :func:`salted_join` (NULL never equals the small side's exploded
+    salts — silently DROPPED from an inner join the plain join keeps)
+    and silently exclude NULL-id rows from :func:`choose_salt_buckets`'
+    sample. Coalescing to '' keeps the hash total: every row gets a
+    real bucket; results stay identical to the unsalted form."""
+    return F.coalesce(F.col(salt_col).cast("string"), F.lit(""))
+
+
 def salted_agg(df: DataFrame, keys: list[str], salt_col: str,
                buckets: int = 32,
                count_alias: str = "n",
@@ -50,7 +61,7 @@ def salted_agg(df: DataFrame, keys: list[str], salt_col: str,
     sum_cols = sum_cols or {}
     min_cols = min_cols or {}
     max_cols = max_cols or {}
-    salt = (hash60(F.col(salt_col).cast("string")) % buckets).alias("_salt")
+    salt = (hash60(_salt_str(salt_col)) % buckets).alias("_salt")
     phase1 = (
         df.groupBy(*keys, salt)
         .agg(F.count(F.lit(1)).alias("_pn"),
@@ -94,7 +105,7 @@ def salted_join(big: DataFrame, small: DataFrame, keys: list[str],
     """
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
-    salt = (hash60(F.col(salt_col).cast("string")) % buckets)
+    salt = (hash60(_salt_str(salt_col)) % buckets)
     b = big.withColumn("_salt", salt)
     s = small.withColumn(
         "_salt", F.explode(F.array(*[F.lit(i).cast("long")
@@ -133,11 +144,17 @@ def choose_salt_buckets(df: DataFrame, keys: list[str], salt_col: str,
     a key too rare to sample is too small to straggle).
     """
     sample = df.where(
-        (hash60(F.col(salt_col).cast("string"), prefix="autosalt:")
+        (hash60(_salt_str(salt_col), prefix="autosalt:")
          % 1000) < int(sample_fraction * 1000))
     rep = skew_report(sample.select(*keys), keys).collect()[0]
     if rep.n_keys is None or rep.n_keys == 0:
-        return 1
+        # Empty sample ≠ uniform frame: a small-but-skewed df can
+        # legitimately draw zero rows at low fractions. Fall back to
+        # the FULL-frame report (still distinct-keys-bounded) so the
+        # no-salt decision is a measured decision, never a no-data one.
+        rep = skew_report(df.select(*keys), keys).collect()[0]
+        if rep.n_keys is None or rep.n_keys == 0:
+            return 1  # genuinely empty frame: nothing to straggle
     ratio = rep.max_cnt / max(rep.p50_cnt, 1)
     if ratio < skew_threshold:
         return 1

@@ -139,7 +139,14 @@ def window_partition_cols(df: DataFrame) -> list[list[str]]:
         for tok in args:
             if tok.startswith("specifiedwindowframe"):
                 break
-            if re.search(r"\b(ASC|DESC)\b", tok):
+            # A sort-order token is "<child> ASC|DESC NULLS FIRST|LAST"
+            # — anchor to that TRAILING structure. A bare \b(ASC|DESC)\b
+            # anywhere would also fire on a partition-key EXPRESSION
+            # whose printed form merely contains the word (CASE over a
+            # string literal 'ASC', a column named like it), truncating
+            # the partition list and letting the no-hot-key-window
+            # asserts pass vacuously.
+            if re.search(r"\b(ASC|DESC) NULLS (FIRST|LAST)$", tok):
                 break
             cols.extend(re.findall(r"(\w+)#\d+", tok))
         out.append(cols)

@@ -162,3 +162,74 @@ def test_choose_salt_buckets_decision_paths(spark):
                     F.sum(F.col("v").cast("decimal(28,6)"))
                     .cast("double").alias("sv")).collect()}
         assert got == want
+
+
+def test_salt_null_and_empty_sample_paths(spark):
+    """ADVICE r7 hardening: (a) NULL salt-column rows must neither be
+    dropped from salted_join (hash60(NULL) is NULL — never equal to the
+    replicated salts) nor excluded from choose_salt_buckets' sample;
+    (b) a sample too small to draw any rows must fall back to a
+    full-frame skew report, not silently decide "uniform"."""
+    from oracle_to_snowflake_etl_spark.operators.skew import (
+        choose_salt_buckets,
+        salted_join,
+    )
+
+    # (a) join parity with NULL row-ids on the big side
+    big = spark.range(0, 1_000).select(
+        (F.col("id") % 5).alias("k"),
+        F.when(F.col("id") % 3 == 0, None)
+        .otherwise(F.col("id")).alias("rid"))
+    small = spark.range(0, 5).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("tag"))
+    got = {tuple(r) for r in
+           salted_join(big, small, ["k"], "rid", buckets=4).collect()}
+    want = {tuple(r) for r in big.join(small, ["k"]).collect()}
+    assert got == want  # NULL-rid rows survive with a real bucket
+
+    # (a) decision sees NULL-id rows: ALL ids NULL + one hot key ->
+    # without the coalesce the sample is empty and the answer is a
+    # silent 1; with it the hot key is measured
+    hot_null = spark.range(0, 10_000).select(
+        F.lit(None).cast("long").alias("rid"),
+        F.when(F.col("id") < 9_000, F.lit(0))
+        .otherwise(1 + F.col("id") % 100).alias("k"))
+    assert choose_salt_buckets(hot_null, ["k"], "rid",
+                               sample_fraction=1.0) > 1
+
+    # (b) empty-sample fallback: 200 rows at 0.1% draw nothing, the
+    # full-frame report still sees the 90%-hot key
+    tiny_hot = spark.range(0, 200).select(
+        F.col("id").alias("rid"),
+        F.when(F.col("id") < 180, F.lit(0))
+        .otherwise(F.col("id")).alias("k"))
+    assert choose_salt_buckets(tiny_hot, ["k"], "rid",
+                               sample_fraction=0.001) > 1
+    # genuinely empty frame -> 1, no crash
+    assert choose_salt_buckets(tiny_hot.where("rid < 0"), ["k"], "rid",
+                               sample_fraction=0.001) == 1
+
+
+def test_pit_join_temp_col_collision_and_bound_guard(spark):
+    """ADVICE r7: facts legitimately carrying a '_pit_us' column must
+    get it back UNSHIFTED (the fixed temp name used to be silently
+    overwritten and re-emitted), and attr_cols containing the validity
+    bound itself must be rejected, not emitted twice."""
+    import pytest as _pytest
+
+    from oracle_to_snowflake_etl_spark.operators.scd import pit_join
+
+    hist = spark.createDataFrame(
+        [(1, 0, 1_000_000, "old"), (1, 1_000_000, None, "new")],
+        "k long, valid_from_us long, valid_to_us long, status string")
+    facts = spark.createDataFrame(
+        [(1, "1970-01-01 00:00:00.5", 777), (1, "1970-01-01 00:00:01.5", 888)],
+        "k long, ts string, _pit_us long")
+    out = {(r["_pit_us"], r["status_dim"]) for r in
+           pit_join(facts, hist, "k").collect()}
+    # the caller's _pit_us values come back verbatim, attrs are correct
+    assert out == {(777, "old"), (888, "new")}
+
+    with _pytest.raises(ValueError, match="valid_to_us"):
+        pit_join(facts.drop("_pit_us"), hist, "k",
+                 attr_cols=["status", "valid_to_us"])

@@ -545,3 +545,29 @@ def test_global_hash_sample_is_topk(spark, sf_dir):
     df = queries()["sample_global_topk_hash"](spark, sf_dir)
     assert has_top_k(df)
     assert exchange_count(df) == 0
+
+
+def test_window_partition_cols_literal_asc_not_truncated(spark):
+    """ADVICE r7: a partition-key EXPRESSION whose printed form contains
+    the word ASC (here: a partition COLUMN literally named "ASC",
+    whose token renders as "ASC#5L") must not be mistaken for the start
+    of the sort-order tokens — that truncation would report an empty
+    partition list and let the no-hot-key-window assertions pass
+    vacuously. Sort detection is anchored to the trailing
+    'ASC|DESC NULLS FIRST|LAST' structure instead."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.plans.inspect import (
+        window_partition_cols)
+
+    df = spark.range(10).select(
+        F.col("id"), (F.col("id") % 2).alias("ASC"),
+        (F.col("id") % 3).alias("DESC"))
+    w = Window.partitionBy("ASC", "DESC").orderBy("id")
+    out = df.select(F.row_number().over(w).alias("rn"))
+    specs = window_partition_cols(out)
+    assert len(specs) == 1
+    # BOTH partition columns are reported; the sort column is not
+    assert "ASC" in specs[0] and "DESC" in specs[0], specs
+    assert "id" not in specs[0], specs
