@@ -227,9 +227,17 @@ def srp_band_pairs(df: DataFrame, vec_col: str = "embedding",
     )
 
 
-# IVF geometry: 16 deterministic cells, probe the 4 nearest per query.
-IVF_CELLS = 16
-IVF_NPROBE = 4
+# IVF geometry (round-7 retune, VERDICT r6 #3): 64 trained cells, probe
+# the 24 nearest per query — recall@10 0.81-0.82 measured on BOTH bench
+# corpora (uniform-random vectors, the hardest regime; SCALE.md curve)
+# at a 37.5% scan fraction. The sweep showed finer geometry dominates
+# at fixed cost (64/24 = 0.816 vs 16/6 = 0.702 vs 32/12 = 0.776 at the
+# same fraction) and corpus spill-assignment is dominated by more cells
+# (16 cells/spill-2/nprobe-4 = 0.750 vs 64/1/32 = 0.911 at cost 0.5).
+# nprobe stays the recall/cost dial: 16 -> ~0.70 at a 25% scan,
+# 32 -> ~0.90 at half the corpus.
+IVF_CELLS = 64
+IVF_NPROBE = 24
 
 
 @lru_cache(maxsize=None)
@@ -247,6 +255,8 @@ def centroid_weights(cells: int = IVF_CELLS, dims: int = DEFAULT_DIMS) -> tuple:
         for c in range(cells))
 
 
+
+
 def _cell_sims(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     """n x cells cosine matrix with the exact fold order of the SQL form:
     cumsum dots, sqrt of the PRODUCT of squared norms (sqrt(a*b), never
@@ -261,8 +271,10 @@ def ivf_cell(vec: Column, cells: int = IVF_CELLS,
              dims: int = DEFAULT_DIMS,
              centroids: tuple | None = None) -> Column:
     """Nearest-centroid cell id (first index on cosine ties — matches the
-    oracle's list_position-of-max). ``centroids`` overrides the default
-    md5-derived matrix (e.g. a :func:`ivf_train_centroids` snapshot)."""
+    oracle's list_position-of-max). Leaf function: it sees only a Column
+    and cannot train, so ``centroids=None`` means the reproducible md5
+    matrix — the TRAINED default lives one level up (:func:`ivf_topk` /
+    :func:`write_ivf_index` train on their corpus)."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.array(centroids if centroids is not None
@@ -284,7 +296,9 @@ def ivf_probe_cells(vec: Column, nprobe: int = IVF_NPROBE,
                     cells: int = IVF_CELLS,
                     dims: int = DEFAULT_DIMS,
                     centroids: tuple | None = None) -> Column:
-    """The nprobe nearest cells for a query vector (ties by cell asc)."""
+    """The nprobe nearest cells for a query vector (ties by cell asc).
+    Leaf function — ``centroids=None`` is the md5 matrix; see
+    :func:`ivf_cell`."""
     from pyspark.sql.functions import pandas_udf
 
     C = np.array(centroids if centroids is not None
@@ -353,10 +367,23 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
              nprobe: int = IVF_NPROBE, vec_col: str = "embedding",
              id_col: str = "vec_id",
              centroids: tuple | None = None) -> DataFrame:
-    """IVF approximate top-k: assign the corpus to 16 deterministic cells
-    (one Arrow pass, map-only), probe each query's nprobe nearest cells,
-    exact-rescore only the probed fraction (~nprobe/cells of the corpus
-    per query), per-query window rank.
+    """IVF approximate top-k: assign the corpus to IVF_CELLS trained
+    cells (one Arrow pass, map-only), probe each query's nprobe nearest
+    cells, exact-rescore only the probed fraction (~nprobe/cells of the
+    corpus per query), per-query window rank.
+
+    ``centroids=None`` — the SHIPPED DEFAULT — trains on the corpus
+    being indexed (:func:`ivf_train_centroids`, deterministic, one
+    sample-bounded pass): that is where IVF recall lives. The round-7
+    sweep showed the k-means gain is IN-CORPUS adaptation — a snapshot
+    trained on one uniform-random corpus transfers to a disjoint one at
+    random-centroid recall (0.667 vs md5's 0.674 at nprobe=24), while
+    per-corpus training holds 0.81-0.82 recall@10 at BOTH bench scales
+    (SCALE.md). This mirrors standard IVF practice (FAISS trains on the
+    indexed vectors or a sample). Pass an :func:`ivf_train_centroids`
+    snapshot explicitly to amortize training across calls — the
+    at-rest form (:func:`write_ivf_index`) does exactly that, persisting
+    its matrix with the index.
 
     100 TB shape: NO corpus shuffle — the tiny (query_id, cell) probe set
     broadcasts into the join, scoring stays map-side, and only the scored
@@ -364,6 +391,9 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     window. The cell column is the natural partitionBy/bucketBy key for a
     materialized index table, which turns probing into partition pruning.
     """
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, vec_col=vec_col,
+                                        id_col=id_col)
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       F.col(vec_col).alias("c_vec"),
                       ivf_cell(F.col(vec_col),
@@ -616,13 +646,37 @@ def write_ivf_index(corpus: DataFrame, path: str,
     each directory file-count bounded; re-centering (new k-means
     snapshot) is a full rewrite, so version the index directory per
     centroid snapshot the same way the SRP salt versions shard
-    assignments."""
+    assignments.
+
+    ``centroids=None`` trains on the corpus (:func:`ivf_train_centroids`
+    — the recall default, see :func:`ivf_topk`); whichever matrix built
+    the index is PERSISTED INTO IT (an ``_centroids`` parquet subdir —
+    the underscore prefix hides it from the data scan, like
+    ``_metadata``), so :func:`ivf_topk_indexed` probes with exactly the
+    geometry the cells were assigned under. A probe/index centroid
+    mismatch silently probes the wrong cells; storing the matrix with
+    the index makes it impossible."""
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, cells, vec_col=vec_col,
+                                        id_col=id_col)
     out = corpus.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).alias("c_vec"),
                         ivf_cell(F.col(vec_col), cells,
                                  centroids=centroids).alias("cell"))
     (out.repartition(cells, "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(path))
+    spark = corpus.sparkSession
+    cent_rows = [(c, list(row)) for c, row in enumerate(centroids)]
+    (spark.createDataFrame(cent_rows, "cell int, w array<double>")
+     .coalesce(1).write.mode("overwrite").parquet(path + "/_centroids"))
+
+
+def read_ivf_centroids(spark, index_path: str) -> tuple:
+    """The centroid matrix a :func:`write_ivf_index` table was built
+    with, from its ``_centroids`` subdir."""
+    rows = spark.read.parquet(index_path + "/_centroids") \
+        .orderBy("cell").collect()
+    return tuple(tuple(r.w) for r in rows)
 
 
 def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
@@ -635,10 +689,13 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
     cell set is collected (tiny — |queries| x nprobe ints), pushed as a
     literal IN-filter on the partition column so the scan prunes at
     PLANNING time, then rescored exactly as ivf_topk. Equality with the
-    in-memory path is pytest-asserted. ``cells``/``dims`` MUST match
-    the geometry the index was written with (probe centroids are
-    derived from them — a mismatch would silently probe the wrong
-    cells)."""
+    in-memory path is pytest-asserted. ``centroids=None`` loads the
+    matrix the index was WRITTEN with (:func:`read_ivf_centroids`) —
+    probing with any other geometry would silently probe the wrong
+    cells; pass ``centroids`` explicitly only to avoid the one-time
+    metadata read when the snapshot is already in hand."""
+    if centroids is None:
+        centroids = read_ivf_centroids(spark, index_path)
     qx = (queries.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("q_vec"),
                          ivf_probe_cells(F.col(vec_col), nprobe,

@@ -20,11 +20,11 @@ from ..operators.similarity import (
     SRP_BITS_PER_BAND,
     SRP_PLANES,
     brute_force_topk,
-    centroid_weights,
     embedding_near_dups,
     ivf_topk,
     plane_weights,
 )
+from ..operators.similarity_snapshot import IVF_SNAPSHOT
 from ..sources.readers import load_table
 from . import register
 
@@ -108,12 +108,20 @@ def _duck_srp_sql() -> str:
 
 
 def _duck_ivf_sql() -> str:
-    """DuckDB oracle for IVF top-k, embedding the identical literal
-    centroid matrix; cell assignment is argmax-cosine with first-index
+    """DuckDB oracle for IVF top-k. The Spark side's default TRAINS on
+    the corpus it indexes (ivf_topk centroids=None — deterministic
+    k-means, where IVF recall lives); DuckDB cannot train, so the
+    oracle embeds the committed snapshot of that training's output ON
+    THE sf0.01 GATE CORPUS (similarity_snapshot.IVF_SNAPSHOT, regenerated
+    bit-for-bit by tools/train_ivf_snapshot.py). Training is
+    deterministic, so at the gate corpus both sides hold the identical
+    matrix; at any other corpus this SQL string is not the mirror —
+    the correctness contract (driver + full-local sweep) compares at
+    sf0.01 only. Cell assignment is argmax-cosine with first-index
     tie-break (list_position of the max), probes ranked
     (sim DESC, cell ASC) — the exact mirror of operators/similarity
     ivf_cell / ivf_probe_cells."""
-    cs = centroid_weights()
+    cs = IVF_SNAPSHOT
     c_lit = "[" + ", ".join(
         "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
     # cosine of a row's vector against centroid c (0-based): same fold
@@ -158,10 +166,11 @@ def _duck_ivf_sql() -> str:
 
 @register("ann_ivf_topk", _duck_ivf_sql())
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 for the first 8 vectors: 16 deterministic
-    cells, 4 probed per query, exact rescore of the probed fraction only
-    (operators/similarity.py ivf_topk) — the partition-prunable ANN
-    scale path."""
+    """IVF approximate top-10 for the first 8 vectors at the SHIPPED
+    default: 64 TRAINED cells (the committed deterministic k-means
+    snapshot — recall@10 0.81 measured, SCALE.md), 24 probed per query,
+    exact rescore of the probed ~37.5% only (operators/similarity.py
+    ivf_topk) — the partition-prunable ANN scale path."""
     emb = load_table(spark, sf_dir, "embeddings")
     from pyspark.sql import functions as F
     return ivf_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), k=TOP_K)

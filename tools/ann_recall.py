@@ -27,7 +27,8 @@ def main() -> None:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--n-queries", type=int, default=100)
-    ap.add_argument("--nprobes", type=int, nargs="+", default=[1, 2, 4, 8])
+    ap.add_argument("--nprobes", type=int, nargs="+",
+                    default=[8, 16, 24, 32])
     args = ap.parse_args()
 
     import numpy as np
@@ -38,6 +39,7 @@ def main() -> None:
         IVF_CELLS,
         IVF_NPROBE,
         ann_recall_at_k,
+        centroid_weights,
         ivf_train_centroids,
         srp_pair_recall,
     )
@@ -53,16 +55,21 @@ def main() -> None:
     print(f"corpus={n} vectors ({args.sf_dir}), "
           f"{args.n_queries} queries, k={args.k}, {IVF_CELLS} IVF cells\n")
     trained = ivf_train_centroids(emb)
-    print("| nprobe | probed fraction | recall@k (md5 centroids) "
-          "| recall@k (k-means trained) |")
-    print("|---|---|---|---|")
+    md5 = centroid_weights(IVF_CELLS)
+    # centroids=None = the SHIPPED default: the committed trained
+    # snapshot (similarity_snapshot.py) at the shipped geometry
+    print("| nprobe | probed fraction | recall@k (shipped snapshot) "
+          "| recall@k (md5 random) | recall@k (freshly trained) |")
+    print("|---|---|---|---|---|")
     for nprobe in args.nprobes:
         r0 = ann_recall_at_k(emb, queries, k=args.k, nprobe=nprobe)
+        rm = ann_recall_at_k(emb, queries, k=args.k, nprobe=nprobe,
+                             centroids=md5)
         r1 = ann_recall_at_k(emb, queries, k=args.k, nprobe=nprobe,
                              centroids=trained)
         mark = " (default)" if nprobe == IVF_NPROBE else ""
         print(f"| {nprobe}{mark} | {nprobe}/{IVF_CELLS} | {r0:.3f} "
-              f"| {r1:.3f} |", flush=True)
+              f"| {rm:.3f} | {r1:.3f} |", flush=True)
 
     # SRP at the corpus's own (near-orthogonal) thresholds: recall is
     # LOW BY GEOMETRY — for a pair at cosine s the per-band collision
