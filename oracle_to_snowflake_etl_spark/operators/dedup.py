@@ -170,12 +170,29 @@ def _auto_scale_safe(docs: DataFrame,
     are present in any uniform sample, and a shingle too rare to sample
     is too small to straggle (same argument as choose_salt_buckets).
     """
+    if not 0.001 <= sample_fraction <= 1.0:
+        # the %1000 Bernoulli has 1/1000 granularity: int(f*1000) == 0
+        # below 0.001, which would make the sample DETERMINISTICALLY
+        # empty on an arbitrarily large corpus — exactly the silent
+        # wrong-path hazard auto exists to avoid. Fail loudly instead.
+        raise ValueError(
+            f"sample_fraction must be in [0.001, 1.0] (1/1000 hash "
+            f"granularity), got {sample_fraction!r}")
     sample = docs.where(
         (hash60(F.col("doc").cast("string"), prefix="dedupauto:")
          % 1000) < int(sample_fraction * 1000))
     n_docs = sample.count()
+    used_fraction = sample_fraction
     if n_docs == 0:
-        return False
+        # Empty sample ≠ small corpus: a tiny-but-skewed frame can draw
+        # zero docs at low fractions. Mirror skew.choose_salt_buckets:
+        # fall back to measuring the FULL frame (cheap precisely when
+        # the sample came up empty) so the decision is always measured,
+        # never a no-data default.
+        sample, used_fraction = docs, 1.0
+        n_docs = sample.count()
+        if n_docs == 0:
+            return False  # genuinely empty corpus: nothing to straggle
     sh = sample.select(F.explode("sh").alias("s")) \
                .select(F.xxhash64("s").alias("h"))
     stats = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
@@ -183,7 +200,7 @@ def _auto_scale_safe(docs: DataFrame,
              .collect()[0])
     if stats["rows"] is None:
         return False
-    est_rows = stats["rows"] / sample_fraction
+    est_rows = stats["rows"] / used_fraction
     max_frac = stats["maxdf"] / n_docs
     return est_rows >= row_threshold or max_frac >= hot_frac
 
@@ -292,7 +309,10 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         # bounded by corpus size, the same move MLlib's MinHashLSH
         # makes. Released in the finally below (materialize path).
         docs = shingled_docs(df, text_col, id_col, k)
-    if scale_safe == "auto":
+    if isinstance(scale_safe, str):
+        if scale_safe != "auto":
+            raise ValueError(
+                f'scale_safe must be a bool or "auto", got {scale_safe!r}')
         # decide BEFORE persisting: the sample filter pushes below the
         # shingle projection, so the decision jobs shingle only the
         # sampled docs instead of materializing the corpus cache
@@ -776,7 +796,10 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     owned = docs is None
     if owned:
         docs = shingled_docs(df, text_col, id_col, k)
-    if scale_safe == "auto":
+    if isinstance(scale_safe, str):
+        if scale_safe != "auto":
+            raise ValueError(
+                f'scale_safe must be a bool or "auto", got {scale_safe!r}')
         # decide before persisting — the decision jobs shingle only the
         # sampled docs (see ngram_jaccard_pairs)
         scale_safe = _auto_scale_safe(docs)
@@ -921,7 +944,10 @@ def containment_pairs_incremental(new_df: DataFrame,
     # batch, but "large drop" is a normal backfill shape. "auto"
     # therefore samples the BATCH (the only window-keyed frame here),
     # not the corpus.
-    if scale_safe == "auto":
+    if isinstance(scale_safe, str):
+        if scale_safe != "auto":
+            raise ValueError(
+                f'scale_safe must be a bool or "auto", got {scale_safe!r}')
         scale_safe = _auto_scale_safe(batch)
     if scale_safe:
         bdf = bsh.groupBy("h").agg(F.count(F.lit(1)).alias("_dfs"))

@@ -143,6 +143,13 @@ def choose_salt_buckets(df: DataFrame, keys: list[str], salt_col: str,
     (hot keys at straggler scale are present in any uniform sample;
     a key too rare to sample is too small to straggle).
     """
+    if not 0.001 <= sample_fraction <= 1.0:
+        # %1000 Bernoulli granularity: int(f*1000) == 0 below 0.001
+        # makes the sample deterministically empty, silently degrading
+        # every call to the full-frame fallback scan. Fail loudly.
+        raise ValueError(
+            f"sample_fraction must be in [0.001, 1.0] (1/1000 hash "
+            f"granularity), got {sample_fraction!r}")
     sample = df.where(
         (hash60(_salt_str(salt_col), prefix="autosalt:")
          % 1000) < int(sample_fraction * 1000))

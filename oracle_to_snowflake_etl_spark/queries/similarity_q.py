@@ -108,19 +108,19 @@ def _duck_srp_sql() -> str:
 
 
 def _duck_ivf_sql() -> str:
-    """DuckDB oracle for IVF top-k. The Spark side's default TRAINS on
-    the corpus it indexes (ivf_topk centroids=None — deterministic
-    k-means, where IVF recall lives); DuckDB cannot train, so the
-    oracle embeds the committed snapshot of that training's output ON
-    THE sf0.01 GATE CORPUS (similarity_snapshot.IVF_SNAPSHOT, regenerated
-    bit-for-bit by tools/train_ivf_snapshot.py). Training is
-    deterministic, so at the gate corpus both sides hold the identical
-    matrix; at any other corpus this SQL string is not the mirror —
-    the correctness contract (driver + full-local sweep) compares at
-    sf0.01 only. Cell assignment is argmax-cosine with first-index
-    tie-break (list_position of the max), probes ranked
-    (sim DESC, cell ASC) — the exact mirror of operators/similarity
-    ivf_cell / ivf_probe_cells."""
+    """DuckDB oracle for IVF top-k. DuckDB cannot train k-means, so the
+    oracle embeds the committed training snapshot
+    (similarity_snapshot.IVF_SNAPSHOT, regenerated bit-for-bit by
+    tools/train_ivf_snapshot.py) as a literal — and the registered Spark
+    query passes the SAME snapshot explicitly (q_ann_ivf_topk below), so
+    both sides hold the identical matrix at EVERY sf_dir and the mirror
+    is corpus-independent. The operator's shipped default
+    (centroids=None) still trains per corpus — that is where IVF recall
+    lives — but the differential contract pins the geometry. Cell
+    assignment is argmax-cosine with first-index tie-break
+    (list_position of the max), probes ranked (sim DESC, cell ASC) —
+    the exact mirror of operators/similarity ivf_cell /
+    ivf_probe_cells."""
     cs = IVF_SNAPSHOT
     c_lit = "[" + ", ".join(
         "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
@@ -166,14 +166,19 @@ def _duck_ivf_sql() -> str:
 
 @register("ann_ivf_topk", _duck_ivf_sql())
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-10 for the first 8 vectors at the SHIPPED
-    default: 64 TRAINED cells (the committed deterministic k-means
-    snapshot — recall@10 0.81 measured, SCALE.md), 24 probed per query,
-    exact rescore of the probed ~37.5% only (operators/similarity.py
-    ivf_topk) — the partition-prunable ANN scale path."""
+    """IVF approximate top-10 for the first 8 vectors: 64 trained cells
+    (recall@10 0.80 at the shipped per-corpus-training default,
+    SCALE.md), 24 probed per query, exact rescore of the probed ~37.5%
+    only (operators/similarity.py ivf_topk) — the partition-prunable ANN
+    scale path. Passes the committed k-means snapshot EXPLICITLY so this
+    query and its DuckDB oracle (which embeds the same matrix as a
+    literal) stay bitwise mirrors at any corpus — the operator default
+    (centroids=None, train-on-indexed-corpus) is exercised by
+    tests/test_recall.py and tools/ann_recall.py instead."""
     emb = load_table(spark, sf_dir, "embeddings")
     from pyspark.sql import functions as F
-    return ivf_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), k=TOP_K)
+    return ivf_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), k=TOP_K,
+                    centroids=IVF_SNAPSHOT)
 
 
 @register("ann_srp_neardup", _duck_srp_sql())

@@ -233,3 +233,89 @@ def test_pit_join_temp_col_collision_and_bound_guard(spark):
     with _pytest.raises(ValueError, match="valid_to_us"):
         pit_join(facts.drop("_pit_us"), hist, "k",
                  attr_cols=["status", "valid_to_us"])
+
+
+def test_sample_fraction_granularity_validation(spark):
+    """The %1000 hash-Bernoulli samplers have 1/1000 granularity:
+    int(f*1000) == 0 below 0.001 would make the sample
+    DETERMINISTICALLY empty on an arbitrarily large frame — in
+    choose_salt_buckets silently degrading every call to the
+    full-frame fallback scan, in the dedup auto-decision silently
+    forcing the window path on exactly the corpus sizes auto exists
+    for. Both now reject sub-granularity fractions loudly (round-8
+    ADVICE items)."""
+    import pytest as _pytest
+
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        choose_dedup_scale_path,
+    )
+    from oracle_to_snowflake_etl_spark.operators.skew import (
+        choose_salt_buckets,
+    )
+
+    df = spark.range(0, 10).select(
+        F.col("id").alias("rid"), (F.col("id") % 3).alias("k"))
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string")
+
+    for bad in (0.0005, 0.0, -0.1, 1.5):
+        with _pytest.raises(ValueError, match="sample_fraction"):
+            choose_salt_buckets(df, ["k"], "rid", sample_fraction=bad)
+        with _pytest.raises(ValueError, match="sample_fraction"):
+            choose_dedup_scale_path(docs, sample_fraction=bad)
+
+
+def test_dedup_auto_empty_sample_full_frame_fallback(spark):
+    """A tiny-but-hot corpus that draws ZERO docs at the minimum
+    sample fraction must still get a MEASURED decision: the dedup
+    auto-path falls back to full-frame stats (mirroring
+    choose_salt_buckets), so the 30%-hot-shingle fixture picks the
+    partial-agg path even when the 0.1% sample is empty — and a
+    genuinely empty corpus returns the window default without
+    crashing."""
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        choose_dedup_scale_path,
+    )
+
+    n, hot = 400, 120
+    hot_df = spark.createDataFrame(
+        [(i, ("hot hot hot " if i < hot else "")
+          + f"a{i} b{i} c{i} d{i} e{i}") for i in range(n)],
+        "doc_id long, text string")
+    # 400 docs at 0.1% -> expected 0.4 sampled docs; the deterministic
+    # hash draw happens to select none, exercising the fallback. Guard
+    # the premise so a testdata change can't silently skip the branch.
+    from oracle_to_snowflake_etl_spark.functions.hashing import hash60
+    sampled = hot_df.where(
+        (hash60(F.col("doc_id").cast("string"), prefix="dedupauto:")
+         % 1000) < 1).count()
+    assert sampled == 0, "fixture premise: the 0.1% sample is empty"
+    assert choose_dedup_scale_path(hot_df, sample_fraction=0.001) is True
+    assert choose_dedup_scale_path(
+        hot_df.where("doc_id < 0"), sample_fraction=0.001) is False
+
+
+def test_scale_safe_rejects_unknown_strings(spark):
+    """scale_safe is bool | "auto"; any OTHER string used to fall
+    through `if scale_safe:` and silently take the partial-agg path —
+    a plan the caller didn't ask for (round-8 ADVICE). All three
+    prefix-filter dedups now raise."""
+    import pytest as _pytest
+
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_incremental,
+        ngram_jaccard_pairs,
+        shingled_docs,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "a b c d f")], "doc_id long, text string")
+    for bad in ("Auto", "window", "no"):
+        with _pytest.raises(ValueError, match="scale_safe"):
+            ngram_jaccard_pairs(docs, scale_safe=bad)
+        with _pytest.raises(ValueError, match="scale_safe"):
+            containment_pairs(docs, scale_safe=bad)
+        with _pytest.raises(ValueError, match="scale_safe"):
+            containment_pairs_incremental(docs, shingled_docs(docs),
+                                          scale_safe=bad)

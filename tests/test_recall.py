@@ -13,8 +13,10 @@ from __future__ import annotations
 import pytest
 
 from oracle_to_snowflake_etl_spark.operators.similarity import (
+    IVF_CELLS,
     IVF_NPROBE,
     ann_recall_at_k,
+    centroid_weights,
     ivf_train_centroids,
     srp_pair_recall,
 )
@@ -29,30 +31,37 @@ def emb(spark):
 
 
 def test_ivf_recall_at_default_nprobe(spark, emb):
-    """IVF recall@10 at the default nprobe=4/16 on the bench corpus:
-    measured 0.450 (near-orthogonal random vectors — the hardest
-    recall regime; random md5 centroids give ~1.8x the probed
-    fraction). Guard at >= 0.35."""
+    """IVF recall@10 at the SHIPPED default (nprobe=24 of 64 trained
+    cells — centroids=None trains on the indexed corpus,
+    similarity.py ivf_topk) on the gate corpus: measured 0.804
+    (tools/ann_recall.py, 64-cell curve in SCALE.md; near-orthogonal
+    random vectors are the hardest recall regime). Guard at >= 0.75
+    — a tight floor under a deterministic measurement, per the
+    round-6 ask's >= 0.8-recall done-criterion."""
     from pyspark.sql import functions as F
 
     q = emb.where(F.col("vec_id") < 50)
-    assert ann_recall_at_k(emb, q, k=10, nprobe=IVF_NPROBE) >= 0.35
+    assert ann_recall_at_k(emb, q, k=10, nprobe=IVF_NPROBE) >= 0.75
 
 
 def test_ivf_trained_centroids_beat_random(spark, emb):
-    """The deterministic k-means snapshot (ivf_train_centroids) must
-    beat the untrained md5 centroids at the default nprobe — the
-    training pass exists to buy recall (measured 0.550 vs 0.450 at
-    sf0.01; the gap widens on clustered real-world corpora)."""
+    """The deterministic k-means training (ivf_train_centroids — what
+    centroids=None runs) must beat the untrained md5 centroids at the
+    default nprobe: the training pass exists to buy recall (measured
+    0.804 vs 0.674 at sf0.01/nprobe=24, SCALE.md). The random arm
+    passes centroid_weights(IVF_CELLS) EXPLICITLY — centroids=None
+    would train (similarity.py ivf_topk), making both arms identical
+    and the comparison vacuous (round-7 verdict #2)."""
     from pyspark.sql import functions as F
 
     q = emb.where(F.col("vec_id") < 50)
     trained = ivf_train_centroids(emb)
     r_trained = ann_recall_at_k(emb, q, k=10, nprobe=IVF_NPROBE,
                                 centroids=trained)
-    r_random = ann_recall_at_k(emb, q, k=10, nprobe=IVF_NPROBE)
-    assert r_trained >= r_random
-    assert r_trained >= 0.45
+    r_random = ann_recall_at_k(emb, q, k=10, nprobe=IVF_NPROBE,
+                               centroids=centroid_weights(IVF_CELLS))
+    assert r_trained > r_random
+    assert r_trained >= 0.75
 
 
 def test_srp_recall_at_near_dup_operating_point(spark, emb):
