@@ -24,7 +24,11 @@ from pyspark.sql import functions as F
 from ..functions.exact import DEC
 from ..operators.windows import tumbling_counts
 from ..sources.readers import load_table
-from ..streaming.jobs import drain_to_memory, read_events_stream
+from ..streaming.jobs import (
+    drain_to_memory,
+    drain_to_parquet,
+    read_events_stream,
+)
 from . import register
 
 _DECU = DEC.upper()
@@ -107,8 +111,8 @@ def q_stream_distinct_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.jobs import distinct_event_pairs
 
     stream = read_events_stream(spark, sf_dir)
-    return drain_to_memory(distinct_event_pairs(stream),
-                           "stream_distinct_pairs", output_mode="append")
+    return drain_to_parquet(distinct_event_pairs(stream),
+                            "stream_distinct_pairs")
 
 
 @register(
@@ -179,9 +183,9 @@ def q_stream_stream_attrib(spark: SparkSession, sf_dir: str) -> DataFrame:
     # checkpoint cost — halve the suite's state partitioning for the
     # join family (measured 2.5s -> 2.0s at sf0.1; production sizes from
     # state volume instead, see STREAM_STATE_PARTITIONS)
-    return drain_to_memory(stream_stream_attribution(stream),
-                           "stream_stream_attrib", output_mode="append",
-                           shuffle_partitions=4)
+    return drain_to_parquet(stream_stream_attribution(stream),
+                            "stream_stream_attrib",
+                            shuffle_partitions=4)
 
 
 @register(
@@ -222,10 +226,9 @@ def q_stream_attrib_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir)
     # shuffle_partitions=4: see q_stream_stream_attrib (4 state stores
     # per partition in the join family)
-    return drain_to_memory(
+    return drain_to_parquet(
         stream_stream_attribution_outer(stream, view_cutoff=cutoff),
-        "stream_attrib_outer", output_mode="append",
-        shuffle_partitions=4)
+        "stream_attrib_outer", shuffle_partitions=4)
 
 
 @register(
@@ -241,7 +244,11 @@ def q_stream_enrich_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static enrichment join (streaming/jobs.enrich_with_static):
     the event stream joins a STATIC per-user tier dimension (itself a
     batch aggregate) with zero streaming state; append mode, no
-    watermark needed. Oracle: the equivalent batch join."""
+    watermark needed. Oracle: the equivalent batch join. The dim is
+    cached for the stream's duration (enrich_with_static cache_dim —
+    the aggregate runs once, not once per micro-batch; pre-fix this was
+    the streaming suite's worst decade slope, ×7.0) and released after
+    the drain materializes."""
     from ..sources.readers import load_table as _lt
     from ..streaming.jobs import enrich_with_static
 
@@ -249,8 +256,11 @@ def q_stream_enrich_user_tier(spark: SparkSession, sf_dir: str) -> DataFrame:
            .agg((F.count(F.lit(1)) / 10).cast("long").alias("tier")))
     stream = read_events_stream(spark, sf_dir) \
         .select("event_id", "user_id", "event_type")
-    return drain_to_memory(enrich_with_static(stream, dim),
-                           "stream_enrich_user_tier", output_mode="append")
+    try:
+        return drain_to_parquet(enrich_with_static(stream, dim),
+                                "stream_enrich_user_tier")
+    finally:
+        dim.unpersist()
 
 
 @register(

@@ -183,6 +183,54 @@ def drain_to_memory(df: DataFrame, name: str,
     return spark.table(name)
 
 
+def drain_to_parquet(df: DataFrame, name: str,
+                     shuffle_partitions: int | None =
+                     STREAM_STATE_PARTITIONS,
+                     extra_confs: dict[str, str] | None = None,
+                     ) -> DataFrame:
+    """APPEND-mode verification drain that stays DISTRIBUTED: run the
+    stream to completion (Trigger.AvailableNow) into a session-temp
+    parquet sink and read it back as a batch DataFrame. The memory-sink
+    drain (:func:`drain_to_memory`) collects every output row onto the
+    driver — measured 9.5s for a 1M-row pass-through at sf1 vs 2.7s
+    for the identical stream counted executor-side, i.e. most of what
+    looked like stream_enrich_user_tier's ×5 decade slope was the
+    verification sink, not the operator. The parquet file sink is also
+    the production shape (exactly-once via its _spark_metadata commit
+    log). Append mode only — the parquet sink cannot express
+    complete/update; stateful complete/update drains keep the memory
+    sink, whose driver-sized results (one row per group) are what it
+    is fine for. The temp dir lives for the session (the returned scan
+    reads it lazily); conf handling matches drain_to_memory
+    (query-scoped, restored)."""
+    import tempfile
+
+    spark = df.sparkSession
+    out = tempfile.mkdtemp(prefix=f"drain_{name}_")
+    ckp = tempfile.mkdtemp(prefix=f"drain_ckp_{name}_")
+    saved: dict[str, str | None] = {}
+    to_set = dict(extra_confs or {})
+    if shuffle_partitions is not None:
+        to_set["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    for key, val in to_set.items():
+        saved[key] = spark.conf.get(key, None)
+        spark.conf.set(key, val)
+    try:
+        q = (df.writeStream.format("parquet").queryName(name)
+             .option("path", out).option("checkpointLocation", ckp)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+    # explicit schema: a zero-row stream leaves only _spark_metadata,
+    # where schema inference would fail
+    return spark.read.schema(df.schema).parquet(out)
+
+
 #: confs transformWithStateInPandas requires at stream start; pass to
 #: :func:`drain_to_memory` via ``extra_confs`` (query-scoped, restored).
 ROCKSDB_PROVIDER_CONFS = {
@@ -445,13 +493,120 @@ def stream_stream_attribution_outer(events: DataFrame,
 
 
 def enrich_with_static(events: DataFrame, dim: DataFrame,
-                       key: str = "user_id") -> DataFrame:
+                       key: str = "user_id",
+                       cache_dim: bool = True) -> DataFrame:
     """Stream-static join: every micro-batch hash-joins against the
-    static dimension snapshot — no streaming state at all (the static
-    side is re-planned per batch, so a Delta/refreshable dim picks up
-    updates between batches). The canonical enrich-events-with-
-    dimension shape; broadcast when the dim is small."""
+    static dimension snapshot — no streaming state at all. The
+    canonical enrich-events-with-dimension shape; broadcast when the
+    dim is small.
+
+    ``cache_dim`` (default True): persist + eagerly materialize the
+    static side ONCE, so each micro-batch's broadcast build reads
+    executor-cached blocks instead of re-running the dim's full plan.
+    Without it the static side is re-planned per batch — for a dim
+    that is itself an aggregate (the registered query's per-user tier
+    dim aggregates the whole events table) that re-plan multiplied
+    into the worst measured decade slope of the streaming suite
+    (×7.0 sf0.1→sf1 pre-fix, SCALE.md). The cache PINS the snapshot:
+    dimension updates are no longer picked up between batches — for a
+    refresh cadence use :class:`StaticDimCache` with the foreachBatch
+    form (:func:`enrich_with_static_foreach`); for the old re-plan-
+    every-batch behavior pass ``cache_dim=False``. The caller owns the
+    cache lifecycle (``dim.unpersist()`` when the stream stops — the
+    persist marks the caller's own plan).
+    """
+    if cache_dim and not dim.isStreaming:
+        from pyspark import StorageLevel
+
+        dim = dim.persist(StorageLevel.MEMORY_AND_DISK)
+        dim.count()  # materialize off the micro-batch clock
     return events.join(F.broadcast(dim), key)
+
+
+class StaticDimCache:
+    """Refreshable cached static dimension for ``foreachBatch``
+    enrichment: load once via ``load_fn``, persist + materialize, hand
+    the SAME cached frame to every micro-batch, and reload on an
+    explicit cadence — the stream-static equivalent of a dimension
+    cache with TTL. This closes the gap ``enrich_with_static``'s
+    ``cache_dim`` opens: a pinned snapshot never sees dim updates, a
+    per-batch re-plan pays the full dim pipeline every batch; the
+    cadence buys both at a chosen staleness bound.
+
+    ``refresh_every_batches=None`` (default) = never auto-refresh
+    (call :meth:`refresh` from an external signal); ``n`` = reload
+    when ``batch_id`` has advanced ``>= n`` since the last load.
+    Batch ids are monotone per query, so the cadence survives
+    restarts (a replayed batch id never triggers a re-load).
+    ``loads`` counts source reads — the number a test (and a cost
+    model) cares about. Driver-side object: micro-batches run
+    sequentially within a query, so no locking is needed.
+    """
+
+    def __init__(self, load_fn, refresh_every_batches: int | None = None):
+        if refresh_every_batches is not None and refresh_every_batches < 1:
+            raise ValueError(
+                f"refresh_every_batches must be >= 1 or None, "
+                f"got {refresh_every_batches!r}")
+        self._load = load_fn
+        self._every = refresh_every_batches
+        self._df: DataFrame | None = None
+        self._loaded_at: int | None = None
+        self.loads = 0
+
+    def get(self, batch_id: int | None = None) -> DataFrame:
+        stale = (self._df is None
+                 or (self._every is not None and batch_id is not None
+                     and self._loaded_at is not None
+                     and batch_id - self._loaded_at >= self._every))
+        if stale:
+            self._reload(batch_id)
+        return self._df
+
+    def refresh(self) -> DataFrame:
+        """Force a reload now (external change signal), keeping the
+        cadence anchor so auto-refresh timing is unaffected."""
+        self._reload(self._loaded_at)
+        return self._df
+
+    def _reload(self, batch_id: int | None) -> None:
+        from pyspark import StorageLevel
+
+        old = self._df
+        df = self._load().persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # materialize before the old snapshot disappears
+        self._df = df
+        self._loaded_at = batch_id
+        self.loads += 1
+        if old is not None:
+            old.unpersist()
+
+    def close(self) -> None:
+        if self._df is not None:
+            self._df.unpersist()
+            self._df = None
+
+
+def enrich_with_static_foreach(stream: DataFrame, dim_cache: StaticDimCache,
+                               key: str, batch_sink,
+                               checkpoint: str | None = None,
+                               ) -> StreamingQuery:
+    """Production shape of the stream-static enrich: foreachBatch joins
+    each micro-batch against the :class:`StaticDimCache`'s current
+    snapshot (broadcast — the dim is cached executor-side, so the
+    broadcast build is a cache scan, not a source re-read) and hands
+    the enriched batch to ``batch_sink(df, batch_id)``. The cache's
+    cadence decides when the dimension is re-read; at 100 TB that is
+    the difference between one dim pipeline per cadence window and one
+    per micro-batch."""
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        batch_sink(batch.join(F.broadcast(dim_cache.get(batch_id)), key),
+                   batch_id)
+
+    w = stream.writeStream.foreachBatch(fold).trigger(availableNow=True)
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    return w.start()
 
 
 def maintain_agg_view_stream(stream: DataFrame, target_path: str,

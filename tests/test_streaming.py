@@ -460,3 +460,69 @@ def test_streaming_ingest_loop_self_maintaining_index(spark, tmp_path):
     accepted2 = {r.doc_id for r in
                  spark.read.parquet(acc).select("doc_id").collect()}
     assert accepted2 == accepted
+
+
+def test_static_dim_cache_loads_once_across_batches(spark, tmp_path):
+    """StaticDimCache + enrich_with_static_foreach: the dimension's
+    full plan runs ONCE for the whole stream (loads == 1 across
+    multiple micro-batches) with no cadence, and exactly once per
+    batch at refresh_every_batches=1 — the measured x7/decade
+    static-reload slope reduced to a cadence choice. Results must
+    equal the batch join either way."""
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        StaticDimCache,
+        enrich_with_static_foreach,
+    )
+
+    events = load_table(spark, SF, "events") \
+        .select("event_id", "user_id", "event_type")
+    src = str(tmp_path / "enr_src")
+    # two files + maxFilesPerTrigger=1 -> two micro-batches
+    events.where("event_id % 2 = 0").coalesce(1).write.parquet(src)
+    events.where("event_id % 2 = 1").coalesce(1).write.mode("append") \
+        .parquet(src)
+
+    dim = (events.groupBy("user_id")
+           .agg((F.count(F.lit(1)) / 10).cast("long").alias("tier")))
+    expected = events.join(dim, "user_id") \
+        .select("event_id", "user_id", "event_type", "tier")
+
+    got = []
+
+    def sink(df, batch_id):
+        got.append(df.select("event_id", "user_id", "event_type",
+                             "tier").collect())
+
+    for every, want_loads in ((None, 1), (1, 2)):
+        cache = StaticDimCache(lambda: dim, refresh_every_batches=every)
+        got.clear()
+        stream = (spark.readStream.schema(events.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = enrich_with_static_foreach(stream, cache, "user_id", sink)
+        q.awaitTermination(120)
+        assert len(got) == 2, "fixture premise: two micro-batches"
+        assert cache.loads == want_loads
+        rows = {tuple(r) for b in got for r in b}
+        assert rows == {tuple(r) for r in expected.collect()}
+        cache.close()
+
+
+def test_static_dim_cache_refresh_picks_up_changes(spark):
+    """refresh() swaps the snapshot (new loads, old unpersisted);
+    get() without cadence keeps returning the pinned one."""
+    from oracle_to_snowflake_etl_spark.streaming.jobs import StaticDimCache
+
+    state = {"v": 1}
+    cache = StaticDimCache(
+        lambda: spark.createDataFrame([(1, state["v"])], "k long, v long"))
+    assert cache.get(0).collect()[0]["v"] == 1
+    state["v"] = 2
+    assert cache.get(5).collect()[0]["v"] == 1  # pinned, no cadence
+    assert cache.refresh().collect()[0]["v"] == 2
+    assert cache.loads == 2
+    cache.close()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="refresh_every_batches"):
+        StaticDimCache(lambda: None, refresh_every_batches=0)
