@@ -66,13 +66,18 @@ from . import sampling_q  # noqa: E402,F401
 # is covered by tools/full_correctness.py (CORRECTNESS_FULL_LOCAL.json) and
 # pytest.
 PRIORITY = [
-    # Reference parity (S/P/J/A/O/F core)
-    "kpi_derive", "top_spenders_14d", "daily_trend", "creative_perf_topk",
-    "incremental_anti", "count_recon", "project_rename_format",
+    # Reference parity (S/P/J/A/O/F core). Round-8 rotation (verdict r7
+    # #4): daily_trend, creative_perf_topk, project_rename_format moved
+    # to full-local (long-stable floor-class scan-agg/projection, all
+    # pytest-covered); their slots carry pit_join_purchases,
+    # text_repeated_spans, dedup_ngram_jaccard_auto below.
+    "kpi_derive", "top_spenders_14d",
+    "incremental_anti", "count_recon",
     "revenue_by_nation", "recon_fingerprint_lineitem",
     # Mutation / temporal / layout / skew / graph / entity operators
     "merge_upsert_orders", "asof_click_attribution", "range_join_promo",
-    "scd2_user_status", "zorder_orders", "salted_join_nation",
+    "scd2_user_status", "pit_join_purchases", "zorder_orders",
+    "salted_join_nation",
     "pagerank_supplier_orders", "fuzzy_name_pairs",
     # Dedup family (dedup_simhash rotated to full-local in round 5;
     # dedup_exact rotated to full-local in round 6 — its slot carries
@@ -82,6 +87,9 @@ PRIORITY = [
     "dedup_containment_scale", "dedup_minhash_lsh",
     "dedup_containment_incr",
     "dedup_ngram_jaccard", "dedup_clusters", "dedup_containment_drop",
+    # round-8: the auto decision path under the hard driver signal,
+    # alongside the pinned window/scale originals
+    "dedup_ngram_jaccard_auto",
     # Similarity / embeddings
     "ann_brute_topk", "ann_ivf_topk", "ann_srp_neardup",
     "emb_label_centroids",
@@ -95,6 +103,7 @@ PRIORITY = [
     # REAL-image-decode round trip so the PNG capability is
     # driver-verified, per the r5 verdict's item 5)
     "text_winnow_fp", "skew_report_custkey", "text_decontaminate",
+    "text_repeated_spans",
     "mm_image_png_roundtrip", "text_bm25_topk", "corpus_prep_pipeline",
     # Multimodal (mm_byte_stats stays full-local-checked; its slot
     # carries the round-4 incremental ingest composition instead)

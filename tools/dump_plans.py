@@ -38,14 +38,26 @@ HEADLINERS = [
      "n-ceil(t*n)+1 shingles are indexed (as xxhash64 longs), DF is a "
      "window annotation (no join-back), exact rescore on the candidate "
      "set only."),
+    ("dedup_ngram_jaccard_auto",
+     "scale_safe='auto': two sample-bounded decision jobs pick the DF "
+     "regime — window annotate under the measured crossover, partial-agg "
+     "+ join-back past ~1M exploded rows or a >=10% hot shingle (the "
+     "un-splittable WindowExec straggler). At toy scale the decision is "
+     "~50% overhead; at 100 TB it is noise — and a pipeline running "
+     "several set-similarity ops on one corpus should DECIDE ONCE via "
+     "choose_dedup_scale_path(df) and pass the explicit bool to each "
+     "operator, paying the sample jobs once per corpus, not per call."),
     ("dedup_containment",
      "Asymmetric prefix filter on one rank-annotated (doc, h) frame: "
      "row_number over the doc partition marks each doc's lossless "
      "prefix, max-over-h marks shingles occurring in >=1 prefix (the "
      "lossless containing-side bound); one hash-join + exact rescore."),
     ("ann_ivf_topk",
-     "Corpus never shuffles: cell assignment is one Arrow pass, probe "
-     "set broadcasts, one top-k window on query id."),
+     "Corpus never shuffles: cell assignment (64 trained cells, nprobe "
+     "24 — recall@10 0.81, SCALE.md curve) is one Arrow pass, probe set "
+     "broadcasts, one top-k window on query id; the registered query "
+     "pins the committed centroid snapshot so the DuckDB mirror is "
+     "corpus-independent."),
     ("asof_click_attribution",
      "Union + single window sort (<=1 exchange) — the inequality-join "
      "formulation would plan BroadcastNestedLoopJoin."),

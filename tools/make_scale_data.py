@@ -61,6 +61,11 @@ def main() -> None:
     ap.add_argument("--src", default="/root/testdata/sf0.1")
     ap.add_argument("--replicas", type=int, default=10)
     ap.add_argument("--out", default=os.path.join(REPO, ".scaledata", "sf1"))
+    ap.add_argument("--tables", nargs="*", default=None,
+                    help="subset of tables to derive (default: all) — "
+                         "e.g. --tables documents for a dedup-only "
+                         "third-decade spot check without paying the "
+                         "full lineitem replication on disk")
     args = ap.parse_args()
 
     import glob
@@ -92,10 +97,14 @@ def main() -> None:
         shutil.rmtree(tmp)
 
     for t in ("region", "nation"):
+        if args.tables is not None and t not in args.tables:
+            continue
         write_single_file(load_table(spark, args.src, t), t)
         print(f"{t}: copied")
 
     for t, keys in KEY_COLS.items():
+        if args.tables is not None and t not in args.tables:
+            continue
         base = load_table(spark, args.src, t)
         parts = []
         for i in range(args.replicas):
