@@ -512,6 +512,59 @@ def embedding_near_dups(df: DataFrame, threshold_q6: int = 350_000,
     return pairs.where(F.col("sim_q6") >= threshold_q6)
 
 
+def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   cells: int = IVF_CELLS,
+                   centroids: tuple | None = None) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): partition the corpus into semantic cells
+    (nearest-centroid assignment, :func:`ivf_cell`), compute pairwise
+    cosine ONLY within each cell, and drop every row that has a
+    LOWER-ID near-duplicate (quantized cosine >= threshold) in its
+    cell. Returns the surviving rows of ``df`` unchanged.
+
+    Keep policy: min-id representative — the same deterministic
+    "first doc wins" rule as the MinHash/containment dedups in
+    operators/dedup.py, so survivors are reproducible run-to-run and
+    idempotent (re-running on the survivors with the same centroid
+    matrix drops nothing: any same-cell pair >= threshold would
+    already have eliminated its larger id). Like SemDeDup itself, a
+    near-dup pair split across a cell boundary is missed — that is
+    the accepted recall trade for never computing cross-cell pairs.
+
+    ``centroids=None`` trains on the corpus being deduplicated
+    (:func:`ivf_train_centroids`, deterministic); differential
+    mirrors pass a pinned snapshot explicitly (see
+    queries/similarity_q.py q_dedup_semantic).
+
+    100 TB shape: one Arrow map pass to assign cells, then ONE hash
+    shuffle on `cell`; all pairwise work is Sum(|cell|^2) inside
+    partitions — never a corpus cross-join. Cell count is the cost
+    dial: train cells ~ N / target_cell_size so per-cell work stays
+    bounded (FAISS-style sqrt(N) cells gives N^1.5 total pair work
+    spread over N/sqrt(N) independent tasks); a skewed giant cell is
+    visible in the `cell` histogram and handled by re-training finer
+    centroids, exactly like salting a hot groupBy key."""
+    if centroids is None:
+        centroids = ivf_train_centroids(df, cells=cells,
+                                        vec_col=vec_col, id_col=id_col)
+    assigned = df.select(
+        F.col(id_col).alias("_sd_id"), F.col(vec_col).alias("_sd_vec"),
+        ivf_cell(F.col(vec_col), cells=cells,
+                 centroids=centroids).alias("_sd_cell"))
+    keep = assigned.select(F.col("_sd_cell"),
+                           F.col("_sd_id").alias("_kp_id"),
+                           F.col("_sd_vec").alias("_kp_vec"))
+    dropped = (
+        assigned.join(keep, "_sd_cell")
+        .where(F.col("_kp_id") < F.col("_sd_id"))
+        .where(_cos_q6_udf()(F.col("_sd_vec"), F.col("_kp_vec"))
+               >= F.lit(threshold_q6))
+        .select(F.col("_sd_id").alias(id_col))
+        .distinct())
+    return df.join(dropped, id_col, "left_anti")
+
+
 def brute_force_pairs(df: DataFrame, threshold_q6: int,
                       vec_col: str = "embedding",
                       id_col: str = "vec_id") -> DataFrame:

@@ -23,6 +23,7 @@ from ..operators.similarity import (
     embedding_near_dups,
     ivf_topk,
     plane_weights,
+    semantic_dedup,
 )
 from ..operators.similarity_snapshot import IVF_SNAPSHOT
 from ..sources.readers import load_table
@@ -179,6 +180,57 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
     return ivf_topk(emb, emb.where(F.col("vec_id") < N_QUERIES), k=TOP_K,
                     centroids=IVF_SNAPSHOT)
+
+
+def _duck_semantic_sql() -> str:
+    """DuckDB oracle for SemDeDup semantic dedup: identical pinned
+    centroid literal (similarity_snapshot.IVF_SNAPSHOT) and cell
+    assignment as _duck_ivf_sql, within-cell pairwise quantized cosine,
+    drop rows with a lower-id near-dup in their cell, emit survivors."""
+    cs = IVF_SNAPSHOT
+    c_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
+    dot_vc = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+              "list_transform(embedding, (x, i) -> "
+              "CAST(x AS DOUBLE) * C[c + 1][i])), (p, q) -> p + q)")
+    nsq_v = _duck_dot("embedding", "embedding")
+    nsq_c = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(C[c + 1], (x, i) -> x * C[c + 1][i])), "
+             "(p, q) -> p + q)")
+    sims = (f"list_transform(range(0, {IVF_CELLS}), c -> "
+            f"{dot_vc} / sqrt({nsq_v} * {nsq_c}))")
+    return f"""
+    WITH cents AS (SELECT {c_lit} AS C),
+    assigned AS (
+      SELECT vec_id, label, embedding,
+             list_position(sims, list_max(sims)) - 1 AS cell
+      FROM (SELECT vec_id, label, embedding, {sims} AS sims
+            FROM embeddings, cents)
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a
+      JOIN assigned b ON a.cell = b.cell AND b.vec_id < a.vec_id
+      WHERE {_duck_cos_q6('a.embedding', 'b.embedding')} >= {NEARDUP_Q6}
+    )
+    SELECT vec_id, label FROM assigned
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """
+
+
+@register("dedup_semantic", _duck_semantic_sql())
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic dedup over the embeddings table: pinned-snapshot
+    cell assignment, within-cell cosine >= 0.35 (the near-dup operating
+    point of this near-orthogonal corpus), min-id survivor per dup pair
+    (operators/similarity.py semantic_dedup). Passes the committed
+    k-means snapshot explicitly — same corpus-independent mirror
+    contract as ann_ivf_topk; the train-on-corpus default is exercised
+    by tests/test_semantic_dedup.py instead."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (semantic_dedup(emb, threshold_q6=NEARDUP_Q6,
+                           centroids=IVF_SNAPSHOT)
+            .select("vec_id", "label"))
 
 
 @register("ann_srp_neardup", _duck_srp_sql())

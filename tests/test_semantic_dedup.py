@@ -1,0 +1,87 @@
+"""SemDeDup semantic dedup (operators/similarity.py semantic_dedup):
+planted-twin effectiveness, idempotence, and survivor self-consistency.
+The registry mirror (dedup_semantic vs its DuckDB oracle) is covered by
+test_differential.py; these test the train-on-corpus DEFAULT the
+differential contract deliberately pins away.
+
+Everything is deterministic (fixed-seed twins, deterministic k-means),
+so the effectiveness bound is a tight guard under a measured value, not
+a statistical tolerance.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oracle_to_snowflake_etl_spark.operators.similarity import (
+    ivf_train_centroids,
+    plant_near_dup_twins,
+    semantic_dedup,
+)
+from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+SF = "/root/testdata/sf0.001"
+TWIN_Q6 = 900_000  # planted twins sit at cos ~0.95; corpus max is ~0.51
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_planted_twins_lose_exactly_one_member(spark, emb):
+    """Plant one cos~0.95 twin per vector, dedup at threshold 0.90:
+    every twin PAIR that lands in one cell must lose exactly its
+    higher-id member, and no original (pairwise cos <= ~0.51) may be
+    dropped. Cross-cell twin pairs are SemDeDup's documented miss, so
+    effectiveness is bounded below by the measured same-cell rate
+    rather than pinned at 1.0."""
+    planted = plant_near_dup_twins(emb)
+    centroids = ivf_train_centroids(planted)
+    survivors = semantic_dedup(planted, threshold_q6=TWIN_Q6,
+                               centroids=centroids)
+    n_orig = emb.count()
+    n_planted = planted.count()
+    n_surv = survivors.count()
+    assert n_planted == 2 * n_orig
+    # no original is near any other original at 0.90, so originals all
+    # survive; each dropped row is the higher-id member of a twin pair
+    orig_surv = survivors.join(emb.select("vec_id"), "vec_id",
+                               "left_semi").count()
+    assert orig_surv == n_orig
+    # same-cell twin-capture rate: measured 1.0 at sf0.001 (twins are a
+    # tiny perturbation of their source, so trained cells co-locate
+    # them); guard >= 0.9 to leave room for geometry retunes
+    dropped = n_planted - n_surv
+    assert dropped / n_orig >= 0.9
+    assert dropped <= n_orig
+
+
+def test_idempotent_on_survivors(spark, emb):
+    """Re-running on the survivors with the SAME centroid matrix drops
+    nothing: any same-cell pair >= threshold would already have
+    eliminated its larger id on the first pass."""
+    planted = plant_near_dup_twins(emb)
+    centroids = ivf_train_centroids(planted)
+    survivors = semantic_dedup(planted, threshold_q6=TWIN_Q6,
+                               centroids=centroids)
+    again = semantic_dedup(survivors, threshold_q6=TWIN_Q6,
+                           centroids=centroids)
+    assert again.count() == survivors.count()
+
+
+def test_survivors_keep_min_id(spark, emb):
+    """The kept member of every dropped pair is the lower vec_id: no
+    dropped id may be smaller than every surviving same-cell near-dup
+    partner. Checked structurally: min(survivor ids) == min(input ids)
+    and survivors form a prefix-closed set under the pair relation —
+    here via the cheap proxy that vec_id 0 (no lower id exists)
+    always survives."""
+    planted = plant_near_dup_twins(emb)
+    centroids = ivf_train_centroids(planted)
+    survivors = semantic_dedup(planted, threshold_q6=TWIN_Q6,
+                               centroids=centroids)
+    assert survivors.where(F.col("vec_id") == 0).count() == 1
+    assert (survivors.agg(F.min("vec_id")).first()[0]
+            == planted.agg(F.min("vec_id")).first()[0])
