@@ -565,6 +565,86 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
     return df.join(dropped, id_col, "left_anti")
 
 
+def semantic_dedup_incremental(new_df: DataFrame, corpus: DataFrame,
+                               threshold_q6: int = 350_000,
+                               vec_col: str = "embedding",
+                               id_col: str = "vec_id",
+                               cells: int = IVF_CELLS,
+                               centroids: tuple | None = None) -> DataFrame:
+    """Incremental :func:`semantic_dedup`: survivors among ``new_df``
+    against an already-INGESTED ``corpus`` — a new row is dropped if a
+    same-cell near-dup (quantized cosine >= threshold) exists in the
+    corpus OR among lower-id new rows. ``corpus`` is the ingest INDEX
+    (every previously seen row, survivors and dropped alike — the same
+    stored-index convention as containment_pairs_incremental /
+    srp_band_pairs_incremental), not the survivor set: the batch form's
+    min-id rule drops against ANY lower id, so comparing only against
+    survivors would drift.
+
+    No-drift contract (pytest-pinned): when every corpus id is below
+    every new id, ``semantic_dedup(corpus) ∪ result`` equals
+    ``semantic_dedup(corpus ∪ new_df)`` exactly — under the SAME
+    centroid matrix on both sides. Centroids therefore MUST be pinned
+    (pass an :func:`ivf_train_centroids` snapshot; ``None`` here trains
+    on corpus ∪ new, which re-assigns historic cells across batches).
+
+    100 TB shape: per-batch cost is |new| x (corpus cell loads), one
+    hash shuffle on cell; the corpus side arrives cell-partitioned when
+    the survivor store is written partitionBy(cell)
+    (:func:`write_ivf_index` layout), so the join prunes to the cells
+    the batch actually touches."""
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus.unionByName(new_df),
+                                        vec_col=vec_col, id_col=id_col)
+    new_a = new_df.select(
+        F.col(id_col).alias("_sd_id"), F.col(vec_col).alias("_sd_vec"),
+        ivf_cell(F.col(vec_col), cells=cells,
+                 centroids=centroids).alias("_sd_cell"))
+    keep_corpus = corpus.select(
+        ivf_cell(F.col(vec_col), cells=cells,
+                 centroids=centroids).alias("_sd_cell"),
+        F.lit(None).cast("long").alias("_kp_id"),
+        F.col(vec_col).alias("_kp_vec"))
+    keep_new = new_a.select(F.col("_sd_cell"),
+                            F.col("_sd_id").alias("_kp_id"),
+                            F.col("_sd_vec").alias("_kp_vec"))
+    # corpus rows dominate every new row (_kp_id NULL = corpus side);
+    # within the batch, lower id dominates — same min-id rule as the
+    # batch form.
+    keep = keep_corpus.unionByName(keep_new)
+    dropped = (
+        new_a.join(keep, "_sd_cell")
+        .where(F.col("_kp_id").isNull() | (F.col("_kp_id") < F.col("_sd_id")))
+        .where(_cos_q6_udf()(F.col("_sd_vec"), F.col("_kp_vec"))
+               >= F.lit(threshold_q6))
+        .select(F.col("_sd_id").alias(id_col))
+        .distinct())
+    return new_df.join(dropped, id_col, "left_anti")
+
+
+def semantic_cell_report(df: DataFrame, vec_col: str = "embedding",
+                         id_col: str = "vec_id", cells: int = IVF_CELLS,
+                         centroids: tuple | None = None) -> DataFrame:
+    """Per-cell membership histogram for :func:`semantic_dedup` —
+    (cell, n, pairs) with pairs = n*(n-1)/2, the EXACT pair workload
+    the within-cell join materializes for that cell. This is the skew
+    dial the dedup's 100-TB story leans on: a giant cell shows up here
+    as a giant `pairs` BEFORE the quadratic join runs (the
+    skew_report → salted_agg pattern, applied to semantic cells), and
+    the remedy is re-training finer centroids or splitting the hot
+    cell. One Arrow assignment pass + one map-combined hash-agg; output
+    is <= `cells` rows — metadata-sized at any corpus. Pass the SAME
+    ``centroids`` the dedup will run with (``None`` here is ivf_cell's
+    md5 leaf default — it does NOT train, unlike semantic_dedup)."""
+    assigned = df.select(ivf_cell(F.col(vec_col), cells=cells,
+                                  centroids=centroids).alias("cell"))
+    n = F.count(F.lit(1))
+    return (assigned.groupBy("cell")
+            .agg(n.alias("n"),
+                 (n * (n - F.lit(1)) / F.lit(2)).cast("long").alias("pairs"))
+            .orderBy(F.desc("pairs"), F.asc("cell")))
+
+
 def brute_force_pairs(df: DataFrame, threshold_q6: int,
                       vec_col: str = "embedding",
                       id_col: str = "vec_id") -> DataFrame:

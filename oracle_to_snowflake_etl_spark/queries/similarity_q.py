@@ -23,7 +23,9 @@ from ..operators.similarity import (
     embedding_near_dups,
     ivf_topk,
     plane_weights,
+    semantic_cell_report,
     semantic_dedup,
+    semantic_dedup_incremental,
 )
 from ..operators.similarity_snapshot import IVF_SNAPSHOT
 from ..sources.readers import load_table
@@ -231,6 +233,72 @@ def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (semantic_dedup(emb, threshold_q6=NEARDUP_Q6,
                            centroids=IVF_SNAPSHOT)
             .select("vec_id", "label"))
+
+
+#: id split for the incremental semantic-dedup query: rows below are the
+#: already-ingested corpus, rows at/above are the new batch (embeddings
+#: vec_ids start at 0 at every sf).
+SEM_SPLIT = 200
+
+
+@register(
+    "dedup_semantic_incr",
+    _duck_semantic_sql().replace(
+        "WHERE vec_id NOT IN (SELECT vec_id FROM dropped)",
+        f"WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"
+        f" AND vec_id >= {SEM_SPLIT}"))
+def q_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental SemDeDup ingest: batch = vec_id >= 200 deduplicated
+    against the already-ingested corpus (vec_id < 200) plus batch
+    siblings (operators/similarity.py semantic_dedup_incremental,
+    pinned snapshot). The oracle IS the no-drift contract: full-batch
+    semantic dedup restricted to the new ids must equal the
+    incremental result exactly."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.where(F.col("vec_id") < SEM_SPLIT)
+    new = emb.where(F.col("vec_id") >= SEM_SPLIT)
+    return (semantic_dedup_incremental(new, corpus,
+                                       threshold_q6=NEARDUP_Q6,
+                                       centroids=IVF_SNAPSHOT)
+            .select("vec_id", "label"))
+
+
+def _duck_cells_sql() -> str:
+    """DuckDB oracle for the semantic-cell workload report: identical
+    pinned centroid assignment, then a plain histogram with the exact
+    per-cell pair workload n*(n-1)/2."""
+    cs = IVF_SNAPSHOT
+    c_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
+    dot_vc = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+              "list_transform(embedding, (x, i) -> "
+              "CAST(x AS DOUBLE) * C[c + 1][i])), (p, q) -> p + q)")
+    nsq_v = _duck_dot("embedding", "embedding")
+    nsq_c = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(C[c + 1], (x, i) -> x * C[c + 1][i])), "
+             "(p, q) -> p + q)")
+    sims = (f"list_transform(range(0, {IVF_CELLS}), c -> "
+            f"{dot_vc} / sqrt({nsq_v} * {nsq_c}))")
+    return f"""
+    WITH cents AS (SELECT {c_lit} AS C),
+    assigned AS (
+      SELECT list_position(sims, list_max(sims)) - 1 AS cell
+      FROM (SELECT {sims} AS sims FROM embeddings, cents)
+    )
+    SELECT cell, COUNT(*) AS n,
+           CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS pairs
+    FROM assigned GROUP BY cell
+    """
+
+
+@register("dedup_semantic_cells", _duck_cells_sql())
+def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic-cell workload histogram (cell, n, pairs): the skew dial
+    for semantic_dedup — per-cell n*(n-1)/2 is the exact pair count the
+    within-cell join will materialize, surfaced BEFORE the quadratic
+    work runs (operators/similarity.py semantic_cell_report)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_cell_report(emb, centroids=IVF_SNAPSHOT)
 
 
 @register("ann_srp_neardup", _duck_srp_sql())

@@ -571,3 +571,19 @@ def test_window_partition_cols_literal_asc_not_truncated(spark):
     # BOTH partition columns are reported; the sort column is not
     assert "ASC" in specs[0] and "DESC" in specs[0], specs
     assert "id" not in specs[0], specs
+
+
+def test_semantic_dedup_joins_on_cell_only(spark, sf_dir):
+    """semantic_dedup's pairwise work must be an EQUI-join keyed on the
+    cell assignment (Sum(|cell|^2) within partitions), never a corpus
+    cross-join, and the survivor filter a left-anti join. The blanket
+    no-cartesian guard covers the registered query; this pins the join
+    keys so a refactor cannot silently widen the pair space."""
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+
+    df = queries()["dedup_semantic"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "_sd_cell" in plan  # pair join keyed on the cell column
+    assert "LeftAnti" in plan  # survivors via anti-join on dropped ids
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -85,3 +85,46 @@ def test_survivors_keep_min_id(spark, emb):
     assert survivors.where(F.col("vec_id") == 0).count() == 1
     assert (survivors.agg(F.min("vec_id")).first()[0]
             == planted.agg(F.min("vec_id")).first()[0])
+
+
+def test_incremental_no_drift(spark, emb):
+    """semantic_dedup(corpus) ∪ semantic_dedup_incremental(new, corpus)
+    == semantic_dedup(corpus ∪ new), id-for-id, under one pinned
+    centroid matrix — the stored-index incremental contract. Corpus =
+    the originals, new batch = their planted twins (every new row has a
+    corpus near-dup: the hardest drift case)."""
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    planted = plant_near_dup_twins(emb)
+    centroids = ivf_train_centroids(planted)
+    base = emb.agg(F.max("vec_id")).first()[0] + 1
+    corpus = planted.where(F.col("vec_id") < base)
+    new = planted.where(F.col("vec_id") >= base)
+    full = semantic_dedup(planted, threshold_q6=TWIN_Q6,
+                          centroids=centroids).select("vec_id")
+    pieced = (semantic_dedup(corpus, threshold_q6=TWIN_Q6,
+                             centroids=centroids).select("vec_id")
+              .unionByName(
+                  semantic_dedup_incremental(new, corpus,
+                                             threshold_q6=TWIN_Q6,
+                                             centroids=centroids)
+                  .select("vec_id")))
+    n_full = full.count()
+    assert pieced.count() == n_full
+    assert full.join(pieced, "vec_id", "left_semi").count() == n_full
+
+
+def test_cell_report_conserves_rows_and_pair_math(spark, emb):
+    """semantic_cell_report: Sum(n) over cells == corpus size, every
+    pairs == n*(n-1)/2, and <= IVF_CELLS rows out (metadata-sized)."""
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        IVF_CELLS,
+        semantic_cell_report,
+    )
+
+    rep = semantic_cell_report(emb).collect()
+    assert len(rep) <= IVF_CELLS
+    assert sum(r["n"] for r in rep) == emb.count()
+    assert all(r["pairs"] == r["n"] * (r["n"] - 1) // 2 for r in rep)
