@@ -515,7 +515,8 @@ def embedding_near_dups(df: DataFrame, threshold_q6: int = 350_000,
 def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    cells: int = IVF_CELLS,
-                   centroids: tuple | None = None) -> DataFrame:
+                   centroids: tuple | None = None,
+                   max_cell_pairs: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the corpus into semantic cells
     (nearest-centroid assignment, :func:`ivf_cell`), compute pairwise
@@ -544,10 +545,32 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
     bounded (FAISS-style sqrt(N) cells gives N^1.5 total pair work
     spread over N/sqrt(N) independent tasks); a skewed giant cell is
     visible in the `cell` histogram and handled by re-training finer
-    centroids, exactly like salting a hot groupBy key."""
+    centroids, exactly like salting a hot groupBy key.
+
+    ``max_cell_pairs``: fail-fast workload budget. When set, the
+    metadata-sized cell histogram (:func:`semantic_cell_report`) runs
+    first and any cell whose pair count n*(n-1)/2 exceeds the budget
+    raises ValueError naming the offenders — the quadratic join never
+    starts. At 100 TB that converts a mid-job straggler/executor-OOM
+    (hours in, on the hot cell's task) into an upfront, cheap abort
+    whose message says exactly which cells to fix by re-training finer
+    centroids. ``None`` (default) keeps the unguarded behavior; when
+    under budget the result is identical to the unguarded call (the
+    guard reads, never filters)."""
     if centroids is None:
         centroids = ivf_train_centroids(df, cells=cells,
                                         vec_col=vec_col, id_col=id_col)
+    if max_cell_pairs is not None:
+        hot = (semantic_cell_report(df, vec_col=vec_col, id_col=id_col,
+                                    cells=cells, centroids=centroids)
+               .where(F.col("pairs") > max_cell_pairs).limit(5).collect())
+        if hot:
+            detail = ", ".join(f"cell {r['cell']}: n={r['n']} "
+                               f"pairs={r['pairs']}" for r in hot)
+            raise ValueError(
+                f"semantic_dedup cell workload over budget "
+                f"(max_cell_pairs={max_cell_pairs}): {detail}. Re-train "
+                f"finer centroids (more cells) or raise the budget.")
     assigned = df.select(
         F.col(id_col).alias("_sd_id"), F.col(vec_col).alias("_sd_vec"),
         ivf_cell(F.col(vec_col), cells=cells,
@@ -643,6 +666,110 @@ def semantic_cell_report(df: DataFrame, vec_col: str = "embedding",
             .agg(n.alias("n"),
                  (n * (n - F.lit(1)) / F.lit(2)).cast("long").alias("pairs"))
             .orderBy(F.desc("pairs"), F.asc("cell")))
+
+
+#: driver-side collect cap for the decontamination eval set — 100k
+#: 64-dim float64 vectors ~ 50 MB, comfortably a torrent-broadcast
+#: payload; real eval benchmark suites are thousands of documents.
+MAX_EVAL_ROWS = 100_000
+
+
+def _max_cos_q6_udf(bc_evals):
+    """Arrow pandas_udf: max quantized cosine of a train vector against
+    the whole broadcast eval matrix. Same bit-parity discipline as
+    :func:`_cos_q6_udf` — np.cumsum sequential left-fold per pair, NOT
+    np.dot/BLAS (pairwise summation rounds differently) — so every
+    (train, eval) pair scores exactly what the DuckDB oracle's
+    list_reduce fold computes. floor(x*1e6+0.5) is monotone, so
+    max-then-quantize equals quantize-then-max."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def max_cos_q6(tv: pd.Series) -> pd.Series:
+        E = bc_evals.value                       # m x d float64
+        ne = np.cumsum(E * E, axis=1)[:, -1]
+        T = np.stack(tv.values).astype(np.float64)
+        nt = np.cumsum(T * T, axis=1)[:, -1]
+        best = np.full(len(T), -np.inf)
+        for j in range(E.shape[0]):
+            dotj = np.cumsum(T * E[j], axis=1)[:, -1]
+            np.maximum(best, dotj / np.sqrt(nt * ne[j]), out=best)
+        return pd.Series(np.floor(best * Q_SCALE + 0.5).astype(np.int64))
+
+    return max_cos_q6
+
+
+def _collect_eval_matrix(train: DataFrame, eval_df: DataFrame,
+                         vec_col: str, max_eval_rows: int):
+    """Collect + broadcast the eval embedding matrix (or None if the
+    eval set is empty). Raises ValueError past ``max_eval_rows`` —
+    decontamination's contract is a metadata-sized eval side; a huge
+    'eval' set is a dedup problem (use semantic_dedup_incremental's
+    cell-join shape instead), not a broadcast problem."""
+    rows = eval_df.select(vec_col).limit(max_eval_rows + 1).collect()
+    if len(rows) > max_eval_rows:
+        raise ValueError(
+            f"eval set exceeds max_eval_rows={max_eval_rows}: the "
+            f"broadcast decontamination path is for metadata-sized eval "
+            f"suites; for corpus-sized sides use the cell-join shape "
+            f"(semantic_dedup_incremental).")
+    if not rows:
+        return None
+    E = np.array([r[0] for r in rows], dtype=np.float64)
+    return train.sparkSession.sparkContext.broadcast(E)
+
+
+def semantic_decontaminate(train: DataFrame, eval_df: DataFrame,
+                           threshold_q6: int = 350_000,
+                           vec_col: str = "embedding",
+                           max_eval_rows: int = MAX_EVAL_ROWS) -> DataFrame:
+    """Embedding-space eval decontamination: drop every ``train`` row
+    whose quantized cosine to ANY ``eval_df`` vector reaches
+    ``threshold_q6`` — the semantic twin of the n-gram
+    ``textstats.decontaminate`` (which catches verbatim leakage; this
+    catches paraphrase-level leakage the way eval-contamination studies
+    do it in embedding space).
+
+    100 TB shape: the eval set is metadata-sized BY CONTRACT (benchmark
+    suites are thousands of documents — capped at ``max_eval_rows``,
+    ~50 MB at 100k x 64 dims), so it is collected once and
+    torrent-broadcast; the train side is then a pure Arrow map-pass
+    filter — ZERO shuffles, no join, column pruning and partition
+    pruning on the train scan fully preserved, and the work is exactly
+    O(|train| x |eval|) vectorized flops spread over train partitions.
+    This is deliberately NOT the cell-join of :func:`semantic_dedup`:
+    broadcasting the small side buys exact recall (no cell-boundary
+    misses — a leaked eval document is never excused by falling in a
+    different IVF cell) at a cost the small side's size makes trivial.
+
+    An empty eval set decontaminates nothing (returns ``train``
+    unchanged). Survivor rows pass through with all columns intact.
+    """
+    bc = _collect_eval_matrix(train, eval_df, vec_col, max_eval_rows)
+    if bc is None:
+        return train
+    return train.where(
+        _max_cos_q6_udf(bc)(F.col(vec_col)) < F.lit(threshold_q6))
+
+
+def semantic_contamination_report(train: DataFrame, eval_df: DataFrame,
+                                  threshold_q6: int = 350_000,
+                                  vec_col: str = "embedding",
+                                  id_col: str = "vec_id",
+                                  max_eval_rows: int = MAX_EVAL_ROWS
+                                  ) -> DataFrame:
+    """The audit twin of :func:`semantic_decontaminate`: (id,
+    max_sim_q6) for every train row AT OR ABOVE the threshold — what a
+    pipeline logs/reviews before dropping. Same broadcast map-pass
+    shape (zero shuffles); the two calls partition ``train`` exactly:
+    survivors ∪ report ids = train ids (pytest-pinned). Empty eval set
+    -> empty report (schema preserved)."""
+    bc = _collect_eval_matrix(train, eval_df, vec_col, max_eval_rows)
+    scored = train.select(
+        F.col(id_col),
+        (_max_cos_q6_udf(bc)(F.col(vec_col)) if bc is not None
+         else F.lit(None).cast("long")).alias("max_sim_q6"))
+    return scored.where(F.col("max_sim_q6") >= F.lit(threshold_q6))
 
 
 def brute_force_pairs(df: DataFrame, threshold_q6: int,

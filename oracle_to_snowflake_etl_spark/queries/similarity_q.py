@@ -398,3 +398,81 @@ def q_ann_srp_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = srp_band_pairs_incremental(new_batch, with_srp_code(corpus),
                                        corpus)
     return pairs.where(F.col("sim_q6") >= NEARDUP_Q6)
+
+
+#: eval-set split for the semantic decontamination queries: the first
+#: EVAL_N vec_ids stand in for a held-out benchmark suite; everything
+#: else is the training corpus being cleaned.
+EVAL_N = 16
+
+
+def _duck_decontam_parts() -> tuple[str, str]:
+    """(eval CTE, train CTE) shared by both decontamination oracles."""
+    ev = (f"ev AS (SELECT embedding AS e_vec FROM embeddings "
+          f"WHERE vec_id < {EVAL_N})")
+    tr = (f"tr AS (SELECT vec_id, label, embedding FROM embeddings "
+          f"WHERE vec_id >= {EVAL_N})")
+    return ev, tr
+
+
+def _duck_decontam_sql() -> str:
+    ev, tr = _duck_decontam_parts()
+    return f"""
+    WITH {ev}, {tr},
+    contaminated AS (
+      SELECT DISTINCT t.vec_id
+      FROM tr t JOIN ev ON {_duck_cos_q6('t.embedding', 'ev.e_vec')}
+                           >= {NEARDUP_Q6}
+    )
+    SELECT vec_id, label FROM tr
+    WHERE vec_id NOT IN (SELECT vec_id FROM contaminated)
+    """
+
+
+@register("decontaminate_semantic", _duck_decontam_sql())
+def q_decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space eval decontamination (operators/similarity.py
+    semantic_decontaminate): train rows (vec_id >= 16) whose max
+    quantized cosine against the eval suite (vec_id < 16) stays below
+    0.35 survive — the paraphrase-level twin of the n-gram
+    `text_decontaminate`. The eval matrix is collected once (capped,
+    metadata-sized by contract) and broadcast; the train side is a pure
+    Arrow map-pass filter with ZERO shuffles and exact recall (no IVF
+    cell-boundary misses). Oracle: brute-force NOT EXISTS over all
+    (train, eval) pairs with the identical fold-order cosine."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") < EVAL_N)
+    tr = emb.where(F.col("vec_id") >= EVAL_N)
+    from ..operators.similarity import semantic_decontaminate
+
+    return (semantic_decontaminate(tr, ev, threshold_q6=NEARDUP_Q6)
+            .select("vec_id", "label"))
+
+
+def _duck_contam_report_sql() -> str:
+    ev, tr = _duck_decontam_parts()
+    return f"""
+    WITH {ev}, {tr}
+    SELECT t.vec_id,
+           MAX({_duck_cos_q6('t.embedding', 'ev.e_vec')}) AS max_sim_q6
+    FROM tr t CROSS JOIN ev
+    GROUP BY t.vec_id
+    HAVING MAX({_duck_cos_q6('t.embedding', 'ev.e_vec')}) >= {NEARDUP_Q6}
+    """
+
+
+@register("decontaminate_semantic_report", _duck_contam_report_sql())
+def q_decontaminate_semantic_report(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Audit report for the drop above (operators/similarity.py
+    semantic_contamination_report): (vec_id, max_sim_q6) of every train
+    row at/over the leakage threshold — what a pipeline logs for review
+    before discarding data. Same broadcast map-pass, zero shuffles; the
+    survivors query and this report partition the train ids exactly
+    (pytest-pinned)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ev = emb.where(F.col("vec_id") < EVAL_N)
+    tr = emb.where(F.col("vec_id") >= EVAL_N)
+    from ..operators.similarity import semantic_contamination_report
+
+    return semantic_contamination_report(tr, ev, threshold_q6=NEARDUP_Q6)

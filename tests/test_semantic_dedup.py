@@ -128,3 +128,23 @@ def test_cell_report_conserves_rows_and_pair_math(spark, emb):
     assert len(rep) <= IVF_CELLS
     assert sum(r["n"] for r in rep) == emb.count()
     assert all(r["pairs"] == r["n"] * (r["n"] - 1) // 2 for r in rep)
+
+
+def test_max_cell_pairs_budget_guard(spark, emb):
+    """max_cell_pairs: an over-budget hot cell aborts BEFORE the
+    quadratic join, naming the cell and its pair count; an ample
+    budget is a pure read — survivors identical to the unguarded
+    call."""
+    centroids = ivf_train_centroids(emb)
+    # budget 0: any cell holding >= 2 vectors (pairs >= 1) is over
+    with pytest.raises(ValueError, match=r"cell \d+: n=\d+ pairs=\d+"):
+        semantic_dedup(emb, threshold_q6=TWIN_Q6, centroids=centroids,
+                       max_cell_pairs=0)
+    n = emb.count()
+    guarded = semantic_dedup(emb, threshold_q6=TWIN_Q6,
+                             centroids=centroids,
+                             max_cell_pairs=n * n).select("vec_id")
+    plain = semantic_dedup(emb, threshold_q6=TWIN_Q6,
+                           centroids=centroids).select("vec_id")
+    assert guarded.exceptAll(plain).count() == 0
+    assert plain.exceptAll(guarded).count() == 0

@@ -40,12 +40,24 @@ def main() -> None:
                     help="output JSON (e.g. SCALE_SWEEP2.json for the "
                          "second decade, so --only merges never mix "
                          "decades in one artifact)")
+    ap.add_argument("--tight-disk", action="store_true",
+                    help="zstd shuffle/spill + compressed RDD storage "
+                         "blocks: ~2-3x less scratch disk at ~5-10%% CPU. "
+                         "For third-decade (sf100) runs whose shuffle "
+                         "spill exceeds local scratch — a cluster has "
+                         "per-executor disk; this host has one volume. "
+                         "Timings are then not comparable with "
+                         "non-tight runs of the SAME artifact.")
     args = ap.parse_args()
 
     from oracle_to_snowflake_etl_spark.queries import queries
     from oracle_to_snowflake_etl_spark.session import get_spark
 
-    spark = get_spark("scale-sweep")
+    extra = None
+    if args.tight_disk:
+        extra = {"spark.io.compression.codec": "zstd",
+                 "spark.rdd.compress": "true"}
+    spark = get_spark("scale-sweep", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
     if args.only:
@@ -68,11 +80,30 @@ def main() -> None:
             spark.catalog.clearCache()
         return best
 
-    # warm both file indexes
+    # JIT warm on the SMALL dir only (a full-query warm on the large
+    # dir would be an entire extra large-scale execution — at sf100
+    # that doubled wall-clock and scratch-disk peak); the large dir
+    # just needs its FileIndex listed, which a plain count covers.
     next(iter(qs.values()))(spark, args.small).count()
-    next(iter(qs.values()))(spark, args.large).count()
+    for f in sorted(os.listdir(args.large)):
+        if f.endswith(".parquet"):
+            spark.read.parquet(os.path.join(args.large, f)).count()
 
+    out = args.out
     results: dict[str, dict] = {}
+    if args.only and os.path.exists(out):
+        # targeted re-measure: merge into the committed full sweep
+        with open(out) as fh:
+            results = json.load(fh).get("results", {})
+
+    def flush_out() -> None:
+        # write after EVERY query: a large-scale run that dies (OOM,
+        # disk) keeps the rows already measured
+        with open(out, "w") as fh:
+            json.dump({"small": args.small, "large": args.large,
+                       "runs": args.runs, "tight_disk": args.tight_disk,
+                       "results": results}, fh, indent=1, sort_keys=True)
+
     for name, fn in sorted(qs.items()):
         try:
             t_small = best_of(fn, args.small, name)
@@ -85,19 +116,9 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001
             results[name] = {"err": f"{type(exc).__name__}: {exc}"[:300]}
             print(f"{name:38s} ERR {results[name]['err'][:120]}", flush=True)
+        flush_out()
 
-    out = args.out
-    if args.only and os.path.exists(out):
-        # targeted re-measure: merge into the committed full sweep
-        with open(out) as fh:
-            prev = json.load(fh)
-        merged = prev.get("results", {})
-        merged.update(results)
-        results = merged
-    with open(out, "w") as fh:
-        json.dump({"small": args.small, "large": args.large,
-                   "runs": args.runs, "results": results}, fh, indent=1,
-                  sort_keys=True)
+    flush_out()
     ok = [(n, r) for n, r in results.items() if "ratio" in r]
     ok.sort(key=lambda x: -x[1]["ratio"])
     print("\nworst scalers:")
