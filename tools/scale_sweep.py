@@ -48,15 +48,40 @@ def main() -> None:
                          "per-executor disk; this host has one volume. "
                          "Timings are then not comparable with "
                          "non-tight runs of the SAME artifact.")
+    ap.add_argument("--shuffle-partitions", type=int, default=None,
+                    help="override spark.sql.shuffle.partitions for the "
+                         "whole sweep. The session default (=CPUs) sizes "
+                         "partitions for the driver's sf0.1 gate data; a "
+                         "third-decade corpus through the same 32 "
+                         "partitions puts ~2M exploded documents in one "
+                         "task and dies SparkOutOfMemory. Scaling "
+                         "partition count with input is the cluster-"
+                         "sizing move the session docstring promises "
+                         "(AQE coalesces the small-side stages back "
+                         "down, so the small leg pays only scheduling "
+                         "noise).")
+    ap.add_argument("--max-partition-bytes", type=int, default=None,
+                    help="override spark.sql.files.maxPartitionBytes. "
+                         "Derived single-file tables are zstd parquet "
+                         "(~5-10x compression on text): the 128MB "
+                         "default yields a handful of scan tasks each "
+                         "decompressing GBs. 16-32MB restores scan "
+                         "parallelism without touching the artifact.")
     args = ap.parse_args()
 
     from oracle_to_snowflake_etl_spark.queries import queries
     from oracle_to_snowflake_etl_spark.session import get_spark
 
-    extra = None
+    extra = {}
     if args.tight_disk:
-        extra = {"spark.io.compression.codec": "zstd",
-                 "spark.rdd.compress": "true"}
+        extra.update({"spark.io.compression.codec": "zstd",
+                      "spark.rdd.compress": "true"})
+    if args.shuffle_partitions:
+        extra["spark.sql.shuffle.partitions"] = str(args.shuffle_partitions)
+    if args.max_partition_bytes:
+        extra["spark.sql.files.maxPartitionBytes"] = str(
+            args.max_partition_bytes)
+    extra = extra or None
     spark = get_spark("scale-sweep", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
     qs = queries()
@@ -102,6 +127,8 @@ def main() -> None:
         with open(out, "w") as fh:
             json.dump({"small": args.small, "large": args.large,
                        "runs": args.runs, "tight_disk": args.tight_disk,
+                       "shuffle_partitions": args.shuffle_partitions,
+                       "max_partition_bytes": args.max_partition_bytes,
                        "results": results}, fh, indent=1, sort_keys=True)
 
     for name, fn in sorted(qs.items()):
