@@ -86,10 +86,13 @@ PRIORITY = [
     # alongside the window-path originals the verdict pinned)
     "dedup_containment_scale", "dedup_minhash_lsh",
     "dedup_containment_incr",
-    "dedup_ngram_jaccard", "dedup_clusters", "dedup_containment_drop",
+    "dedup_ngram_jaccard", "dedup_clusters",
     # round-8: the auto decision path under the hard driver signal,
-    # alongside the pinned window/scale originals
-    "dedup_ngram_jaccard_auto",
+    # alongside the pinned window/scale originals; dedup_containment_drop
+    # rotated to full-local (containment keeps its scale + incr driver
+    # slots; drop is pytest-covered) — its slot carries the round-8
+    # SemDeDup embedding-space dedup family's representative
+    "dedup_ngram_jaccard_auto", "dedup_semantic",
     # Similarity / embeddings
     "ann_brute_topk", "ann_ivf_topk", "ann_srp_neardup",
     "emb_label_centroids",

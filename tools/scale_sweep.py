@@ -67,6 +67,16 @@ def main() -> None:
                          "default yields a handful of scan tasks each "
                          "decompressing GBs. 16-32MB restores scan "
                          "parallelism without touching the artifact.")
+    ap.add_argument("--periodic-gc-seconds", type=int, default=None,
+                    help="spark.cleaner.periodicGC.interval (default "
+                         "30min). Shuffle files are deleted only when "
+                         "the ContextCleaner sees their ShuffleDependency "
+                         "collected by a DRIVER JVM GC — a 64g heap "
+                         "under no memory pressure may not GC for the "
+                         "whole sweep, so every leg's shuffle files "
+                         "accumulate on the one local volume until the "
+                         "disk fills (the sf100 failure mode). 60s "
+                         "bounds the backlog to one leg's working set.")
     args = ap.parse_args()
 
     from oracle_to_snowflake_etl_spark.queries import queries
@@ -81,6 +91,9 @@ def main() -> None:
     if args.max_partition_bytes:
         extra["spark.sql.files.maxPartitionBytes"] = str(
             args.max_partition_bytes)
+    if args.periodic_gc_seconds:
+        extra["spark.cleaner.periodicGC.interval"] = (
+            f"{args.periodic_gc_seconds}s")
     extra = extra or None
     spark = get_spark("scale-sweep", extra_conf=extra)
     spark.sparkContext.setLogLevel("ERROR")
@@ -103,6 +116,16 @@ def main() -> None:
                 pass
             gc.collect()
             spark.catalog.clearCache()
+            # Python gc drops the Py4J refs, but the shuffle FILES of
+            # the leg just run are freed only after a DRIVER JVM GC
+            # lets the ContextCleaner collect the ShuffleDependencies.
+            # Force one between legs (outside the timed region) so a
+            # large leg starts with the previous legs' scratch space
+            # reclaimed instead of stacked under it on the one volume.
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         return best
 
     # JIT warm on the SMALL dir only (a full-query warm on the large
