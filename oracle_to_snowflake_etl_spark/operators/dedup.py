@@ -663,6 +663,47 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a",
         edges.unpersist()
 
 
+def cluster_representatives(docs: DataFrame, clusters: DataFrame,
+                            score: Column,
+                            id_col: str = "doc_id") -> DataFrame:
+    """Quality-aware survivor selection: given :func:`dedup_clusters`
+    output (doc, keep_id) and a ``score`` expression over ``docs``'
+    columns, return the rows of ``docs`` that survive when each cluster
+    keeps its HIGHEST-scoring member (ties: minimum id) instead of the
+    min-id keeper. Docs in no cluster pass through unchanged.
+
+    This is the "keep the best duplicate" policy real training-data
+    pipelines want: near-dup clusters usually contain one clean copy and
+    several mangled ones, and min-id keeps whichever was crawled first.
+    ``score`` is any deterministic Column (e.g.
+    ``textstats.quality_q6_expr(F.col("text"))``) — passed as an
+    expression so it is evaluated ONLY for cluster members, never
+    corpus-wide: the cluster assignment is output-bounded (near-dup
+    volume), so the semi-join below prunes the expensive text scoring
+    to that subset before it runs.
+
+    Shuffle inventory at any scale: the member semi-join (cluster side
+    is near-dup-bounded — AQE broadcasts it when it fits), one hash-agg
+    on keep_id (bounded by cluster count), and the final corpus
+    anti-join against the dropped-id set (again near-dup-bounded).
+    Sorting inside the agg is a single struct min — no window over the
+    corpus.
+    """
+    members = (docs.join(clusters, docs[id_col] == clusters["doc"])
+               .select(F.col("doc"), F.col("keep_id"),
+                       score.alias("_cr_score")))
+    # min over (-score, doc) = arg-max score with min-id tiebreak —
+    # deterministic for reproducible survivor sets
+    winners = (members.groupBy("keep_id")
+               .agg(F.min(F.struct((-F.col("_cr_score")).alias("ns"),
+                                   F.col("doc").alias("doc"))).alias("w"))
+               .select(F.col("w.doc").alias("doc")))
+    dropped = (clusters.select("doc")
+               .join(winners, "doc", "left_anti")
+               .withColumnRenamed("doc", id_col))
+    return docs.join(dropped, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------------------
 # 5. SimHash + banded Hamming search
 # ---------------------------------------------------------------------------

@@ -696,3 +696,57 @@ def q_text_chunk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import chunk_documents
 
     return chunk_documents(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_keep_best",
+    f"""
+    WITH RECURSIVE pairs AS ({_MINHASH_PAIRS_SQL}),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc
+    ),
+    clusters AS (SELECT doc, MIN(r) AS keep_id FROM reach GROUP BY doc),
+    scored AS (
+      SELECT c.doc, c.keep_id, {_QUALITY_Q6} AS q
+      FROM clusters c JOIN documents ON documents.doc_id = c.doc
+    ),
+    winners AS (
+      SELECT doc FROM (
+        SELECT doc, ROW_NUMBER() OVER (
+            PARTITION BY keep_id ORDER BY q DESC, doc ASC) AS rn
+        FROM scored) t
+      WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT doc FROM clusters
+      WHERE doc NOT IN (SELECT doc FROM winners)
+    )
+    SELECT d.* FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc FROM dropped)
+    """)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware dedup survivor selection (operators/dedup.
+    cluster_representatives): MinHash near-dup pairs -> connected
+    components -> each cluster keeps its HIGHEST-quality member
+    (quality_q6_expr composite, min-id tiebreak) instead of the min-id
+    keeper — the "keep the cleanest duplicate" policy a training-data
+    pipeline wants when crawl order and copy quality are uncorrelated.
+    The quality expression is evaluated only for cluster members (the
+    near-dup-bounded subset), never corpus-wide; the oracle re-derives
+    the same winner per component via recursive reachability + the
+    identical quantized quality formula."""
+    from ..operators.dedup import (cluster_representatives,
+                                   dedup_clusters, minhash_lsh_pairs)
+    from ..operators.textstats import quality_q6_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(minhash_lsh_pairs(docs))
+    return cluster_representatives(docs, clusters,
+                                   quality_q6_expr(F.col("text")))

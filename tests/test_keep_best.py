@@ -1,0 +1,68 @@
+"""cluster_representatives: quality-aware dedup survivor selection."""
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oracle_to_snowflake_etl_spark.operators.dedup import (
+    cluster_representatives,
+    dedup_clusters,
+    minhash_lsh_pairs,
+)
+from oracle_to_snowflake_etl_spark.operators.textstats import quality_q6_expr
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_keeps_highest_scoring_member_not_min_id(spark):
+    # cluster {1,2,3}: doc 3 has the highest planted score; doc 9 alone
+    docs = _docs(spark, [(1, "a"), (2, "b"), (3, "c"), (9, "solo")])
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc long, keep_id long")
+    score = F.when(F.col("doc_id") == 3, F.lit(100)).otherwise(F.lit(1))
+    surv = cluster_representatives(docs, clusters, score)
+    assert {r.doc_id for r in surv.collect()} == {3, 9}
+
+
+def test_tie_breaks_to_min_id(spark):
+    docs = _docs(spark, [(5, "x"), (7, "x"), (6, "x")])
+    clusters = spark.createDataFrame(
+        [(5, 5), (6, 5), (7, 5)], "doc long, keep_id long")
+    surv = cluster_representatives(docs, clusters, F.lit(1))
+    assert {r.doc_id for r in surv.collect()} == {5}
+
+
+def test_partition_invariant_one_survivor_per_cluster(spark, sf_dir):
+    """On real data: survivors = (docs - clustered) + one per cluster,
+    and every survivor is its own cluster's quality arg-max."""
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = dedup_clusters(minhash_lsh_pairs(docs))
+    surv = cluster_representatives(docs, clusters,
+                                   quality_q6_expr(F.col("text")))
+    n_docs = docs.count()
+    n_clustered = clusters.count()
+    n_clusters = clusters.select("keep_id").distinct().count()
+    assert surv.count() == n_docs - n_clustered + n_clusters
+    # each cluster's survivor has the max quality (min id on ties)
+    scored = (docs.join(clusters, docs.doc_id == clusters.doc)
+              .select("doc", "keep_id",
+                      quality_q6_expr(F.col("text")).alias("q")))
+    best = {r.keep_id: (r.nq, r.doc) for r in
+            (scored.groupBy("keep_id")
+             .agg(F.min(F.struct((-F.col("q")).alias("nq"),
+                                 F.col("doc").alias("doc"))).alias("w"))
+             .select("keep_id", F.col("w.nq").alias("nq"),
+                     F.col("w.doc").alias("doc")).collect())}
+    surv_ids = {r.doc_id for r in surv.select("doc_id").collect()}
+    for keep_id, (_, doc) in best.items():
+        assert doc in surv_ids
+
+
+def test_empty_clusters_identity(spark):
+    docs = _docs(spark, [(1, "a"), (2, "b")])
+    clusters = spark.createDataFrame([], "doc long, keep_id long")
+    surv = cluster_representatives(docs, clusters, F.lit(1))
+    assert {r.doc_id for r in surv.collect()} == {1, 2}
