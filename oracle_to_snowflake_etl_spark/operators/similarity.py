@@ -512,9 +512,43 @@ def embedding_near_dups(df: DataFrame, threshold_q6: int = 350_000,
     return pairs.where(F.col("sim_q6") >= threshold_q6)
 
 
+def auto_cells(df: DataFrame) -> int:
+    """√N cell count for :func:`semantic_dedup` — the cost minimizer
+    its docstring derives (assignment O(N·k) + within-cell pairs
+    O(N²/k) balance at k=√N, both terms N^1.5; FAISS sizes IVF the
+    same way). Measured across three decades in SCALE.md (round 8):
+    re-training √N cells per decade holds the per-decade wall ratio at
+    ×8.7/×24.4 against the ×31.6 design slope, with the hot-cell pair
+    count growing exactly ×10/decade (balanced). One COUNT job
+    (metadata-sized); floor of 16 keeps toy corpora from degenerate
+    2-3-cell geometries."""
+    import math
+
+    return max(16, int(round(math.sqrt(df.count()))))
+
+
+def _resolve_cells(df: DataFrame, cells, centroids) -> int:
+    """Shared ``cells="auto"`` validation for the semantic family:
+    "auto" = :func:`auto_cells` on the corpus; any other string is an
+    error (same totality discipline as dedup.scale_safe); a pinned
+    ``centroids`` matrix already fixes the geometry, so combining it
+    with "auto" is a contradiction worth failing loudly on."""
+    if isinstance(cells, str):
+        if cells != "auto":
+            raise ValueError(
+                f'cells must be an int or "auto", got {cells!r}')
+        if centroids is not None:
+            raise ValueError(
+                'cells="auto" conflicts with an explicit centroids '
+                "matrix — the matrix already fixes the cell geometry "
+                "(pass cells=len(centroids) or drop one of the two).")
+        return auto_cells(df)
+    return cells
+
+
 def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
                    vec_col: str = "embedding", id_col: str = "vec_id",
-                   cells: int = IVF_CELLS,
+                   cells: int | str = IVF_CELLS,
                    centroids: tuple | None = None,
                    max_cell_pairs: int | None = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
@@ -556,7 +590,13 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
     whose message says exactly which cells to fix by re-training finer
     centroids. ``None`` (default) keeps the unguarded behavior; when
     under budget the result is identical to the unguarded call (the
-    guard reads, never filters)."""
+    guard reads, never filters).
+
+    ``cells="auto"`` sizes the geometry at √N (:func:`auto_cells`) —
+    the way the three-decade SCALE.md sweep runs this operator; the
+    default stays the fixed IVF_CELLS the pinned-snapshot oracle
+    mirrors."""
+    cells = _resolve_cells(df, cells, centroids)
     if centroids is None:
         centroids = ivf_train_centroids(df, cells=cells,
                                         vec_col=vec_col, id_col=id_col)
@@ -646,7 +686,8 @@ def semantic_dedup_incremental(new_df: DataFrame, corpus: DataFrame,
 
 
 def semantic_cell_report(df: DataFrame, vec_col: str = "embedding",
-                         id_col: str = "vec_id", cells: int = IVF_CELLS,
+                         id_col: str = "vec_id",
+                         cells: int | str = IVF_CELLS,
                          centroids: tuple | None = None) -> DataFrame:
     """Per-cell membership histogram for :func:`semantic_dedup` —
     (cell, n, pairs) with pairs = n*(n-1)/2, the EXACT pair workload
@@ -658,7 +699,9 @@ def semantic_cell_report(df: DataFrame, vec_col: str = "embedding",
     cell. One Arrow assignment pass + one map-combined hash-agg; output
     is <= `cells` rows — metadata-sized at any corpus. Pass the SAME
     ``centroids`` the dedup will run with (``None`` here is ivf_cell's
-    md5 leaf default — it does NOT train, unlike semantic_dedup)."""
+    md5 leaf default — it does NOT train, unlike semantic_dedup).
+    ``cells="auto"`` mirrors semantic_dedup's √N sizing."""
+    cells = _resolve_cells(df, cells, centroids)
     assigned = df.select(ivf_cell(F.col(vec_col), cells=cells,
                                   centroids=centroids).alias("cell"))
     n = F.count(F.lit(1))

@@ -148,3 +148,37 @@ def test_max_cell_pairs_budget_guard(spark, emb):
                            centroids=centroids).select("vec_id")
     assert guarded.exceptAll(plain).count() == 0
     assert plain.exceptAll(guarded).count() == 0
+
+
+def test_auto_cells_matches_explicit_sqrt_n(spark, emb):
+    """cells="auto" = auto_cells(df) = max(16, round(sqrt(N))): the
+    survivor set equals an explicit call at that cell count, and the
+    report geometry matches."""
+    import math
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        auto_cells,
+        semantic_cell_report,
+    )
+
+    n = emb.count()
+    k = auto_cells(emb)
+    assert k == max(16, int(round(math.sqrt(n))))
+    auto = semantic_dedup(emb, threshold_q6=TWIN_Q6,
+                          cells="auto").select("vec_id")
+    explicit = semantic_dedup(emb, threshold_q6=TWIN_Q6,
+                              cells=k).select("vec_id")
+    assert auto.exceptAll(explicit).count() == 0
+    assert explicit.exceptAll(auto).count() == 0
+    rep = semantic_cell_report(emb, cells="auto").collect()
+    assert len(rep) <= k
+
+
+def test_auto_cells_validation(spark, emb):
+    """Unknown strings fail loudly; "auto" with a pinned centroid
+    matrix is a geometry contradiction and also fails."""
+    with pytest.raises(ValueError, match="cells must be"):
+        semantic_dedup(emb, cells="sqrt")
+    cents = ivf_train_centroids(emb, cells=16)
+    with pytest.raises(ValueError, match="conflicts"):
+        semantic_dedup(emb, cells="auto", centroids=cents)
