@@ -796,3 +796,91 @@ def ingest_documents_stream(stream: DataFrame, accepted_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
+                             index_path: str, checkpoint: str,
+                             centroids: tuple,
+                             threshold_q6: int = 350_000,
+                             cells: int | None = None) -> StreamingQuery:
+    """The semantic twin of :func:`ingest_documents_stream`: each
+    micro-batch of embedding rows (vec_id, embedding, ...) is
+    accept-filtered by operators/similarity.semantic_dedup_incremental
+    against the accumulated SEEN-ROW index, and both the accepted rows
+    and the batch's full index rows are appended — batch N+1 dedups
+    against everything batches 1..N SAW.
+
+    The index holds every seen row (survivors AND dropped), not just
+    survivors: semantic_dedup's min-id rule drops against ANY lower
+    id, so an index of survivors only would drift from the batch form
+    (the semantic_dedup_incremental docstring's stored-index
+    convention). With id-ordered batches this makes the whole stream
+    EQUAL, id-for-id, to one semantic_dedup over the concatenated
+    corpus — pytest-pinned as the loop's batch-equivalence contract.
+
+    ``centroids`` is REQUIRED (an ivf_train_centroids snapshot):
+    training per batch would re-assign historic rows to different
+    cells across batches and break the contract above. Version the
+    matrix with the index directory, exactly like write_ivf_index.
+
+    Exactly-once without markers: the same ``batch=<id>``
+    overwrite-subdirectory layout as the document loop — an
+    at-least-once replay rewrites its own directory, and the index
+    read excludes the current batch id (a partition filter) so a
+    replayed batch is never deduped against its own partial writes.
+
+    100 TB shape per batch: one Arrow cell-assignment pass over the
+    batch, one hash shuffle on cell joining |batch| against the seen
+    index's touched cells — O(batch x cell loads), never a corpus
+    rescan; the corpus-sized text/vector data is read only as the
+    (columnar, cell-prunable) index parquet.
+    """
+    from pyspark.errors import AnalysisException
+
+    from ..operators.similarity import (
+        IVF_CELLS,
+        semantic_dedup_incremental,
+    )
+
+    if centroids is None:
+        raise ValueError(
+            "ingest_embeddings_stream requires a pinned centroid "
+            "snapshot (ivf_train_centroids): per-batch training "
+            "re-assigns historic cells and breaks the batch-"
+            "equivalence contract.")
+    k_cells = cells if cells is not None else IVF_CELLS
+    spark = stream.sparkSession
+
+    def accept(batch: DataFrame, batch_id: int) -> None:
+        try:
+            seen = spark.read.parquet(index_path).where(
+                F.col("batch") != batch_id)
+        except AnalysisException as e:
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
+            seen = None
+        if seen is not None and seen.limit(1).count() > 0:
+            survivors = semantic_dedup_incremental(
+                batch, seen.select(batch.columns),
+                threshold_q6=threshold_q6, cells=k_cells,
+                centroids=centroids)
+        else:
+            # first batch: pure batch-local dedup (corpus side empty)
+            from ..operators.similarity import semantic_dedup
+
+            survivors = semantic_dedup(
+                batch, threshold_q6=threshold_q6, cells=k_cells,
+                centroids=centroids)
+        survivors.write.mode("overwrite").parquet(
+            f"{accepted_path}/batch={batch_id}")
+        # index rows = the WHOLE batch (stored-index convention)
+        batch.write.mode("overwrite").parquet(
+            f"{index_path}/batch={batch_id}")
+
+    return (
+        stream.writeStream
+        .foreachBatch(accept)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

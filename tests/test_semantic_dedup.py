@@ -182,3 +182,81 @@ def test_auto_cells_validation(spark, emb):
     cents = ivf_train_centroids(emb, cells=16)
     with pytest.raises(ValueError, match="conflicts"):
         semantic_dedup(emb, cells="auto", centroids=cents)
+
+
+def test_streaming_semantic_ingest_matches_batch_form(spark, emb, tmp_path):
+    """ingest_embeddings_stream: two id-ordered drops (originals, then
+    their planted twins) through the foreachBatch loop must accept
+    EXACTLY the rows one semantic_dedup over the concatenated corpus
+    keeps under the same pinned centroid matrix — the stored-index
+    batch-equivalence contract. A no-new-data re-run changes nothing."""
+    import os
+    import time as _t
+
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        ingest_embeddings_stream,
+    )
+
+    planted = plant_near_dup_twins(emb)
+    centroids = ivf_train_centroids(planted)
+    base = emb.agg(F.max("vec_id")).first()[0] + 1
+    drops = [planted.where(F.col("vec_id") < base),
+             planted.where(F.col("vec_id") >= base)]
+    src = tmp_path / "semb_src"
+    src.mkdir()
+    now = _t.time()
+    seen_files: set = set()
+    for i, d in enumerate(drops):
+        d.coalesce(1).write.mode("append").parquet(str(src))
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in seen_files:
+                os.utime(src / f, (now + i * 10, now + i * 10))
+                seen_files.add(f)
+    acc = str(tmp_path / "semb_acc")
+    idx = str(tmp_path / "semb_idx")
+    ckp = str(tmp_path / "semb_ckp")
+    schema = spark.read.parquet(str(src)).schema
+
+    def run():
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = ingest_embeddings_stream(stream, acc, idx, ckp,
+                                     centroids=centroids,
+                                     threshold_q6=TWIN_Q6)
+        q.awaitTermination(180)
+
+    run()
+    streamed = {r.vec_id for r in
+                spark.read.parquet(acc).select("vec_id").collect()}
+    batch_form = {r.vec_id for r in
+                  semantic_dedup(planted, threshold_q6=TWIN_Q6,
+                                 centroids=centroids)
+                  .select("vec_id").collect()}
+    assert streamed == batch_form
+    # index holds every SEEN row (stored-index convention), not just
+    # survivors
+    indexed = {r.vec_id for r in
+               spark.read.parquet(idx).select("vec_id").collect()}
+    assert indexed == {r.vec_id for r in
+                       planted.select("vec_id").collect()}
+
+    run()  # replay with no new data: idempotent by layout
+    streamed2 = {r.vec_id for r in
+                 spark.read.parquet(acc).select("vec_id").collect()}
+    assert streamed2 == streamed
+
+
+def test_streaming_semantic_ingest_requires_pinned_centroids(spark, emb,
+                                                             tmp_path):
+    import pytest as _pt
+
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        ingest_embeddings_stream,
+    )
+
+    stream = (spark.readStream.schema(emb.schema)
+              .parquet(str(tmp_path)))
+    with _pt.raises(ValueError, match="pinned centroid"):
+        ingest_embeddings_stream(stream, str(tmp_path / "a"),
+                                 str(tmp_path / "i"),
+                                 str(tmp_path / "c"), centroids=None)
