@@ -111,6 +111,23 @@ HEADLINERS = [
      "Leakage-free split: the corpus joins the (doc, keep_id) cluster "
      "map on two longs per row (AQE broadcasts it when small); the "
      "assignment hash rides the scan."),
+    ("dedup_semantic",
+     "SemDeDup: one Arrow cell-assignment pass, ONE hash exchange on "
+     "cell; all pairwise cosine work happens inside √N-sized cell "
+     "partitions (never a corpus cross-join), and the drop set comes "
+     "back through a single anti-join. cells='auto' (√N) is the "
+     "measured three-decade operating point (SCALE.md)."),
+    ("decontaminate_semantic",
+     "Embedding-space decontamination: the metadata-sized eval matrix "
+     "is collected once and broadcast; the train side is a pure Arrow "
+     "map-pass filter — ZERO exchanges, scan pruning fully preserved, "
+     "exact recall (no cell-boundary misses)."),
+    ("dedup_keep_best",
+     "Quality-aware survivor selection: the quality expression is "
+     "evaluated ONLY on cluster members (near-dup-bounded semi-join), "
+     "the per-cluster arg-max is a struct-min hash-agg (no corpus "
+     "window), and the corpus pays one anti-join against the dropped "
+     "ids."),
 ]
 
 
