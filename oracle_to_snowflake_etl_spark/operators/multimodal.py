@@ -415,3 +415,133 @@ def media_as_png(media: DataFrame, width: int = 16) -> DataFrame:
 
     return media.select("media_id", "payload") \
                 .mapInPandas(encode, schema=out_schema)
+
+
+#: aHash geometry: 15 row-blocks x 4 col-blocks = 60 bits — deliberately
+#: the repo's hash60/SimHash width, so the SAME lossless 4x15-bit chunk
+#: banding (pigeonhole: hamming <= 3 => >= 1 identical chunk) generates
+#: candidates for image near-dup exactly as simhash_pairs does for text.
+AHASH_ROW_BLOCKS = 15
+AHASH_COL_BLOCKS = 4
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("ahash", T.LongType(), True),
+])
+
+
+def _ahash_from_gray(img) -> int | None:
+    """60-bit average hash of a 2-D integer image: truncate to
+    15*(h//15) rows x 4*(w//4) cols, sum each of the 15x4 blocks, and
+    set bit k = r*4+c iff 60*block_sum_k > total_sum. ALL-INTEGER by
+    construction (the mean comparison is cross-multiplied, never a
+    float division), so any engine that can sum the same pixels
+    computes the identical fingerprint — the cross-engine discipline
+    of functions/hashing.py applied to perceptual hashing. Returns
+    None when the image has fewer than 15 rows or 4 cols (no stable
+    geometry to hash)."""
+    import numpy as np
+
+    h, w = img.shape
+    hb, wb = h // AHASH_ROW_BLOCKS, w // AHASH_COL_BLOCKS
+    if hb == 0 or wb == 0:
+        return None
+    t = img[: AHASH_ROW_BLOCKS * hb, : AHASH_COL_BLOCKS * wb].astype(np.int64)
+    blocks = t.reshape(AHASH_ROW_BLOCKS, hb, AHASH_COL_BLOCKS, wb) \
+              .sum(axis=(1, 3))
+    total = int(blocks.sum())
+    fp = 0
+    for r in range(AHASH_ROW_BLOCKS):
+        for c in range(AHASH_COL_BLOCKS):
+            if 60 * int(blocks[r, c]) > total:
+                fp |= 1 << (r * AHASH_COL_BLOCKS + c)
+    return fp
+
+
+def image_ahash(media: DataFrame, fake_width: int = 16) -> DataFrame:
+    """(media_id, ahash): 60-bit perceptual average-hash per image —
+    the image-space analog of with_simhash. Same three decode branches
+    as :func:`image_features` (real PNG -> png_decode; PIL when
+    importable; deterministic fake ``fake_width``-wide grayscale
+    otherwise); color images hash the per-pixel CHANNEL SUM (no
+    division — integers all the way down). Undecodable or
+    too-small-to-block payloads emit NULL, like image_features' nulls.
+
+    A brightness-threshold aHash is the standard cheap image near-dup
+    fingerprint (resize-and-compare family); bit k answers "is block k
+    brighter than the image average", which survives re-encoding and
+    minor edits — exactly the invariance a crawl-dedup pass wants.
+    """
+    import numpy as np
+    import pandas as pd
+
+    try:  # pragma: no cover - not available in this container
+        from PIL import Image
+        have_pil = True
+    except ImportError:
+        have_pil = False
+
+    def hashes(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None))
+                    continue
+                is_png = bytes(payload[:8]) == PNG_MAGIC
+                img = None
+                if is_png:
+                    try:
+                        _, _, arr = png_decode(bytes(payload))
+                        img = (arr.astype(np.int64).sum(axis=2)
+                               if arr.ndim == 3 else arr)
+                    except ValueError:
+                        img = None  # real-but-undecodable: NULL below
+                elif have_pil:  # pragma: no cover - PIL-bearing clusters
+                    import io
+
+                    arr = np.asarray(Image.open(io.BytesIO(bytes(payload))))
+                    img = (arr.astype(np.int64).sum(axis=2)
+                           if arr.ndim == 3 else arr)
+                else:
+                    arr = np.frombuffer(payload, dtype=np.uint8)
+                    h = len(arr) // fake_width
+                    if h > 0:
+                        img = arr[: h * fake_width].reshape(h, fake_width)
+                rows.append((mid, None if img is None
+                             else _ahash_from_gray(img)))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.select("media_id", "payload") \
+                .mapInPandas(hashes, schema=AHASH_SCHEMA)
+
+
+def ahash_pairs(media: DataFrame, max_hamming: int = 3,
+                fake_width: int = 16) -> DataFrame:
+    """Image near-duplicate pairs: (media_a, media_b, hamming) with
+    Hamming(ahash_a, ahash_b) <= max_hamming. Candidates via the same
+    lossless 4x15-bit chunk banding as text SimHash (pigeonhole:
+    hamming <= 3 forces an identical chunk), exact bit_count(xor)
+    verification — shuffle volume O(images x 4) band keys, never an
+    image cross-join, and payload bytes never shuffle at all (the hash
+    is computed in the map pass; only (id, 60-bit fp) moves)."""
+    from .dedup import SIMHASH_CHUNK_BITS, SIMHASH_CHUNKS
+    from .util import bucket_pairs
+
+    fps = image_ahash(media, fake_width=fake_width) \
+        .where(F.col("ahash").isNotNull()) \
+        .withColumnRenamed("media_id", "doc") \
+        .withColumnRenamed("ahash", "fp")
+    chunks = fps.select(
+        "doc", "fp",
+        F.posexplode(F.array(*[
+            F.expr(f"(fp >> {c * SIMHASH_CHUNK_BITS})"
+                   f" & {(1 << SIMHASH_CHUNK_BITS) - 1}")
+            for c in range(SIMHASH_CHUNKS)])).alias("chunk", "cv"))
+    return (
+        bucket_pairs(chunks, ["chunk", "cv"], ["doc", "fp"])
+        .select(F.col("doc_a").alias("media_a"),
+                F.col("doc_b").alias("media_b"),
+                F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -142,3 +142,76 @@ def q_mm_image_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import media_as_png
 
     return image_features(media_as_png(_media(spark, sf_dir)))
+
+
+# 60-bit average-hash (operators/multimodal.py image_ahash) in DuckDB
+# codepoint arithmetic over the fake 16-wide grayscale: hb = row-block
+# height, block k = (r=k//4, c=k%4) sums rows r*hb..(r+1)*hb-1 x cols
+# c*4..c*4+3, bit k set iff 60*block_sum > total over the truncated
+# 15*hb x 16 prefix. All integer — identical fp bit-for-bit by
+# construction.
+_AHASH_HB = "((length(text) // 16) // 15)"
+_AHASH_BLOCK = """
+  list_sum(list_transform(range(0, hb * 4), t ->
+    ascii(substr(text,
+                 ((k // 4) * hb + t // 4) * 16 + (k % 4) * 4 + (t % 4) + 1,
+                 1))))
+"""
+_AHASH_EXPR = f"""
+  CAST(list_sum(list_transform(range(0, 60), k ->
+    CASE WHEN 60 * {_AHASH_BLOCK}
+              > list_sum(list_transform(range(1, 15 * hb * 16 + 1),
+                                        i -> ascii(substr(text, i, 1))))
+         THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))
+    AS BIGINT)
+"""
+_AHASH_SQL = f"""
+    SELECT media_id,
+           CASE WHEN hb >= 1 THEN {_AHASH_EXPR} END AS ahash
+    FROM (SELECT doc_id AS media_id, text, {_AHASH_HB} AS hb
+          FROM documents)
+"""
+
+
+@register("mm_image_ahash", _AHASH_SQL)
+def q_mm_image_ahash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """60-bit perceptual average-hash per image (operators/multimodal.py
+    image_ahash): 15x4 brightness blocks vs the image mean,
+    cross-multiplied integer comparisons only, computed in the Arrow
+    map pass on the decoded payload. The oracle recomputes the
+    identical fingerprint from codepoints — a value-level check of a
+    PERCEPTUAL hash, possible because the hash was designed
+    integer-exact (the functions/hashing.py discipline)."""
+    from ..operators.multimodal import image_ahash
+
+    return image_ahash(_media(spark, sf_dir))
+
+
+@register(
+    "mm_image_neardup",
+    f"""
+    WITH ah AS (
+      SELECT media_id, ahash FROM ({_AHASH_SQL}) WHERE ahash IS NOT NULL
+    ),
+    chunks AS (
+      SELECT media_id, ahash, c AS chunk,
+             (ahash >> (c * 15)) & 32767 AS cv
+      FROM ah, (SELECT UNNEST(range(0, 4)) AS c)
+    )
+    SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                    bit_count(xor(a.ahash, b.ahash)) AS hamming
+    FROM chunks a
+    JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv
+                 AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    """)
+def q_mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs at Hamming <= 3 over the 60-bit
+    aHash (operators/multimodal.py ahash_pairs) — candidates via the
+    SAME lossless 4x15-bit chunk banding as text SimHash, so the
+    crawl-dedup pattern (fingerprint once, band, verify) covers the
+    image modality too. Payload bytes never shuffle; only (id, fp)
+    moves."""
+    from ..operators.multimodal import ahash_pairs
+
+    return ahash_pairs(_media(spark, sf_dir))
