@@ -587,3 +587,37 @@ def test_semantic_dedup_joins_on_cell_only(spark, sf_dir):
     assert "LeftAnti" in plan  # survivors via anti-join on dropped ids
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_keep_best_no_corpus_window_and_anti_join(spark, sf_dir):
+    """dedup_keep_best: the per-cluster arg-max must be a struct-min
+    HASH AGGREGATE on the near-dup-bounded member frame — never a
+    Window over the corpus — and the corpus pays exactly one left-anti
+    join against the dropped-id set."""
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+
+    df = queries()["dedup_keep_best"](spark, sf_dir)
+    plan = plan_string(df)
+    assert "LeftAnti" in plan
+    # the winner selection is an aggregate over keep_id, not a window
+    # rank: no Window node may consume the quality score column
+    for line in plan.splitlines():
+        if "Window" in line:
+            assert "_cr_score" not in line, line
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ahash_pairs_shuffles_longs_not_payloads(spark, sf_dir):
+    """ahash_pairs: every Exchange in the plan moves (id, fp, chunk,
+    cv) longs — the binary payload column must never reach a shuffle
+    (it dies in the map pass that computes the fingerprint)."""
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+
+    df = queries()["mm_image_neardup"](spark, sf_dir)
+    plan = plan_string(df)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -128,6 +128,11 @@ HEADLINERS = [
      "the per-cluster arg-max is a struct-min hash-agg (no corpus "
      "window), and the corpus pays one anti-join against the dropped "
      "ids."),
+    ("mm_image_neardup",
+     "Image near-dup: the 60-bit aHash is computed in the Arrow map "
+     "pass, so payload bytes never reach an Exchange — only (id, fp, "
+     "chunk, cv) longs shuffle, O(images x 4) band keys, same lossless "
+     "pigeonhole banding as text SimHash."),
 ]
 
 
