@@ -545,3 +545,38 @@ def ahash_pairs(media: DataFrame, max_hamming: int = 3,
                 F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def frame_docs(media: DataFrame) -> DataFrame:
+    """(doc_id, text): each media payload reduced to its SAMPLED FRAME
+    DIGEST SEQUENCE — frame_sample's md5s in frame order, space-joined.
+    This is the standard video-dedup reduction: a video becomes a
+    "document" whose tokens are content-addressed frame fingerprints,
+    and every text set-similarity operator (Jaccard, containment,
+    MinHash) applies verbatim to the video modality. One hash shuffle
+    on media_id (the per-media digest collect); payload bytes die in
+    frame_sample's map pass — only 32-char digests move."""
+    frames = frame_sample(media)
+    return (frames.groupBy("media_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(
+                        F.struct("frame_no", "frame_md5"))),
+                    lambda s: s["frame_md5"]),
+                " ").alias("text"))
+            .select(F.col("media_id").alias("doc_id"), "text"))
+
+
+def video_neardup_pairs(media: DataFrame,
+                        threshold: float = 0.3) -> DataFrame:
+    """Video near-duplicate pairs: 3-frame-run shingle Jaccard >=
+    ``threshold`` over the sampled frame-digest sequence — literally
+    operators/dedup.ngram_jaccard_pairs on :func:`frame_docs` output,
+    so the candidate generation inherits the lossless All-Pairs prefix
+    filter and its scale contract unchanged. Temporal-order sensitive
+    BY DESIGN: a shingle is a run of 3 consecutive sampled frames, so
+    two videos match on shared SEGMENTS (re-encodes, trims, recuts
+    with common footage), not on a bag of frames."""
+    from .dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(frame_docs(media), threshold=threshold)

@@ -215,3 +215,61 @@ def q_mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import ahash_pairs
 
     return ahash_pairs(_media(spark, sf_dir))
+
+
+# frame-digest "document" per media: md5 of every 3rd 32-byte frame,
+# in frame order, space-joined — the exact reduction frame_docs makes,
+# aliased `text` so the dedup shingle fragment applies verbatim.
+_FRAME_DOC_SQL = f"""
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               list_filter(range(0, length(text) // {FRAME_SIZE}),
+                           f -> f % {FRAME_STEP} = 0),
+               fno -> md5(substr(text, fno * {FRAME_SIZE} + 1,
+                                 {FRAME_SIZE}))),
+             ' ') AS text
+    FROM documents
+"""
+
+
+@register(
+    "mm_video_neardup",
+    f"""
+    WITH fdocs AS ({_FRAME_DOC_SQL}),
+    docs AS (
+      SELECT doc_id AS doc,
+             list_distinct(
+               CASE WHEN len(regexp_split_to_array(trim(text), ' +')) >= 3
+                    THEN list_transform(
+                      range(1, len(regexp_split_to_array(trim(text),
+                                                         ' +')) - 1),
+                      i -> regexp_split_to_array(trim(text), ' +')[i]
+                           || ' ' ||
+                           regexp_split_to_array(trim(text), ' +')[i+1]
+                           || ' ' ||
+                           regexp_split_to_array(trim(text), ' +')[i+2])
+                    ELSE [] END) AS sh
+      FROM fdocs
+    )
+    SELECT a.doc AS doc_a, b.doc AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+             AS jaccard
+    FROM docs a JOIN docs b ON a.doc < b.doc
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+            >= 0.3
+    """)
+def q_mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video near-dup pairs (operators/multimodal.py video_neardup_pairs):
+    each media reduced to its sampled frame-digest sequence
+    (frame_docs), then 3-frame-run shingle Jaccard >= 0.3 through the
+    SAME lossless prefix-filter machinery as text dedup — set
+    similarity generalizes across modalities once content is
+    fingerprinted. Oracle = brute-force all-pairs Jaccard over the
+    identically derived digests (ground truth, not an algorithm
+    mirror)."""
+    from ..operators.multimodal import video_neardup_pairs
+
+    return video_neardup_pairs(_media(spark, sf_dir))

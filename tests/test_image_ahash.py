@@ -94,3 +94,39 @@ def test_banding_is_lossless_at_hamming_3(spark):
     chunks2 = [(fp2 >> (c * 15)) & 32767 for c in range(4)]
     assert any(a == b for a, b in zip(chunks1, chunks2))
     assert bin(fp ^ fp2).count("1") == 3
+
+
+def test_video_neardup_shared_segment(spark):
+    """Two 'videos' sharing a long common segment (but different
+    endings) must pair on 3-frame-run shingles; a third with disjoint
+    content must not. Frame boundaries are 32-byte aligned, so the
+    shared prefix guarantees shared sampled-frame runs."""
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        video_neardup_pairs,
+    )
+
+    seg = "".join(chr(65 + (i % 26)) for i in range(32 * 30))  # 30 frames
+    a = seg + "1" * 64
+    b = seg + "2" * 64
+    c = "".join(chr(97 + (i * 7 % 26)) for i in range(32 * 32))
+    media = _media(spark, [(1, a), (2, b), (3, c)])
+    pairs = {(r.doc_a, r.doc_b) for r in video_neardup_pairs(media).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_frame_docs_order_is_frame_order(spark):
+    """frame_docs joins digests in frame_no order regardless of
+    partitioning — the shingle semantics depend on it."""
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        frame_docs,
+    )
+    import hashlib
+
+    text = "".join(chr(48 + (i % 10)) for i in range(32 * 9))  # 9 frames
+    media = _media(spark, [(5, text)])
+    got = frame_docs(media).collect()[0]["text"]
+    expect = " ".join(
+        hashlib.md5(text[f * 32:(f + 1) * 32].encode()).hexdigest()
+        for f in range(0, 9, 3))
+    assert got == expect
