@@ -688,10 +688,19 @@ def cluster_representatives(docs: DataFrame, clusters: DataFrame,
     anti-join against the dropped-id set (again near-dup-bounded).
     Sorting inside the agg is a single struct min — no window over the
     corpus.
+
+    NULL scores rank LAST (coalesced to -infinity before the arg-max):
+    without the coalesce, Spark's struct-min orders a NULL field FIRST,
+    silently making "unknown quality" beat every known score — and
+    diverging from the SQL ORDER BY score DESC (NULLS LAST) a reader
+    would write (ADVICE r8). An all-NULL cluster falls back to the
+    min-id keeper via the tiebreak.
     """
     members = (docs.join(clusters, docs[id_col] == clusters["doc"])
                .select(F.col("doc"), F.col("keep_id"),
-                       score.alias("_cr_score")))
+                       F.coalesce(score.cast("double"),
+                                  F.lit(float("-inf")))
+                       .alias("_cr_score")))
     # min over (-score, doc) = arg-max score with min-id tiebreak —
     # deterministic for reproducible survivor sets
     winners = (members.groupBy("keep_id")

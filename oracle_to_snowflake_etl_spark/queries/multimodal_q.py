@@ -233,9 +233,10 @@ _FRAME_DOC_SQL = f"""
 """
 
 
-@register(
-    "mm_video_neardup",
-    f"""
+# brute-force all-pairs 3-frame-run shingle Jaccard over the derived
+# frame-digest docs — the ground-truth oracle shared by the full and
+# incremental video near-dup queries
+_VIDEO_PAIRS_SQL = f"""
     WITH fdocs AS ({_FRAME_DOC_SQL}),
     docs AS (
       SELECT doc_id AS doc,
@@ -260,7 +261,10 @@ _FRAME_DOC_SQL = f"""
     WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
             >= 0.3
-    """)
+"""
+
+
+@register("mm_video_neardup", _VIDEO_PAIRS_SQL)
 def q_mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video near-dup pairs (operators/multimodal.py video_neardup_pairs):
     each media reduced to its sampled frame-digest sequence
@@ -273,3 +277,73 @@ def q_mm_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import video_neardup_pairs
 
     return video_neardup_pairs(_media(spark, sf_dir))
+
+
+#: ingest-drop batch selector for the modality incrementals — every
+#: 25th media id, the 4% steady-state drop size the text family's
+#: dedup_containment_drop measures (queries/dedup_q.py _DROP_MOD)
+_MM_DROP_MOD = 25
+
+
+@register(
+    "mm_image_neardup_incr",
+    f"""
+    WITH ah AS (
+      SELECT media_id, ahash FROM ({_AHASH_SQL}) WHERE ahash IS NOT NULL
+    ),
+    chunks AS (
+      SELECT media_id, ahash, c AS chunk,
+             (ahash >> (c * 15)) & 32767 AS cv
+      FROM ah, (SELECT UNNEST(range(0, 4)) AS c)
+    )
+    SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+                    bit_count(xor(a.ahash, b.ahash)) AS hamming
+    FROM chunks a
+    JOIN chunks b ON a.chunk = b.chunk AND a.cv = b.cv
+                 AND a.media_id < b.media_id
+    WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+      AND (a.media_id % {_MM_DROP_MOD} = 0 OR b.media_id % {_MM_DROP_MOD} = 0)
+    """)
+def q_mm_image_neardup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental image near-dup at ingest (operators/multimodal.py
+    ahash_pairs_incremental): a 4% media drop matched against the
+    standing corpus's STORED aHash fingerprint index (ahash_fps — one
+    long per image) plus batch siblings; corpus payloads are never
+    re-decoded. Oracle: the full-corpus banded run restricted to pairs
+    with at least one new side — incremental must equal
+    rebuild-from-scratch minus corpus-internal pairs, the no-drift
+    property every stored-index dedup in the repo carries (VERDICT r8
+    #2)."""
+    from ..operators.multimodal import ahash_fps, ahash_pairs_incremental
+
+    media = _media(spark, sf_dir)
+    corpus_fps = ahash_fps(
+        media.where(F.col("media_id") % _MM_DROP_MOD != 0))
+    newb = media.where(F.col("media_id") % _MM_DROP_MOD == 0)
+    return ahash_pairs_incremental(newb, corpus_fps)
+
+
+@register(
+    "mm_video_neardup_incr",
+    f"""
+    WITH pairs AS ({_VIDEO_PAIRS_SQL})
+    SELECT * FROM pairs
+    WHERE doc_a % {_MM_DROP_MOD} = 0 OR doc_b % {_MM_DROP_MOD} = 0
+    """)
+def q_mm_video_neardup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental video near-dup at ingest (operators/multimodal.py
+    video_neardup_pairs_incremental): a 4% media drop's sampled
+    frame-digest shingles matched against the standing corpus's STORED
+    digest-shingle index (video_frame_index — ~32 bytes x sampled
+    frames, payloads read once at ingest); the batch-side prefix filter
+    is lossless for the symmetric Jaccard relation, so the oracle is
+    the brute-force all-pairs run restricted to pairs with at least one
+    new side (no-drift, VERDICT r8 #2)."""
+    from ..operators.multimodal import (video_frame_index,
+                                        video_neardup_pairs_incremental)
+
+    media = _media(spark, sf_dir)
+    corpus_idx = video_frame_index(
+        media.where(F.col("media_id") % _MM_DROP_MOD != 0))
+    newb = media.where(F.col("media_id") % _MM_DROP_MOD == 0)
+    return video_neardup_pairs_incremental(newb, corpus_idx)

@@ -72,28 +72,61 @@ def test_png_branch_matches_fake_branch(spark):
 def test_banding_is_lossless_at_hamming_3(spark):
     """Adversarial: two fingerprints differing in exactly 3 bits spread
     over 3 DIFFERENT chunks must still pair (the 4th chunk is
-    identical — pigeonhole)."""
+    identical — pigeonhole) — driven through the REAL band+verify path
+    (ahash_pairs_from_fps), so a wrong shift or mask in the banding SQL
+    fails this test (ADVICE r8)."""
     import numpy as np
+
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        SIMHASH_CHUNK_BITS,
+    )
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        ahash_pairs_from_fps,
+    )
 
     rng = np.random.RandomState(7)
     img = (rng.randint(0, 256, size=(30, 16))).astype(np.int64)
     fp = _ahash_from_gray(img)
-    # flip 3 bits in chunks 0,1,2 by crafting a second hash directly:
-    # pair generation runs on hashes, so drive ahash_pairs' banding
-    # through a frame built from the two fps via the internal shape
-    from oracle_to_snowflake_etl_spark.operators.dedup import (
-        SIMHASH_CHUNK_BITS,
-    )
-
     fp2 = fp ^ (1 << 0) ^ (1 << SIMHASH_CHUNK_BITS) \
              ^ (1 << (2 * SIMHASH_CHUNK_BITS))
-    # feed through the public pair path by planting payloads whose
-    # hashes are fp/fp2 is impractical; assert the pigeonhole on the
-    # chunk keys directly instead
-    chunks1 = [(fp >> (c * 15)) & 32767 for c in range(4)]
-    chunks2 = [(fp2 >> (c * 15)) & 32767 for c in range(4)]
-    assert any(a == b for a, b in zip(chunks1, chunks2))
     assert bin(fp ^ fp2).count("1") == 3
+    # a 4-bit spread (one flip per chunk) breaks the pigeonhole: the
+    # pair must NOT appear at max_hamming=3 even as a candidate
+    fp3 = fp2 ^ (1 << (3 * SIMHASH_CHUNK_BITS))
+    fps = spark.createDataFrame(
+        [(1, fp), (2, fp2), (3, fp3)], "doc long, fp long")
+    pairs = {(r.doc_a, r.doc_b, r.hamming)
+             for r in ahash_pairs_from_fps(fps).collect()}
+    assert (1, 2, 3) in pairs
+    assert not any({a, b} == {1, 3} for a, b, _ in pairs)
+
+
+def test_hot_bucket_report_and_budget(spark):
+    """Degenerate content (all-black images) hashes to one fingerprint:
+    the bucket report must surface the quadratic bucket BEFORE the pair
+    step, and max_bucket_pairs must fail fast naming it; under-budget
+    calls return identical pairs to the unguarded run."""
+    import pytest
+
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        ahash_bucket_report,
+        ahash_fps,
+    )
+
+    black = "\x00" * 320                       # 20x16 all-zero image
+    rows = [(i, black) for i in range(1, 7)]   # 6 copies -> 15 pairs/bucket
+    rows += [(10, ("varied content 0123456789 abcdefghij " * 12)[:320])]
+    media = _media(spark, rows)
+    fps = ahash_fps(media)
+    top = ahash_bucket_report(fps).first()
+    assert top["n"] == 6 and top["pairs"] == 15
+    with pytest.raises(ValueError, match="over budget"):
+        ahash_pairs(media, max_bucket_pairs=10).collect()
+    guarded = {(r.media_a, r.media_b)
+               for r in ahash_pairs(media, max_bucket_pairs=1000).collect()}
+    unguarded = {(r.media_a, r.media_b)
+                 for r in ahash_pairs(media).collect()}
+    assert guarded == unguarded and (1, 2) in guarded
 
 
 def test_video_neardup_shared_segment(spark):
@@ -113,6 +146,89 @@ def test_video_neardup_shared_segment(spark):
     pairs = {(r.doc_a, r.doc_b) for r in video_neardup_pairs(media).collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_video_blank_frames_scale_paths_agree(spark):
+    """The realistic video hot-shingle case: long blank-frame runs
+    shared by many videos make one frame-digest shingle hot. Both DF
+    paths (window default and the partial-agg scale_safe form the
+    "auto" default can now reach, VERDICT r8 #1) must emit identical
+    pairs — the hot shingle moves the plan, never the answer."""
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        video_neardup_pairs,
+    )
+
+    blank = "\x00" * (32 * 12)          # 12 blank frames (4 sampled)
+    tails = ["".join(chr(65 + ((i * s) % 26)) for i in range(32 * 9))
+             for s in (1, 3, 5, 7, 11)]
+    # five videos: shared blank intro + distinct tails, plus one pair
+    # sharing a real segment too
+    rows = [(i + 1, blank + t) for i, t in enumerate(tails)]
+    rows.append((9, blank + tails[0][:32 * 6] + "z" * 64))
+    media = _media(spark, rows)
+    got = {
+        ss: {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+             for r in video_neardup_pairs(media, scale_safe=ss).collect()}
+        for ss in (False, True, "auto")}
+    assert got[False] == got[True] == got["auto"]
+    assert any(a == 1 and b == 9 for a, b, _ in got[False])
+
+
+def test_ahash_incremental_no_drift(spark):
+    """ahash_pairs_incremental == full-corpus ahash_pairs minus
+    corpus-internal pairs — the defining no-drift property of a stored
+    fingerprint index (the minhash/containment incremental contract)."""
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        ahash_fps,
+        ahash_pairs_incremental,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog " * 8)[:320]
+    alt = ("pack my box with five dozen liquor jugs today " * 8)[:320]
+    rows = [(1, base), (2, base), (3, alt),          # corpus (dup pair 1-2)
+            (11, base), (12, alt), (13, "Q" * 320)]  # batch (cross + sib)
+    media = _media(spark, rows)
+    corpus_m = media.where(F.col("media_id") <= 3)
+    batch_m = media.where(F.col("media_id") >= 11)
+    full = {(r.media_a, r.media_b, r.hamming)
+            for r in ahash_pairs(media).collect()}
+    corpus_only = {(r.media_a, r.media_b, r.hamming)
+                   for r in ahash_pairs(corpus_m).collect()}
+    incr = {(r.media_a, r.media_b, r.hamming)
+            for r in ahash_pairs_incremental(
+                batch_m, ahash_fps(corpus_m)).collect()}
+    assert incr == full - corpus_only
+    assert (1, 11, 0) in incr          # new-vs-corpus
+    assert (1, 2, 0) not in incr       # corpus-internal excluded
+
+
+def test_video_incremental_no_drift(spark):
+    """video_neardup_pairs_incremental == full-corpus pairs minus
+    corpus-internal pairs, under the stored digest-shingle index."""
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        video_frame_index,
+        video_neardup_pairs,
+        video_neardup_pairs_incremental,
+    )
+
+    seg = "".join(chr(65 + (i % 26)) for i in range(32 * 30))
+    other = "".join(chr(97 + (i * 7 % 26)) for i in range(32 * 30))
+    rows = [(1, seg + "1" * 64), (2, seg + "2" * 64),      # corpus pair
+            (3, other + "3" * 64),
+            (11, seg + "4" * 64), (12, other + "5" * 64)]  # batch
+    media = _media(spark, rows)
+    corpus_m = media.where(F.col("media_id") <= 3)
+    batch_m = media.where(F.col("media_id") >= 11)
+    full = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in video_neardup_pairs(media).collect()}
+    corpus_only = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+                   for r in video_neardup_pairs(corpus_m).collect()}
+    incr = {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+            for r in video_neardup_pairs_incremental(
+                batch_m, video_frame_index(corpus_m)).collect()}
+    assert incr == full - corpus_only
+    assert any(a == 1 and b == 11 for a, b, _ in incr)
+    assert any(a == 3 and b == 12 for a, b, _ in incr)
 
 
 def test_frame_docs_order_is_frame_order(spark):

@@ -61,6 +61,24 @@ def test_partition_invariant_one_survivor_per_cluster(spark, sf_dir):
         assert doc in surv_ids
 
 
+def test_null_score_never_wins(spark):
+    """A NULL-scored member must rank LAST, not first: without the
+    coalesce, struct-min's nulls-first ordering made 'unknown quality'
+    beat every known score and diverged from SQL's NULLS LAST
+    (ADVICE r8)."""
+    docs = _docs(spark, [(1, "a"), (2, "b"), (3, "c")])
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1)], "doc long, keep_id long")
+    # doc 1 (the min id) scores NULL; doc 3 has the best real score
+    score = (F.when(F.col("doc_id") == 3, F.lit(100))
+             .when(F.col("doc_id") == 2, F.lit(1)))
+    surv = cluster_representatives(docs, clusters, score)
+    assert {r.doc_id for r in surv.collect()} == {3}
+    # all-NULL cluster: falls back to the min-id keeper via the tiebreak
+    surv2 = cluster_representatives(docs, clusters, F.lit(None))
+    assert {r.doc_id for r in surv2.collect()} == {1}
+
+
 def test_empty_clusters_identity(spark):
     docs = _docs(spark, [(1, "a"), (2, "b")])
     clusters = spark.createDataFrame([], "doc long, keep_id long")

@@ -621,3 +621,43 @@ def test_ahash_pairs_shuffles_longs_not_payloads(spark, sf_dir):
             assert "payload" not in line, line
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_video_neardup_scale_path_no_hot_key_window(spark, sf_dir):
+    """video_neardup_pairs forwards the text family's scale contract
+    (VERDICT r8 #1): on the scale path the frame-digest document
+    frequency must come from a partial-agg join-back, never a COUNT
+    window partitioned on the shingle hash (the blank/intro-frame
+    hot-shingle hazard); the default small-corpus path keeps the
+    measured-faster window form."""
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        media_from_documents, video_neardup_pairs)
+    from oracle_to_snowflake_etl_spark.plans.inspect import (
+        window_partition_cols)
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    safe = video_neardup_pairs(media, scale_safe=True, materialize=False)
+    assert all("h" not in cols for cols in window_partition_cols(safe)), \
+        window_partition_cols(safe)
+    fast = video_neardup_pairs(media, scale_safe=False, materialize=False)
+    assert any("h" in cols for cols in window_partition_cols(fast))
+
+
+def test_modality_incrementals_no_payload_shuffle_no_cartesian(spark,
+                                                               sf_dir):
+    """The incremental image/video near-dups (VERDICT r8 #2) keep the
+    batch forms' plan contracts: payload bytes die in the map pass
+    (never reach an Exchange), and candidate generation is equi-join
+    banding/prefix-filter — no cartesian or nested-loop join
+    anywhere."""
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+
+    for name in ("mm_image_neardup_incr", "mm_video_neardup_incr"):
+        df = queries()[name](spark, sf_dir)
+        plan = plan_string(df)
+        for line in plan.splitlines():
+            if "Exchange" in line:
+                assert "payload" not in line, (name, line)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
