@@ -933,6 +933,46 @@ def srp_pair_recall(df: DataFrame, threshold_q6: int = 350_000,
     return n_hit / n_truth
 
 
+def semantic_pair_recall(df: DataFrame, threshold_q6: int = 350_000,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         cells: int | str = IVF_CELLS,
+                         centroids: tuple | None = None) -> float:
+    """Pair-recall of :func:`semantic_dedup`'s cell partition against
+    :func:`brute_force_pairs` ground truth: the fraction of TRUE
+    near-dup pairs (quantized cosine >= threshold) whose two members
+    land in the SAME semantic cell — exactly the pairs the dedup can
+    see. 1 - recall is the cross-cell miss rate SemDeDup accepts for
+    never computing cross-cell pairs (the one recall trade the repo
+    had stated but not measured — VERDICT r8 #3; measured tables in
+    SCALE.md, floor pinned in tests/test_recall.py).
+
+    Within a cell, scoring is exact, so precision is 1.0 by
+    construction — same shape as :func:`srp_pair_recall`. Counts are
+    metadata-sized; the O(n²) truth side makes this a measurement
+    fixture, not a scale path. ``centroids=None`` trains on ``df``
+    (deterministic), mirroring semantic_dedup's default."""
+    cells = _resolve_cells(df, cells, centroids)
+    if centroids is None:
+        centroids = ivf_train_centroids(df, cells=cells,
+                                        vec_col=vec_col, id_col=id_col)
+    truth = brute_force_pairs(df, threshold_q6, vec_col, id_col)
+    assigned = df.select(
+        F.col(id_col).alias("_pr_id"),
+        ivf_cell(F.col(vec_col), cells=cells,
+                 centroids=centroids).alias("_pr_cell"))
+    n_truth = truth.count()
+    if n_truth == 0:
+        return 1.0
+    ca = assigned.select(F.col("_pr_id").alias("doc_a"),
+                         F.col("_pr_cell").alias("cell_a"))
+    cb = assigned.select(F.col("_pr_id").alias("doc_b"),
+                         F.col("_pr_cell").alias("cell_b"))
+    n_same = (truth.join(ca, "doc_a").join(cb, "doc_b")
+              .where(F.col("cell_a") == F.col("cell_b")).count())
+    return n_same / n_truth
+
+
 def quantize_int8(vec: Column, out_scale: str = "scale",
                   out_q: str = "q") -> list[Column]:
     """Per-vector symmetric int8 quantization: q_i = round(x_i * 127 /
