@@ -928,6 +928,13 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
             sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
             sh_cached = True
         dfh = sh.groupBy("h").agg(F.count(F.lit(1)).alias("_dfs"))
+        # measured (round 9, sf10/sf30 A/B): hinting this join-back
+        # SHUFFLE_HASH wins at the second decade (163->135 s at sf10)
+        # but LOSES 1.6x at the third (630->1018 s at sf30) — the
+        # per-partition hash builds of ~90M mostly-distinct h stop
+        # fitting once AQE coalesces the 512-way shuffle, and SHJ
+        # spill is far costlier than SMJ's sort spill. Default SMJ
+        # kept deliberately; see SCALE.md third-decade analysis.
         wdf = sh.join(dfh, "h")
     else:
         wdf = sh.withColumn("_dfs",
@@ -939,6 +946,12 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
                           <= (F.col("_n")
                               - F.ceil(F.col("_n") * F.lit(float(threshold)))
                               + 1)))
+    # spill-width discipline: everything downstream needs only
+    # (doc, h, _pf) — plus _dfs when df_cap filters on it — so the
+    # persisted/window-carried frame drops the rank/count scaffolding
+    # (_n, _r: 2 of 6 columns) before it is cached or re-shuffled
+    ranked = ranked.select(
+        "doc", "h", "_pf", *(["_dfs"] if df_cap is not None else []))
     if not scale_safe:
         ranked = ranked.withColumn(
             "_any",

@@ -552,7 +552,8 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
                    centroids: tuple | None = None,
                    max_cell_pairs: int | None = None,
                    keep: str = "first",
-                   score: "Column | None" = None) -> DataFrame:
+                   score: "Column | None" = None,
+                   nprobe: int = 1) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): partition the corpus into semantic cells
     (nearest-centroid assignment, :func:`ivf_cell`), compute pairwise
@@ -608,8 +609,24 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
     lower-id same-cell neighbor exists (local rule, the oracle-mirrored
     SemDeDup semantics — pairs (1,3),(2,3) keep BOTH 1 and 2), while
     keep="best" merges those into one component and keeps exactly one
-    survivor per near-dup cluster."""
+    survivor per near-dup cluster.
+
+    ``nprobe``: multi-probe assignment — each vector joins its
+    ``nprobe`` NEAREST cells (:func:`ivf_probe_cells`, the IVF query
+    trick applied to the index side) and a pair is visible when the two
+    share ANY probe cell. This is the dial that buys back the measured
+    cross-cell miss rate (SCALE.md round-9 table: single-assign recall
+    0.46/0.23 on planted cos-0.95 twins at sf0.01/sf0.1 — a near-dup
+    near a Voronoi boundary is by construction CLOSE to the second
+    centroid too, so probing it catches most boundary splits; measured
+    at 64 cells: 0.46→0.69→0.89 (sf0.01) and 0.23→0.43→0.74 (sf0.1)
+    for nprobe 1→2→4, SCALE.md). Cost: assignment
+    O(N·k) is unchanged (all k sims are already computed), shuffle and
+    pair mass scale ~×nprobe and ~×nprobe² worst-case — still never a
+    corpus cross-join. Default 1 = classic SemDeDup."""
     cells = _resolve_cells(df, cells, centroids)
+    if nprobe < 1:
+        raise ValueError(f"nprobe must be >= 1, got {nprobe}")
     if keep not in ("first", "best"):
         raise ValueError(f'keep must be "first" or "best", got {keep!r}')
     if (keep == "best") != (score is not None):
@@ -620,7 +637,8 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
                                         vec_col=vec_col, id_col=id_col)
     if max_cell_pairs is not None:
         hot = (semantic_cell_report(df, vec_col=vec_col, id_col=id_col,
-                                    cells=cells, centroids=centroids)
+                                    cells=cells, centroids=centroids,
+                                    nprobe=nprobe)
                .where(F.col("pairs") > max_cell_pairs).limit(5).collect())
         if hot:
             detail = ", ".join(f"cell {r['cell']}: n={r['n']} "
@@ -629,10 +647,14 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
                 f"semantic_dedup cell workload over budget "
                 f"(max_cell_pairs={max_cell_pairs}): {detail}. Re-train "
                 f"finer centroids (more cells) or raise the budget.")
+    cell_expr = (
+        ivf_cell(F.col(vec_col), cells=cells, centroids=centroids)
+        if nprobe == 1 else
+        F.explode(ivf_probe_cells(F.col(vec_col), nprobe=nprobe,
+                                  cells=cells, centroids=centroids)))
     assigned = df.select(
         F.col(id_col).alias("_sd_id"), F.col(vec_col).alias("_sd_vec"),
-        ivf_cell(F.col(vec_col), cells=cells,
-                 centroids=centroids).alias("_sd_cell"))
+        cell_expr.alias("_sd_cell"))
     peers = assigned.select(F.col("_sd_cell"),
                             F.col("_sd_id").alias("_kp_id"),
                             F.col("_sd_vec").alias("_kp_vec"))
@@ -713,7 +735,8 @@ def semantic_dedup_incremental(new_df: DataFrame, corpus: DataFrame,
 def semantic_cell_report(df: DataFrame, vec_col: str = "embedding",
                          id_col: str = "vec_id",
                          cells: int | str = IVF_CELLS,
-                         centroids: tuple | None = None) -> DataFrame:
+                         centroids: tuple | None = None,
+                         nprobe: int = 1) -> DataFrame:
     """Per-cell membership histogram for :func:`semantic_dedup` —
     (cell, n, pairs) with pairs = n*(n-1)/2, the EXACT pair workload
     the within-cell join materializes for that cell. This is the skew
@@ -725,10 +748,16 @@ def semantic_cell_report(df: DataFrame, vec_col: str = "embedding",
     is <= `cells` rows — metadata-sized at any corpus. Pass the SAME
     ``centroids`` the dedup will run with (``None`` here is ivf_cell's
     md5 leaf default — it does NOT train, unlike semantic_dedup).
-    ``cells="auto"`` mirrors semantic_dedup's √N sizing."""
+    ``cells="auto"`` mirrors semantic_dedup's √N sizing; pass the SAME
+    ``nprobe`` the dedup will run with (membership then counts probe
+    assignments — the workload the multi-probe join actually sees)."""
     cells = _resolve_cells(df, cells, centroids)
-    assigned = df.select(ivf_cell(F.col(vec_col), cells=cells,
-                                  centroids=centroids).alias("cell"))
+    cell_expr = (
+        ivf_cell(F.col(vec_col), cells=cells, centroids=centroids)
+        if nprobe == 1 else
+        F.explode(ivf_probe_cells(F.col(vec_col), nprobe=nprobe,
+                                  cells=cells, centroids=centroids)))
+    assigned = df.select(cell_expr.alias("cell"))
     n = F.count(F.lit(1))
     return (assigned.groupBy("cell")
             .agg(n.alias("n"),
@@ -937,7 +966,8 @@ def semantic_pair_recall(df: DataFrame, threshold_q6: int = 350_000,
                          vec_col: str = "embedding",
                          id_col: str = "vec_id",
                          cells: int | str = IVF_CELLS,
-                         centroids: tuple | None = None) -> float:
+                         centroids: tuple | None = None,
+                         nprobe: int = 1) -> float:
     """Pair-recall of :func:`semantic_dedup`'s cell partition against
     :func:`brute_force_pairs` ground truth: the fraction of TRUE
     near-dup pairs (quantized cosine >= threshold) whose two members
@@ -951,7 +981,9 @@ def semantic_pair_recall(df: DataFrame, threshold_q6: int = 350_000,
     construction — same shape as :func:`srp_pair_recall`. Counts are
     metadata-sized; the O(n²) truth side makes this a measurement
     fixture, not a scale path. ``centroids=None`` trains on ``df``
-    (deterministic), mirroring semantic_dedup's default."""
+    (deterministic), mirroring semantic_dedup's default. ``nprobe``:
+    a true pair counts as visible when its members share ANY of their
+    nprobe probe cells — the multi-probe dedup's pair space."""
     cells = _resolve_cells(df, cells, centroids)
     if centroids is None:
         centroids = ivf_train_centroids(df, cells=cells,
@@ -959,17 +991,17 @@ def semantic_pair_recall(df: DataFrame, threshold_q6: int = 350_000,
     truth = brute_force_pairs(df, threshold_q6, vec_col, id_col)
     assigned = df.select(
         F.col(id_col).alias("_pr_id"),
-        ivf_cell(F.col(vec_col), cells=cells,
-                 centroids=centroids).alias("_pr_cell"))
+        ivf_probe_cells(F.col(vec_col), nprobe=nprobe, cells=cells,
+                        centroids=centroids).alias("_pr_cells"))
     n_truth = truth.count()
     if n_truth == 0:
         return 1.0
     ca = assigned.select(F.col("_pr_id").alias("doc_a"),
-                         F.col("_pr_cell").alias("cell_a"))
+                         F.col("_pr_cells").alias("cells_a"))
     cb = assigned.select(F.col("_pr_id").alias("doc_b"),
-                         F.col("_pr_cell").alias("cell_b"))
+                         F.col("_pr_cells").alias("cells_b"))
     n_same = (truth.join(ca, "doc_a").join(cb, "doc_b")
-              .where(F.col("cell_a") == F.col("cell_b")).count())
+              .where(F.arrays_overlap("cells_a", "cells_b")).count())
     return n_same / n_truth
 
 

@@ -184,11 +184,15 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                     centroids=IVF_SNAPSHOT)
 
 
-def _duck_semantic_sql() -> str:
+def _duck_semantic_sql(probes: int = 1) -> str:
     """DuckDB oracle for SemDeDup semantic dedup: identical pinned
     centroid literal (similarity_snapshot.IVF_SNAPSHOT) and cell
     assignment as _duck_ivf_sql, within-cell pairwise quantized cosine,
-    drop rows with a lower-id near-dup in their cell, emit survivors."""
+    drop rows with a lower-id near-dup in their cell, emit survivors.
+    ``probes > 1`` mirrors the multi-probe operator: each row joins its
+    top-``probes`` cells (the qprobe QUALIFY pattern, ties sim DESC /
+    cell ASC — exact mirror of ivf_probe_cells' stable argsort) and a
+    pair drops when ANY probe cell is shared."""
     cs = IVF_SNAPSHOT
     c_lit = "[" + ", ".join(
         "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
@@ -201,21 +205,33 @@ def _duck_semantic_sql() -> str:
              "(p, q) -> p + q)")
     sims = (f"list_transform(range(0, {IVF_CELLS}), c -> "
             f"{dot_vc} / sqrt({nsq_v} * {nsq_c}))")
-    return f"""
-    WITH cents AS (SELECT {c_lit} AS C),
-    assigned AS (
+    if probes == 1:
+        assigned = f"""
       SELECT vec_id, label, embedding,
              list_position(sims, list_max(sims)) - 1 AS cell
       FROM (SELECT vec_id, label, embedding, {sims} AS sims
             FROM embeddings, cents)
-    ),
+    """
+    else:
+        assigned = f"""
+      SELECT vec_id, label, embedding, c AS cell
+      FROM (SELECT vec_id, label, embedding, {sims} AS sims
+            FROM embeddings, cents),
+           (SELECT UNNEST(range(0, {IVF_CELLS})) AS c)
+      QUALIFY row_number() OVER (
+          PARTITION BY vec_id
+          ORDER BY sims[c + 1] DESC, c ASC) <= {probes}
+    """
+    return f"""
+    WITH cents AS (SELECT {c_lit} AS C),
+    assigned AS ({assigned}),
     dropped AS (
       SELECT DISTINCT a.vec_id
       FROM assigned a
       JOIN assigned b ON a.cell = b.cell AND b.vec_id < a.vec_id
       WHERE {_duck_cos_q6('a.embedding', 'b.embedding')} >= {NEARDUP_Q6}
     )
-    SELECT vec_id, label FROM assigned
+    SELECT vec_id, label FROM embeddings
     WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
     """
 
@@ -260,6 +276,23 @@ def q_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (semantic_dedup_incremental(new, corpus,
                                        threshold_q6=NEARDUP_Q6,
                                        centroids=IVF_SNAPSHOT)
+            .select("vec_id", "label"))
+
+
+@register("dedup_semantic_probe2", _duck_semantic_sql(probes=2))
+def q_dedup_semantic_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe SemDeDup (operators/similarity.py semantic_dedup
+    nprobe=2): each vector joins its TWO nearest pinned-snapshot cells
+    and a pair drops when any probe cell is shared — the dial that buys
+    back the measured cross-cell miss rate (SCALE.md round-9 table:
+    planted-twin recall 0.46 → 0.69 at sf0.01, 0.23 → 0.43 at sf0.1,
+    0.89/0.74 at nprobe=4) for ~2x assignment shuffle, still never a
+    corpus cross-join. Oracle: the
+    same pinned matrix with the qprobe QUALIFY mirror of
+    ivf_probe_cells' (sim DESC, cell ASC) ranking."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (semantic_dedup(emb, threshold_q6=NEARDUP_Q6,
+                           centroids=IVF_SNAPSHOT, nprobe=2)
             .select("vec_id", "label"))
 
 

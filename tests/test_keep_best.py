@@ -155,3 +155,35 @@ def test_semantic_keep_best_one_survivor_per_component(spark, sf_dir):
         semantic_dedup(embs, keep="best")  # score missing
     with pytest.raises(ValueError, match="score"):
         semantic_dedup(embs, score=F.lit(1))  # keep='first' + score
+
+
+def test_semantic_multiprobe_supersets_drops(spark, sf_dir):
+    """semantic_dedup(nprobe=2): the pair space is a strict superset of
+    single-assign (every same-argmax-cell pair also shares probe cell
+    #1), so survivors(nprobe=2) ⊆ survivors(nprobe=1); and the planted
+    cos-0.95 twin recall must strictly improve (the measured buy-back,
+    SCALE.md round-9 table)."""
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        plant_near_dup_twins,
+        semantic_dedup,
+        semantic_pair_recall,
+    )
+    from oracle_to_snowflake_etl_spark.operators.similarity_snapshot import (
+        IVF_SNAPSHOT,
+        IVF_SNAPSHOT_CELLS,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    embs = load_table(spark, sf_dir, "embeddings")
+    s1 = {r.vec_id for r in semantic_dedup(
+        embs, threshold_q6=200_000, cells=IVF_SNAPSHOT_CELLS,
+        centroids=IVF_SNAPSHOT).select("vec_id").collect()}
+    s2 = {r.vec_id for r in semantic_dedup(
+        embs, threshold_q6=200_000, cells=IVF_SNAPSHOT_CELLS,
+        centroids=IVF_SNAPSHOT, nprobe=2).select("vec_id").collect()}
+    assert s2 <= s1
+    planted = plant_near_dup_twins(embs)
+    r1 = semantic_pair_recall(planted, threshold_q6=350_000, cells=64)
+    r2 = semantic_pair_recall(planted, threshold_q6=350_000, cells=64,
+                              nprobe=2)
+    assert r2 > r1

@@ -133,6 +133,25 @@ HEADLINERS = [
      "pass, so payload bytes never reach an Exchange — only (id, fp, "
      "chunk, cv) longs shuffle, O(images x 4) band keys, same lossless "
      "pigeonhole banding as text SimHash."),
+    ("mm_ingest_pipeline",
+     "Composed multimodal ingest: byte-stats gate (Arrow map pass) "
+     "feeds per-modality near-dup dedup — image aHash keep-best-by-"
+     "size and video frame-digest prefix-filter — each on its gated "
+     "modality slice only; payloads die in the fingerprint map passes "
+     "and every survivor step is a bounded anti-join, so the composed "
+     "plan inherits each stage's scale contract unchanged."),
+    ("dedup_ngram_keep_best",
+     "One-call keep-best: the lossless prefix-filter pair plan feeds "
+     "output-bounded CC iterations; quality is scored only on cluster "
+     "members (semi-join pruned) with a struct-min hash-agg arg-max — "
+     "the corpus is scanned for pairs once and anti-joined once, "
+     "identical to the hand-wired three-step it replaces."),
+    ("mm_video_neardup_incr",
+     "Incremental video near-dup: only the BATCH is decoded/framed; "
+     "the corpus arrives as its stored digest-shingle index, lossless-"
+     "bounded by a semi-join against the batch's prefix shingles — "
+     "per-ingest shuffled rows O(batch + prefix-hit index + matches), "
+     "never a corpus pair scan."),
 ]
 
 

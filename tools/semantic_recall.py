@@ -64,18 +64,23 @@ def main() -> None:
         corpus = corpus.persist()
         n = corpus.count()
         sqrt_n = max(16, int(round(math.sqrt(n))))
-        for label, cells in [("16", 16), ("64", 64),
-                             (f"sqrt(N)={sqrt_n}", sqrt_n), ("256", 256)]:
+        for label, cells, nprobe in [
+                ("16", 16, 1), ("64", 64, 1),
+                (f"sqrt(N)={sqrt_n}", sqrt_n, 1), ("256", 256, 1),
+                # the recall buy-back dial (semantic_dedup nprobe=):
+                ("64 nprobe=2", 64, 2), ("64 nprobe=4", 64, 4),
+                ("256 nprobe=2", 256, 2)]:
             r = semantic_pair_recall(corpus,
                                      threshold_q6=args.threshold_q6,
-                                     cells=cells)
+                                     cells=cells, nprobe=nprobe)
             rec = {"sf_dir": sf_dir, "n_vectors": n, "cells": cells,
-                   "cells_label": label, "threshold_q6": args.threshold_q6,
+                   "nprobe": nprobe, "cells_label": label,
+                   "threshold_q6": args.threshold_q6,
                    "target_cos": args.target_cos,
                    "pair_recall": round(r, 4),
                    "cross_cell_miss": round(1 - r, 4)}
             results.append(rec)
-            print(f"{sf_dir} n={n} cells={label:>12}: "
+            print(f"{sf_dir} n={n} cells={label:>14}: "
                   f"recall={r:.4f} miss={1 - r:.4f}", flush=True)
         corpus.unpersist()
 
