@@ -631,7 +631,9 @@ def ahash_pairs(media: DataFrame, max_hamming: int = 3,
 
 def ahash_pairs_incremental(new_media: DataFrame, corpus_fps: DataFrame,
                             max_hamming: int = 3,
-                            fake_width: int = 16) -> DataFrame:
+                            fake_width: int = 16,
+                            max_bucket_pairs: int | None = None
+                            ) -> DataFrame:
     """Incremental image near-dup: match a NEW media batch against a
     PRECOMPUTED corpus fingerprint index (``corpus_fps``: (doc, fp)
     from :func:`ahash_fps`) plus the batch itself — corpus PAYLOADS are
@@ -647,10 +649,31 @@ def ahash_pairs_incremental(new_media: DataFrame, corpus_fps: DataFrame,
     co-located equi-join whose shuffle carries only the BATCH's 4
     chunk keys per image, so per-ingest cost is O(|batch| x 4 +
     matches), never O(corpus). Within-batch pairs reuse the standard
-    bucket path on the batch's own chunks."""
+    bucket path on the batch's own chunks.
+
+    ``max_bucket_pairs``: the batch form's degenerate-content fail-fast
+    (see :func:`ahash_pairs_from_fps`), applied to the INGEST workload:
+    the budget bounds per-bucket corpus-match work |corpus ∩ bucket| x
+    |batch ∩ bucket| plus the within-batch quadratic — a blank-
+    thumbnail class that dominates one bucket in the stored index makes
+    EVERY future ingest pay it, so the guard reports against the union
+    (index + batch) histogram and aborts before the join."""
     from .util import bucket_pairs
 
-    nb = _ahash_chunks(ahash_fps(new_media, fake_width=fake_width))
+    new_fps = ahash_fps(new_media, fake_width=fake_width)
+    if max_bucket_pairs is not None:
+        hot = (ahash_bucket_report(corpus_fps.unionByName(new_fps))
+               .where(F.col("pairs") > max_bucket_pairs).limit(5).collect())
+        if hot:
+            detail = ", ".join(f"(chunk {r['chunk']}, cv {r['cv']}): "
+                               f"n={r['n']} pairs={r['pairs']}" for r in hot)
+            raise ValueError(
+                f"ahash_pairs_incremental bucket workload over budget "
+                f"(max_bucket_pairs={max_bucket_pairs}): {detail}. "
+                f"Degenerate image content in the stored index or the "
+                f"batch — exact-dedup the offending class or raise the "
+                f"budget.")
+    nb = _ahash_chunks(new_fps)
     cb = _ahash_chunks(corpus_fps)
     nc = (cb.select("chunk", "cv", F.col("doc").alias("c_doc"),
                     F.col("fp").alias("c_fp"))

@@ -680,7 +680,8 @@ def semantic_dedup_incremental(new_df: DataFrame, corpus: DataFrame,
                                vec_col: str = "embedding",
                                id_col: str = "vec_id",
                                cells: int = IVF_CELLS,
-                               centroids: tuple | None = None) -> DataFrame:
+                               centroids: tuple | None = None,
+                               nprobe: int = 1) -> DataFrame:
     """Incremental :func:`semantic_dedup`: survivors among ``new_df``
     against an already-INGESTED ``corpus`` — a new row is dropped if a
     same-cell near-dup (quantized cosine >= threshold) exists in the
@@ -702,17 +703,28 @@ def semantic_dedup_incremental(new_df: DataFrame, corpus: DataFrame,
     hash shuffle on cell; the corpus side arrives cell-partitioned when
     the survivor store is written partitionBy(cell)
     (:func:`write_ivf_index` layout), so the join prunes to the cells
-    the batch actually touches."""
+    the batch actually touches.
+
+    ``nprobe`` mirrors the batch form's multi-probe dial (pass the
+    SAME value the full runs use — the no-drift contract holds per
+    (centroids, nprobe) setting, since both sides' pair visibility is
+    "shares any probe cell")."""
     if centroids is None:
         centroids = ivf_train_centroids(corpus.unionByName(new_df),
                                         vec_col=vec_col, id_col=id_col)
+
+    def cell_expr():
+        return (ivf_cell(F.col(vec_col), cells=cells, centroids=centroids)
+                if nprobe == 1 else
+                F.explode(ivf_probe_cells(F.col(vec_col), nprobe=nprobe,
+                                          cells=cells,
+                                          centroids=centroids)))
+
     new_a = new_df.select(
         F.col(id_col).alias("_sd_id"), F.col(vec_col).alias("_sd_vec"),
-        ivf_cell(F.col(vec_col), cells=cells,
-                 centroids=centroids).alias("_sd_cell"))
+        cell_expr().alias("_sd_cell"))
     keep_corpus = corpus.select(
-        ivf_cell(F.col(vec_col), cells=cells,
-                 centroids=centroids).alias("_sd_cell"),
+        cell_expr().alias("_sd_cell"),
         F.lit(None).cast("long").alias("_kp_id"),
         F.col(vec_col).alias("_kp_vec"))
     keep_new = new_a.select(F.col("_sd_cell"),

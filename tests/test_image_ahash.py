@@ -200,6 +200,18 @@ def test_ahash_incremental_no_drift(spark):
     assert incr == full - corpus_only
     assert (1, 11, 0) in incr          # new-vs-corpus
     assert (1, 2, 0) not in incr       # corpus-internal excluded
+    # the ingest-side bucket budget: under budget = identical result;
+    # a degenerate class dominating the index + batch histogram aborts
+    import pytest
+
+    guarded = {(r.media_a, r.media_b, r.hamming)
+               for r in ahash_pairs_incremental(
+                   batch_m, ahash_fps(corpus_m),
+                   max_bucket_pairs=1000).collect()}
+    assert guarded == incr
+    with pytest.raises(ValueError, match="over budget"):
+        ahash_pairs_incremental(batch_m, ahash_fps(corpus_m),
+                                max_bucket_pairs=0).collect()
 
 
 def test_video_incremental_no_drift(spark):

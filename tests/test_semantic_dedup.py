@@ -116,6 +116,40 @@ def test_incremental_no_drift(spark, emb):
     assert full.join(pieced, "vec_id", "left_semi").count() == n_full
 
 
+def test_incremental_no_drift_multiprobe(spark, emb):
+    """The no-drift contract holds per (centroids, nprobe) setting:
+    batch and incremental forms at nprobe=2 piece together exactly, on
+    the planted-twin corpus where multi-probe catches boundary-split
+    twins single-assign misses (so the two settings genuinely differ)."""
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    planted = plant_near_dup_twins(emb)
+    centroids = ivf_train_centroids(planted)
+    base = emb.agg(F.max("vec_id")).first()[0] + 1
+    corpus = planted.where(F.col("vec_id") < base)
+    new = planted.where(F.col("vec_id") >= base)
+    full = semantic_dedup(planted, threshold_q6=TWIN_Q6,
+                          centroids=centroids, nprobe=2).select("vec_id")
+    pieced = (semantic_dedup(corpus, threshold_q6=TWIN_Q6,
+                             centroids=centroids, nprobe=2)
+              .select("vec_id")
+              .unionByName(
+                  semantic_dedup_incremental(new, corpus,
+                                             threshold_q6=TWIN_Q6,
+                                             centroids=centroids,
+                                             nprobe=2)
+                  .select("vec_id")))
+    n_full = full.count()
+    assert pieced.count() == n_full
+    assert full.join(pieced, "vec_id", "left_semi").count() == n_full
+    # and nprobe=2 must drop MORE twins than single-assign here
+    n_single = semantic_dedup(planted, threshold_q6=TWIN_Q6,
+                              centroids=centroids).count()
+    assert n_full < n_single
+
+
 def test_cell_report_conserves_rows_and_pair_math(spark, emb):
     """semantic_cell_report: Sum(n) over cells == corpus size, every
     pairs == n*(n-1)/2, and <= IVF_CELLS rows out (metadata-sized)."""
