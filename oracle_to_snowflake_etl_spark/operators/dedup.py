@@ -1067,7 +1067,13 @@ def containment_pairs_incremental(new_df: DataFrame,
     # only BATCH occurrences of a shingle, so the hazard needs a large
     # batch, but "large drop" is a normal backfill shape. "auto"
     # therefore samples the BATCH (the only window-keyed frame here),
-    # not the corpus.
+    # not the corpus. Round-10 family audit (VERDICT r9 #3): this
+    # default stays False to MATCH containment_pairs — the text family
+    # pins the window path under its registered oracles and text
+    # shingles lack the video modality's structurally-guaranteed hot
+    # key (blank frames), so the sampling jobs aren't paid by default;
+    # backfill-scale drops opt into "auto" (consistency guard:
+    # tests/test_image_ahash.py test_pairs_family_scale_safe_defaults).
     if isinstance(scale_safe, str):
         if scale_safe != "auto":
             raise ValueError(

@@ -757,7 +757,7 @@ def video_frame_index(media: DataFrame) -> DataFrame:
 def video_neardup_pairs_incremental(new_media: DataFrame,
                                     corpus_index: DataFrame,
                                     threshold: float = 0.3,
-                                    scale_safe: bool | str = False
+                                    scale_safe: bool | str = "auto"
                                     ) -> DataFrame:
     """Incremental video near-dup: which NEW videos share segments
     (3-frame-run shingle Jaccard >= ``threshold``) with an already-
@@ -778,7 +778,12 @@ def video_neardup_pairs_incremental(new_media: DataFrame,
     Emits (doc_a, doc_b, jaccard), doc_a < doc_b, exactly the
     full-corpus run's pairs with at least one new side (no-drift, the
     oracle contract). ``scale_safe`` guards the batch-local DF window
-    as in containment_pairs_incremental ("auto" samples the BATCH)."""
+    as in containment_pairs_incremental ("auto" samples the BATCH).
+    Default "auto" since round 10 (VERDICT r9 #3): the blank-frame
+    hot-shingle case that motivated auto on the batch form exists for
+    batches too — a drop of intro-card videos lands one digest shingle
+    on one window partition; the decision moves the plan, never the
+    pairs."""
     from pyspark.sql import Window as _W
 
     from .dedup import _auto_scale_safe, shingled_docs

@@ -236,15 +236,20 @@ def _duck_semantic_sql(probes: int = 1) -> str:
     """
 
 
-@register("dedup_semantic", _duck_semantic_sql())
+@register("dedup_semantic", _duck_semantic_sql(probes=2))
 def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup semantic dedup over the embeddings table: pinned-snapshot
     cell assignment, within-cell cosine >= 0.35 (the near-dup operating
     point of this near-orthogonal corpus), min-id survivor per dup pair
-    (operators/similarity.py semantic_dedup). Passes the committed
-    k-means snapshot explicitly — same corpus-independent mirror
-    contract as ann_ivf_topk; the train-on-corpus default is exercised
-    by tests/test_semantic_dedup.py instead."""
+    (operators/similarity.py semantic_dedup). Exercises the DEFAULT
+    probe count — SEMDEDUP_NPROBE=2 since the round-10 flip (VERDICT
+    r9 #2: single-assign was the measured-worst recall corner), so the
+    oracle mirrors two-probe visibility (the qprobe QUALIFY pattern).
+    Passes the committed k-means snapshot explicitly — same
+    corpus-independent mirror contract as ann_ivf_topk; the
+    train-on-corpus default is exercised by tests/test_semantic_dedup.py
+    instead; classic single-assign stays pinned as
+    dedup_semantic_probe1."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (semantic_dedup(emb, threshold_q6=NEARDUP_Q6,
                            centroids=IVF_SNAPSHOT)
@@ -259,7 +264,7 @@ SEM_SPLIT = 200
 
 @register(
     "dedup_semantic_incr",
-    _duck_semantic_sql().replace(
+    _duck_semantic_sql(probes=2).replace(
         "WHERE vec_id NOT IN (SELECT vec_id FROM dropped)",
         f"WHERE vec_id NOT IN (SELECT vec_id FROM dropped)"
         f" AND vec_id >= {SEM_SPLIT}"))
@@ -267,9 +272,10 @@ def q_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental SemDeDup ingest: batch = vec_id >= 200 deduplicated
     against the already-ingested corpus (vec_id < 200) plus batch
     siblings (operators/similarity.py semantic_dedup_incremental,
-    pinned snapshot). The oracle IS the no-drift contract: full-batch
-    semantic dedup restricted to the new ids must equal the
-    incremental result exactly."""
+    pinned snapshot, default SEMDEDUP_NPROBE=2 on both sides). The
+    oracle IS the no-drift contract: full-batch semantic dedup
+    restricted to the new ids must equal the incremental result
+    exactly — per (centroids, nprobe) setting."""
     emb = load_table(spark, sf_dir, "embeddings")
     corpus = emb.where(F.col("vec_id") < SEM_SPLIT)
     new = emb.where(F.col("vec_id") >= SEM_SPLIT)
@@ -279,27 +285,34 @@ def q_dedup_semantic_incr(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label"))
 
 
-@register("dedup_semantic_probe2", _duck_semantic_sql(probes=2))
-def q_dedup_semantic_probe2(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-probe SemDeDup (operators/similarity.py semantic_dedup
-    nprobe=2): each vector joins its TWO nearest pinned-snapshot cells
-    and a pair drops when any probe cell is shared — the dial that buys
-    back the measured cross-cell miss rate (SCALE.md round-9 table:
-    planted-twin recall 0.46 → 0.69 at sf0.01, 0.23 → 0.43 at sf0.1,
-    0.89/0.74 at nprobe=4) for ~2x assignment shuffle, still never a
-    corpus cross-join. Oracle: the
-    same pinned matrix with the qprobe QUALIFY mirror of
-    ivf_probe_cells' (sim DESC, cell ASC) ranking."""
+@register("dedup_semantic_probe1", _duck_semantic_sql(probes=1))
+def q_dedup_semantic_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic single-assign SemDeDup (operators/similarity.py
+    semantic_dedup nprobe=1 — the paper's original semantics, Abbas et
+    al. arXiv:2303.09540): each vector lives in exactly its nearest
+    pinned-snapshot cell and only same-cell pairs are visible. Kept
+    oracle-pinned after the round-10 default flip to SEMDEDUP_NPROBE=2
+    (this query replaces the now-redundant dedup_semantic_probe2 —
+    identical to dedup_semantic under the new default) so BOTH probe
+    branches stay driver-checkable: the argmax single-cell assignment
+    here, the explode/arrays-overlap multi-probe path under
+    dedup_semantic. The recall cost of this operating point is measured
+    in SEMANTIC_RECALL.json / SCALE.md (0.46/0.23 planted-twin recall
+    at sf0.01/sf0.1, 64 cells)."""
     emb = load_table(spark, sf_dir, "embeddings")
     return (semantic_dedup(emb, threshold_q6=NEARDUP_Q6,
-                           centroids=IVF_SNAPSHOT, nprobe=2)
+                           centroids=IVF_SNAPSHOT, nprobe=1)
             .select("vec_id", "label"))
 
 
-def _duck_cells_sql() -> str:
+def _duck_cells_sql(probes: int = 2) -> str:
     """DuckDB oracle for the semantic-cell workload report: identical
     pinned centroid assignment, then a plain histogram with the exact
-    per-cell pair workload n*(n-1)/2."""
+    per-cell pair workload n*(n-1)/2. ``probes`` mirrors
+    semantic_cell_report's nprobe (default SEMDEDUP_NPROBE=2 since the
+    round-10 flip): each row contributes one membership per probe cell
+    (the qprobe QUALIFY pattern), so n counts memberships — exactly the
+    rows the multi-probe within-cell join will see."""
     cs = IVF_SNAPSHOT
     c_lit = "[" + ", ".join(
         "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
@@ -312,12 +325,23 @@ def _duck_cells_sql() -> str:
              "(p, q) -> p + q)")
     sims = (f"list_transform(range(0, {IVF_CELLS}), c -> "
             f"{dot_vc} / sqrt({nsq_v} * {nsq_c}))")
-    return f"""
-    WITH cents AS (SELECT {c_lit} AS C),
-    assigned AS (
+    if probes == 1:
+        assigned = f"""
       SELECT list_position(sims, list_max(sims)) - 1 AS cell
       FROM (SELECT {sims} AS sims FROM embeddings, cents)
-    )
+    """
+    else:
+        assigned = f"""
+      SELECT c AS cell
+      FROM (SELECT vec_id, {sims} AS sims FROM embeddings, cents),
+           (SELECT UNNEST(range(0, {IVF_CELLS})) AS c)
+      QUALIFY row_number() OVER (
+          PARTITION BY vec_id
+          ORDER BY sims[c + 1] DESC, c ASC) <= {probes}
+    """
+    return f"""
+    WITH cents AS (SELECT {c_lit} AS C),
+    assigned AS ({assigned})
     SELECT cell, COUNT(*) AS n,
            CAST(COUNT(*) * (COUNT(*) - 1) / 2 AS BIGINT) AS pairs
     FROM assigned GROUP BY cell
@@ -329,7 +353,10 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semantic-cell workload histogram (cell, n, pairs): the skew dial
     for semantic_dedup — per-cell n*(n-1)/2 is the exact pair count the
     within-cell join will materialize, surfaced BEFORE the quadratic
-    work runs (operators/similarity.py semantic_cell_report)."""
+    work runs (operators/similarity.py semantic_cell_report). Runs at
+    the report's DEFAULT nprobe (SEMDEDUP_NPROBE=2 since round 10), so
+    n counts probe memberships — Sum(n) = 2 × corpus — mirroring the
+    workload the default semantic_dedup join actually sees."""
     emb = load_table(spark, sf_dir, "embeddings")
     return semantic_cell_report(emb, centroids=IVF_SNAPSHOT)
 

@@ -243,6 +243,63 @@ def test_video_incremental_no_drift(spark):
     assert any(a == 3 and b == 12 for a, b, _ in incr)
 
 
+def test_video_incremental_blank_frames_scale_paths_agree(spark):
+    """The incremental form's round-10 default flip to scale_safe="auto"
+    (VERDICT r9 #3, family consistency with the batch form): a drop of
+    blank-intro videos — the realistic hot-shingle batch — must emit
+    identical pairs on every DF path (window default, partial-agg
+    scale-safe, and the auto decision), against a stored corpus index
+    that shares the blank run."""
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        video_frame_index,
+        video_neardup_pairs_incremental,
+    )
+
+    blank = "\x00" * (32 * 12)          # shared blank intro, 4 sampled
+    tails = ["".join(chr(65 + ((i * s) % 26)) for i in range(32 * 9))
+             for s in (1, 3, 5, 7, 11)]
+    corpus_m = _media(spark, [(i + 1, blank + t)
+                              for i, t in enumerate(tails[:3])])
+    # batch: blank intro + one real segment shared with corpus video 1
+    batch_m = _media(spark, [
+        (11, blank + tails[0][:32 * 6] + "z" * 64),
+        (12, blank + tails[3]), (13, blank + tails[4])])
+    idx = video_frame_index(corpus_m)
+    got = {
+        ss: {(r.doc_a, r.doc_b, round(r.jaccard, 9))
+             for r in video_neardup_pairs_incremental(
+                 batch_m, idx, scale_safe=ss).collect()}
+        for ss in (False, True, "auto")}
+    assert got[False] == got[True] == got["auto"]
+    assert any(a == 1 and b == 11 for a, b, _ in got["auto"])
+
+
+def test_pairs_family_scale_safe_defaults_agree():
+    """Family-consistency guard (VERDICT r9 #3 audit): within every
+    shingle-pair family the batch and incremental forms ship the SAME
+    scale_safe default — video "auto" (realistic blank-frame hot
+    shingle), text containment False (window path pinned by its
+    registered oracles; large backfills opt into "auto")."""
+    import inspect
+
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        containment_pairs,
+        containment_pairs_incremental,
+    )
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        video_neardup_pairs,
+        video_neardup_pairs_incremental,
+    )
+
+    def default(fn):
+        return inspect.signature(fn).parameters["scale_safe"].default
+
+    assert default(video_neardup_pairs) == "auto"
+    assert default(video_neardup_pairs_incremental) == "auto"
+    assert default(containment_pairs) == default(
+        containment_pairs_incremental) is False
+
+
 def test_frame_docs_order_is_frame_order(spark):
     """frame_docs joins digests in frame_no order regardless of
     partitioning — the shingle semantics depend on it."""

@@ -177,13 +177,14 @@ def test_semantic_multiprobe_supersets_drops(spark, sf_dir):
     embs = load_table(spark, sf_dir, "embeddings")
     s1 = {r.vec_id for r in semantic_dedup(
         embs, threshold_q6=200_000, cells=IVF_SNAPSHOT_CELLS,
-        centroids=IVF_SNAPSHOT).select("vec_id").collect()}
+        centroids=IVF_SNAPSHOT, nprobe=1).select("vec_id").collect()}
     s2 = {r.vec_id for r in semantic_dedup(
         embs, threshold_q6=200_000, cells=IVF_SNAPSHOT_CELLS,
         centroids=IVF_SNAPSHOT, nprobe=2).select("vec_id").collect()}
     assert s2 <= s1
     planted = plant_near_dup_twins(embs)
-    r1 = semantic_pair_recall(planted, threshold_q6=350_000, cells=64)
+    r1 = semantic_pair_recall(planted, threshold_q6=350_000, cells=64,
+                              nprobe=1)
     r2 = semantic_pair_recall(planted, threshold_q6=350_000, cells=64,
                               nprobe=2)
     assert r2 > r1

@@ -82,22 +82,33 @@ def test_srp_recall_at_near_dup_operating_point(spark, emb):
 
 
 def test_semantic_pair_recall_floor(spark, emb):
-    """semantic_dedup's cross-cell miss rate, pinned (VERDICT r8 #3):
+    """semantic_dedup's cross-cell miss rate, pinned (VERDICT r8 #3;
+    floors re-pinned for the round-10 default flip, VERDICT r9 #2):
     on the planted-twin corpus (cos 0.95) the fraction of true pairs
-    that share a trained cell is measured 0.458 at cells=64 / 0.353 at
-    cells=256 (tools/semantic_recall.py, table + honest isotropic-
-    corpus reading in SCALE.md). Guards: tight floors under the
-    deterministic measurements, plus the monotone trend that makes the
-    trade a DIAL — more cells, more boundary misses. If a refactor
-    silently improves or degrades the cell geometry, these move."""
+    that share a probe cell is measured (tools/semantic_recall.py,
+    table + honest isotropic-corpus reading in SCALE.md):
+    single-assign 0.458 at cells=64 / 0.353 at cells=256; at the NEW
+    DEFAULT (SEMDEDUP_NPROBE=2) 0.691 at cells=64 / 0.676 at
+    cells=256. Guards: tight floors under the deterministic
+    measurements, plus the two monotone trends that make both dials
+    real — more cells, more boundary misses; more probes, fewer."""
     from oracle_to_snowflake_etl_spark.operators.similarity import (
         plant_near_dup_twins,
         semantic_pair_recall,
     )
 
     planted = plant_near_dup_twins(emb)
-    r64 = semantic_pair_recall(planted, threshold_q6=350_000, cells=64)
-    r256 = semantic_pair_recall(planted, threshold_q6=350_000, cells=256)
+    r64 = semantic_pair_recall(planted, threshold_q6=350_000, cells=64,
+                               nprobe=1)
+    r256 = semantic_pair_recall(planted, threshold_q6=350_000, cells=256,
+                                nprobe=1)
     assert r64 >= 0.43          # measured 0.458, deterministic
     assert r256 >= 0.33         # measured 0.353
     assert r64 > r256           # finer cells must not gain recall
+    # the shipped default (nprobe=2) — the round-10 operating point
+    d64 = semantic_pair_recall(planted, threshold_q6=350_000, cells=64)
+    d256 = semantic_pair_recall(planted, threshold_q6=350_000, cells=256)
+    assert d64 >= 0.65          # measured 0.691
+    assert d256 >= 0.63         # measured 0.676
+    assert d64 > r64            # the probe dial must buy recall
+    assert d256 > r256

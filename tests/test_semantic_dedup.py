@@ -92,7 +92,9 @@ def test_incremental_no_drift(spark, emb):
     == semantic_dedup(corpus ∪ new), id-for-id, under one pinned
     centroid matrix — the stored-index incremental contract. Corpus =
     the originals, new batch = their planted twins (every new row has a
-    corpus near-dup: the hardest drift case)."""
+    corpus near-dup: the hardest drift case). Pinned at nprobe=1 so the
+    single-assign setting stays covered after the round-10 default flip
+    (the default setting is the multiprobe twin below)."""
     from oracle_to_snowflake_etl_spark.operators.similarity import (
         semantic_dedup_incremental,
     )
@@ -103,13 +105,15 @@ def test_incremental_no_drift(spark, emb):
     corpus = planted.where(F.col("vec_id") < base)
     new = planted.where(F.col("vec_id") >= base)
     full = semantic_dedup(planted, threshold_q6=TWIN_Q6,
-                          centroids=centroids).select("vec_id")
+                          centroids=centroids, nprobe=1).select("vec_id")
     pieced = (semantic_dedup(corpus, threshold_q6=TWIN_Q6,
-                             centroids=centroids).select("vec_id")
+                             centroids=centroids, nprobe=1)
+              .select("vec_id")
               .unionByName(
                   semantic_dedup_incremental(new, corpus,
                                              threshold_q6=TWIN_Q6,
-                                             centroids=centroids)
+                                             centroids=centroids,
+                                             nprobe=1)
                   .select("vec_id")))
     n_full = full.count()
     assert pieced.count() == n_full
@@ -146,22 +150,29 @@ def test_incremental_no_drift_multiprobe(spark, emb):
     assert full.join(pieced, "vec_id", "left_semi").count() == n_full
     # and nprobe=2 must drop MORE twins than single-assign here
     n_single = semantic_dedup(planted, threshold_q6=TWIN_Q6,
-                              centroids=centroids).count()
+                              centroids=centroids, nprobe=1).count()
     assert n_full < n_single
 
 
 def test_cell_report_conserves_rows_and_pair_math(spark, emb):
-    """semantic_cell_report: Sum(n) over cells == corpus size, every
-    pairs == n*(n-1)/2, and <= IVF_CELLS rows out (metadata-sized)."""
+    """semantic_cell_report: Sum(n) over cells == nprobe x corpus size
+    (one membership per probe cell — the default SEMDEDUP_NPROBE=2
+    since the round-10 flip counts two), every pairs == n*(n-1)/2, and
+    <= IVF_CELLS rows out (metadata-sized)."""
     from oracle_to_snowflake_etl_spark.operators.similarity import (
         IVF_CELLS,
+        SEMDEDUP_NPROBE,
         semantic_cell_report,
     )
 
-    rep = semantic_cell_report(emb).collect()
+    n_corpus = emb.count()
+    rep = semantic_cell_report(emb).collect()       # default nprobe=2
+    assert SEMDEDUP_NPROBE == 2                     # the round-10 flip
     assert len(rep) <= IVF_CELLS
-    assert sum(r["n"] for r in rep) == emb.count()
+    assert sum(r["n"] for r in rep) == SEMDEDUP_NPROBE * n_corpus
     assert all(r["pairs"] == r["n"] * (r["n"] - 1) // 2 for r in rep)
+    rep1 = semantic_cell_report(emb, nprobe=1).collect()
+    assert sum(r["n"] for r in rep1) == n_corpus    # single-assign
 
 
 def test_max_cell_pairs_budget_guard(spark, emb):

@@ -55,6 +55,11 @@ def main() -> None:
     ap.add_argument("--eval-dir", default="/root/testdata/sf0.01")
     ap.add_argument("--runs", type=int, default=2)
     ap.add_argument("--threshold-q6", type=int, default=350_000)
+    # historical curve (SCALE_SEMANTIC*.json rounds 8-9) was measured at
+    # single-assign; the engine default flipped to SEMDEDUP_NPROBE=2 in
+    # round 10, so the sweep pins nprobe explicitly to stay comparable
+    # across rounds — pass --nprobe 2 to sweep the new default's slope.
+    ap.add_argument("--nprobe", type=int, default=1)
     ap.add_argument("--out", default=os.path.join(REPO,
                                                   "SCALE_SEMANTIC.json"))
     args = ap.parse_args()
@@ -89,19 +94,22 @@ def main() -> None:
         t0 = time.perf_counter()
         cents = ivf_train_centroids(emb, cells=cells)
         t_train = time.perf_counter() - t0
-        hot = (semantic_cell_report(emb, cells=cells, centroids=cents)
+        hot = (semantic_cell_report(emb, cells=cells, centroids=cents,
+                                    nprobe=args.nprobe)
                .limit(1).collect())
         hot_pairs = int(hot[0]["pairs"]) if hot else 0
 
         t_dedup, survivors = best_of(
             lambda: semantic_dedup(
                 emb, threshold_q6=args.threshold_q6,
-                cells=cells, centroids=cents).count())
+                cells=cells, centroids=cents,
+                nprobe=args.nprobe).count())
         t_decon, kept = best_of(
             lambda: semantic_decontaminate(
                 emb, eval_df, threshold_q6=args.threshold_q6).count())
 
         rows.append({"dir": d, "n": n, "cells": cells,
+                     "nprobe": args.nprobe,
                      "t_train": round(t_train, 3),
                      "hot_pairs": hot_pairs,
                      "t_dedup": round(t_dedup, 3), "survivors": survivors,
