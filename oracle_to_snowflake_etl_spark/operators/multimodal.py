@@ -573,10 +573,36 @@ def ahash_pairs_from_fps(fps: DataFrame, max_hamming: int = 3,
     straggler/OOM (one bucket = every blank thumbnail in the crawl)
     into an upfront, cheap abort. ``None`` keeps the unguarded
     behavior; under budget the result is identical (the guard reads,
-    never filters)."""
+    never filters).
+
+    Cache lifecycle (ADVICE r9): when the guard runs, ``fps`` is
+    persisted (MEMORY_AND_DISK) for the duration of the call so the
+    guard's collect and the pair job share ONE evaluation — without it,
+    a caller feeding :func:`ahash_fps` output pays the payload-decode
+    mapInPandas pass twice, breaking the "payloads are hashed once"
+    contract. The pair set is then eagerly computed (localCheckpoint,
+    output-bounded) so the cache is released before the caller executes
+    the returned frame — the ngram_jaccard_pairs materialize
+    discipline. A caller-cached ``fps`` is left alone (neither
+    persisted nor unpersisted here)."""
     from .util import bucket_pairs
 
-    if max_bucket_pairs is not None:
+    def pair_plan(f: DataFrame) -> DataFrame:
+        return (
+            bucket_pairs(_ahash_chunks(f), ["chunk", "cv"], ["doc", "fp"])
+            .select("doc_a", "doc_b",
+                    F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+        )
+
+    if max_bucket_pairs is None:
+        return pair_plan(fps)
+    from pyspark import StorageLevel
+
+    owned = not fps.is_cached
+    if owned:
+        fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
         hot = (ahash_bucket_report(fps)
                .where(F.col("pairs") > max_bucket_pairs).limit(5).collect())
         if hot:
@@ -588,12 +614,10 @@ def ahash_pairs_from_fps(fps: DataFrame, max_hamming: int = 3,
                 f"Degenerate image content (blank/black thumbnails) — "
                 f"exact-dedup the offending class first or raise the "
                 f"budget.")
-    return (
-        bucket_pairs(_ahash_chunks(fps), ["chunk", "cv"], ["doc", "fp"])
-        .select("doc_a", "doc_b",
-                F.expr("bit_count(fp_a ^ fp_b)").alias("hamming"))
-        .where(F.col("hamming") <= max_hamming)
-    )
+        return pair_plan(fps).localCheckpoint(eager=True)
+    finally:
+        if owned:
+            fps.unpersist()
 
 
 def ahash_fps(media: DataFrame, fake_width: int = 16) -> DataFrame:
@@ -657,11 +681,43 @@ def ahash_pairs_incremental(new_media: DataFrame, corpus_fps: DataFrame,
     |batch ∩ bucket| plus the within-batch quadratic — a blank-
     thumbnail class that dominates one bucket in the stored index makes
     EVERY future ingest pay it, so the guard reports against the union
-    (index + batch) histogram and aborts before the join."""
+    (index + batch) histogram and aborts before the join. Cache
+    lifecycle under the guard mirrors :func:`ahash_pairs_from_fps`
+    (ADVICE r9): the batch fingerprints are persisted so the guard's
+    histogram and the two pair joins share one payload-decode pass,
+    then the (output-bounded) pair set is eagerly computed and the
+    cache released."""
     from .util import bucket_pairs
 
     new_fps = ahash_fps(new_media, fake_width=fake_width)
-    if max_bucket_pairs is not None:
+
+    def pair_plan(nf: DataFrame) -> DataFrame:
+        nb = _ahash_chunks(nf)
+        cb = _ahash_chunks(corpus_fps)
+        nc = (cb.select("chunk", "cv", F.col("doc").alias("c_doc"),
+                        F.col("fp").alias("c_fp"))
+              .join(nb.select("chunk", "cv", F.col("doc").alias("n_doc"),
+                              F.col("fp").alias("n_fp")), ["chunk", "cv"])
+              .where(F.col("c_doc") != F.col("n_doc"))
+              .select(F.least("c_doc", "n_doc").alias("doc_a"),
+                      F.greatest("c_doc", "n_doc").alias("doc_b"),
+                      F.expr("bit_count(c_fp ^ n_fp)").alias("hamming"))
+              .dropDuplicates(["doc_a", "doc_b"]))
+        nn = (bucket_pairs(nb.select("doc", "fp", "chunk", "cv"),
+                           ["chunk", "cv"], ["doc", "fp"])
+              .select("doc_a", "doc_b",
+                      F.expr("bit_count(fp_a ^ fp_b)").alias("hamming")))
+        return (nc.unionByName(nn)
+                .where(F.col("hamming") <= max_hamming)
+                .select(F.col("doc_a").alias("media_a"),
+                        F.col("doc_b").alias("media_b"), "hamming"))
+
+    if max_bucket_pairs is None:
+        return pair_plan(new_fps)
+    from pyspark import StorageLevel
+
+    new_fps = new_fps.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
         hot = (ahash_bucket_report(corpus_fps.unionByName(new_fps))
                .where(F.col("pairs") > max_bucket_pairs).limit(5).collect())
         if hot:
@@ -673,25 +729,9 @@ def ahash_pairs_incremental(new_media: DataFrame, corpus_fps: DataFrame,
                 f"Degenerate image content in the stored index or the "
                 f"batch — exact-dedup the offending class or raise the "
                 f"budget.")
-    nb = _ahash_chunks(new_fps)
-    cb = _ahash_chunks(corpus_fps)
-    nc = (cb.select("chunk", "cv", F.col("doc").alias("c_doc"),
-                    F.col("fp").alias("c_fp"))
-          .join(nb.select("chunk", "cv", F.col("doc").alias("n_doc"),
-                          F.col("fp").alias("n_fp")), ["chunk", "cv"])
-          .where(F.col("c_doc") != F.col("n_doc"))
-          .select(F.least("c_doc", "n_doc").alias("doc_a"),
-                  F.greatest("c_doc", "n_doc").alias("doc_b"),
-                  F.expr("bit_count(c_fp ^ n_fp)").alias("hamming"))
-          .dropDuplicates(["doc_a", "doc_b"]))
-    nn = (bucket_pairs(nb.select("doc", "fp", "chunk", "cv"),
-                       ["chunk", "cv"], ["doc", "fp"])
-          .select("doc_a", "doc_b",
-                  F.expr("bit_count(fp_a ^ fp_b)").alias("hamming")))
-    return (nc.unionByName(nn)
-            .where(F.col("hamming") <= max_hamming)
-            .select(F.col("doc_a").alias("media_a"),
-                    F.col("doc_b").alias("media_b"), "hamming"))
+        return pair_plan(new_fps).localCheckpoint(eager=True)
+    finally:
+        new_fps.unpersist()
 
 
 def frame_docs(media: DataFrame) -> DataFrame:

@@ -62,7 +62,7 @@ def q_mm_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_byte_stats",
     f"""
     SELECT doc_id AS media_id,
-           length(text) AS n_bytes,
+           octet_length(encode(text)) AS n_bytes,
            {_ASCII_SUM} AS byte_sum,
            {_ASCII_SQSUM} AS byte_sqsum
     FROM documents
@@ -378,12 +378,17 @@ _MM_KIND = """CASE CAST(substr(source, 4) AS INT) % 3
     f"""
     WITH RECURSIVE
     gated AS (
+      -- admission gate + keep-best score are UTF-8 BYTE lengths
+      -- (octet_length over the encoded payload, the mm_catalog
+      -- convention): the engine gates on byte_stats' n_bytes =
+      -- len(payload bytes), and character count would silently diverge
+      -- on any multibyte text near the boundary (ADVICE r9)
       SELECT doc_id, text, source FROM documents
-      WHERE length(text) >= {_MM_MIN_BYTES}
+      WHERE octet_length(encode(text)) >= {_MM_MIN_BYTES}
     ),
     cat AS (
       SELECT doc_id AS media_id, {_MM_KIND} AS kind,
-             length(text) AS n_bytes
+             octet_length(encode(text)) AS n_bytes
       FROM gated
     ),
     gimg AS (

@@ -214,6 +214,37 @@ def test_ahash_incremental_no_drift(spark):
                                 max_bucket_pairs=0).collect()
 
 
+def test_guarded_ahash_pairs_decode_payloads_once(spark):
+    """The bucket-budget guard must not double the dominant cost
+    (ADVICE r9): under the guard, the fingerprint frame is persisted
+    across the guard's collect and the pair job, and the RETURNED frame
+    is the eagerly-computed pair set — so no payload-decode MapInPandas
+    pass remains in its plan for the caller to re-trigger, and the
+    transient cache is already released."""
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        ahash_fps,
+        ahash_pairs,
+        ahash_pairs_incremental,
+    )
+    from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
+
+    base = ("the quick brown fox jumps over the lazy dog " * 8)[:320]
+    alt = ("pack my box with five dozen liquor jugs today " * 8)[:320]
+    media = _media(spark, [(1, base), (2, base), (3, alt)])
+    out = ahash_pairs(media, max_bucket_pairs=1000)
+    assert "MapInPandas" not in plan_string(out)     # decode already ran
+    assert {(r.media_a, r.media_b) for r in out.collect()} == {(1, 2)}
+    corpus = ahash_fps(media.where(F.col("media_id") <= 2))
+    out_i = ahash_pairs_incremental(
+        _media(spark, [(11, base), (13, alt)]), corpus,
+        max_bucket_pairs=1000)
+    assert "MapInPandas" not in plan_string(out_i)
+    # batch dup of corpus base (11) matches 1 and 2; alt twin (13)
+    # matches corpus-external nothing (alt has no corpus partner)
+    assert {(r.media_a, r.media_b) for r in out_i.collect()} \
+        == {(1, 11), (2, 11)}
+
+
 def test_video_incremental_no_drift(spark):
     """video_neardup_pairs_incremental == full-corpus pairs minus
     corpus-internal pairs, under the stored digest-shingle index."""
