@@ -1110,3 +1110,110 @@ def containment_pairs_incremental(new_df: DataFrame,
         .where(F.col("containment") >= threshold)
         .select("doc_a", "doc_b", "containment")
     )
+
+
+def jaccard_pairs_incremental_from_index(batch: DataFrame,
+                                         corpus_index: DataFrame,
+                                         threshold: float = 0.5,
+                                         scale_safe: bool | str = False
+                                         ) -> DataFrame:
+    """Shared incremental engine for SYMMETRIC shingle-set Jaccard —
+    which docs of a new ``batch`` have Jaccard >= ``threshold`` against
+    an already-ingested ``corpus_index`` or a batch sibling. Both
+    inputs are (doc, sh) shingle frames (:func:`shingled_docs` output):
+    the corpus side is the STORED index a continuously-ingesting
+    pipeline persists per accepted doc, so source payloads/text are
+    never re-read.
+
+    This is the round-10 extraction of the body multimodal.video_
+    neardup_pairs_incremental carried alone through round 9 — one
+    verified core now serves the text (``ngram_jaccard_pairs_
+    incremental``), video, and audio incrementals, exactly the way the
+    batch forms all flow through :func:`ngram_jaccard_pairs`.
+
+    Lossless by the symmetric prefix-filter pigeonhole: J(A,B) >= t
+    implies |A∩B| >= t*max(|A|,|B|) >= t*|A|, so any batch-side prefix
+    of size |A| - ceil(t*|A|) + 1 shares a shingle with B — a
+    BATCH-side prefix alone generates every qualifying pair with at
+    least one new side (the containment_pairs_incremental argument
+    applied to the symmetric relation). The containing index is then
+    lossless-bounded by a semi-join against the batch's prefix-shingle
+    set, so per-ingest SHUFFLED rows are O(|batch| + prefix-hit index
+    + matches), never a corpus pair scan. Candidates are verified by
+    exact Jaccard over the stored shingle arrays.
+
+    Emits (doc_a, doc_b, jaccard), doc_a < doc_b — exactly the
+    full-corpus run's pairs with at least one new side (no-drift, the
+    oracle contract). ``scale_safe`` guards the batch-local DF window
+    as in containment_pairs_incremental ("auto" samples the BATCH)."""
+    from pyspark.sql import Window as _W
+
+    all_docs = corpus_index.unionByName(batch)
+    bsh = (batch.select("doc", F.explode("sh").alias("s"))
+           .select("doc", F.xxhash64("s").alias("h")))
+    if isinstance(scale_safe, str):
+        if scale_safe != "auto":
+            raise ValueError(
+                f'scale_safe must be a bool or "auto", got {scale_safe!r}')
+        scale_safe = _auto_scale_safe(batch)
+    if scale_safe:
+        bdf = bsh.groupBy("h").agg(F.count(F.lit(1)).alias("_dfs"))
+        bsh = bsh.join(bdf, "h")
+    else:
+        bsh = bsh.withColumn(
+            "_dfs", F.count(F.lit(1)).over(_W.partitionBy("h")))
+    nn = F.count(F.lit(1)).over(_W.partitionBy("doc"))
+    rr = F.row_number().over(_W.partitionBy("doc").orderBy("_dfs", "h"))
+    prefix = (bsh.withColumn("_n", nn).withColumn("_r", rr)
+              .where(F.col("_r")
+                     <= (F.col("_n")
+                         - F.ceil(F.col("_n") * F.lit(float(threshold)))
+                         + 1))
+              .select(F.col("doc").alias("doc_n"), "h"))
+    pre_h = prefix.select("h").distinct()
+    ash = (all_docs.select("doc", F.explode("sh").alias("s"))
+           .select(F.col("doc").alias("doc_o"), F.xxhash64("s").alias("h")))
+    idx = ash.join(pre_h, "h", "left_semi")
+    cand = (prefix.join(idx, "h")
+            .where(F.col("doc_n") != F.col("doc_o"))
+            .select(F.least("doc_n", "doc_o").alias("doc_a"),
+                    F.greatest("doc_n", "doc_o").alias("doc_b"))
+            .dropDuplicates())
+    da = all_docs.select(F.col("doc").alias("doc_a"),
+                         F.col("sh").alias("sh_a"))
+    db = all_docs.select(F.col("doc").alias("doc_b"),
+                         F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    return (
+        cand.join(da, "doc_a").join(db, "doc_b")
+        .withColumn("jaccard",
+                    inter.cast("double")
+                    / (F.size("sh_a") + F.size("sh_b") - inter))
+        .where(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_incremental(new_df: DataFrame,
+                                    corpus_docs: DataFrame,
+                                    threshold: float = 0.5,
+                                    text_col: str = "text",
+                                    id_col: str = "doc_id",
+                                    k: int = 3,
+                                    scale_safe: bool | str = False
+                                    ) -> DataFrame:
+    """Incremental :func:`ngram_jaccard_pairs`: which NEW documents
+    have k-gram shingle Jaccard >= ``threshold`` against an
+    already-ingested corpus (``corpus_docs``: the stored
+    :func:`shingled_docs` index — corpus TEXT is never re-read) or a
+    batch sibling. Completes the text family's incremental set
+    (exact: ingest.ingest_batch's hash anti-join; MinHash:
+    minhash_lsh_pairs_incremental; containment:
+    containment_pairs_incremental) with the exact-Jaccard form.
+    ``scale_safe`` defaults False to match :func:`ngram_jaccard_pairs`
+    (the round-10 family-consistency audit). Oracle:
+    dedup_ngram_jaccard_incr — brute-force all-pairs Jaccard
+    restricted to pairs with at least one new side."""
+    batch = shingled_docs(new_df, text_col, id_col, k)
+    return jaccard_pairs_incremental_from_index(
+        batch, corpus_docs, threshold=threshold, scale_safe=scale_safe)

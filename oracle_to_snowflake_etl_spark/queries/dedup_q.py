@@ -349,3 +349,30 @@ def q_dedup_containment_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus_idx = shingled_docs(docs.where(F.col("doc_id") % _DROP_MOD != 0))
     newb = docs.where(F.col("doc_id") % _DROP_MOD == 0)
     return containment_pairs_incremental(newb, corpus_idx)
+
+
+@register(
+    "dedup_ngram_jaccard_incr",
+    _NGRAM_JACCARD_SQL
+    + f" AND (a.doc % {_DROP_MOD} = 0 OR b.doc % {_DROP_MOD} = 0)")
+def q_dedup_ngram_jaccard_incr(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Incremental exact-Jaccard near-dup at ingest (operators/dedup.py
+    ngram_jaccard_pairs_incremental — round 10): a 4% document drop's
+    shingles matched against the standing corpus's STORED shingle index
+    (shingled_docs output, text never re-read) plus batch siblings,
+    through the shared symmetric-prefix-filter core
+    (jaccard_pairs_incremental_from_index) that also powers the video
+    and audio modality incrementals. Completes the text family's
+    incremental set: exact hash (ingest_batch), MinHash, containment,
+    and now exact Jaccard. Oracle: brute-force all-pairs Jaccard
+    restricted to pairs with at least one new side (no-drift)."""
+    from pyspark.sql import functions as F
+
+    from ..operators.dedup import (ngram_jaccard_pairs_incremental,
+                                   shingled_docs)
+
+    docs = load_table(spark, sf_dir, "documents")
+    corpus_idx = shingled_docs(docs.where(F.col("doc_id") % _DROP_MOD != 0))
+    newb = docs.where(F.col("doc_id") % _DROP_MOD == 0)
+    return ngram_jaccard_pairs_incremental(newb, corpus_idx)

@@ -322,13 +322,26 @@ def test_pairs_family_scale_safe_defaults_agree():
         video_neardup_pairs_incremental,
     )
 
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        ngram_jaccard_pairs_incremental,
+    )
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        audio_neardup_pairs,
+        audio_neardup_pairs_incremental,
+    )
+
     def default(fn):
         return inspect.signature(fn).parameters["scale_safe"].default
 
     assert default(video_neardup_pairs) == "auto"
     assert default(video_neardup_pairs_incremental) == "auto"
+    assert default(audio_neardup_pairs) == "auto"
+    assert default(audio_neardup_pairs_incremental) == "auto"
     assert default(containment_pairs) == default(
         containment_pairs_incremental) is False
+    assert default(ngram_jaccard_pairs) == default(
+        ngram_jaccard_pairs_incremental) is False
 
 
 def test_frame_docs_order_is_frame_order(spark):

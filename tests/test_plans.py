@@ -653,7 +653,8 @@ def test_modality_incrementals_no_payload_shuffle_no_cartesian(spark,
     anywhere."""
     from oracle_to_snowflake_etl_spark.plans.inspect import plan_string
 
-    for name in ("mm_image_neardup_incr", "mm_video_neardup_incr"):
+    for name in ("mm_image_neardup_incr", "mm_video_neardup_incr",
+                 "mm_audio_neardup_incr"):
         df = queries()[name](spark, sf_dir)
         plan = plan_string(df)
         for line in plan.splitlines():
@@ -661,3 +662,29 @@ def test_modality_incrementals_no_payload_shuffle_no_cartesian(spark,
                 assert "payload" not in line, (name, line)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_audio_neardup_shuffles_digests_not_payloads(spark, sf_dir):
+    """audio_neardup_pairs keeps the modality-family plan contract:
+    payload bytes die in the window-digest map pass (never reach an
+    Exchange) and candidate generation is the equi-join prefix filter
+    — no cartesian/nested-loop join; the scale path swaps the
+    hot-shingle window for a partial-agg join-back exactly like the
+    video form (shared ngram_jaccard_pairs machinery)."""
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        audio_neardup_pairs, media_from_documents)
+    from oracle_to_snowflake_etl_spark.plans.inspect import (
+        plan_string, window_partition_cols)
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    df = queries()["mm_audio_neardup"](spark, sf_dir)
+    plan = plan_string(df)
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "payload" not in line, line
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    media = media_from_documents(load_table(spark, sf_dir, "documents"))
+    safe = audio_neardup_pairs(media, scale_safe=True, materialize=False)
+    assert all("h" not in cols for cols in window_partition_cols(safe)), \
+        window_partition_cols(safe)
