@@ -116,8 +116,12 @@ PRIORITY = [
     # mapInPandas, pytest-covered; its slot carries the composed
     # multimodal pipeline so the catalog->gate->image-keep-best->video
     # composition sits under the driver's hard signal, VERDICT r8 #4)
-    "mm_catalog", "ingest_batch_pipeline", "stat_trend_daily_revenue",
-    "mm_ingest_pipeline",
+    # (mm_catalog rotated to full-local in round 10 — floor-class
+    # projection, pytest-covered, and its byte-length convention is
+    # exercised inside mm_ingest_pipeline's gate; its slot carries the
+    # composed INCREMENTAL multimodal ingest, VERDICT r9 ask #3)
+    "mm_ingest_incremental", "ingest_batch_pipeline",
+    "stat_trend_daily_revenue", "mm_ingest_pipeline",
     # Windows / event-time (w_range_1h_value stays full-local-checked;
     # its slot carries the mergeable-sketch family instead)
     # (ev_tumbling_5m rotated to full-local in round 5 — the event-time

@@ -584,3 +584,151 @@ def q_mm_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                                a_col="doc_a", b_col="doc_b")
     return (img_surv.unionByName(vid_surv).unionByName(aud_surv)
             .select("media_id", "kind", "n_bytes"))
+
+
+def _mm_incr_modality_sql(prefix: str, pairs_sql: str,
+                          keep_best: bool) -> str:
+    """The per-modality accept-decision CTE chain for the incremental
+    composed ingest oracle: pairs with at least one new side ->
+    direct-corpus hits -> within-batch components (recursive CTE) ->
+    corpus-tainted components fully dropped -> untainted components
+    keep the batch winner (largest-by-n_bytes for images, min id
+    otherwise). Mirrors operators/multimodal.media_ingest_incremental's
+    modality() stage exactly."""
+    p = prefix
+    losers = (f"""
+      SELECT doc FROM (
+        SELECT c.doc, ROW_NUMBER() OVER (
+            PARTITION BY c.keep_id
+            ORDER BY k.n_bytes DESC, c.doc ASC) AS rn
+        FROM {p}clusters c JOIN kindcat k ON k.media_id = c.doc
+        WHERE c.keep_id NOT IN (SELECT keep_id FROM {p}taint)) t
+      WHERE rn > 1
+    """ if keep_best else f"""
+      SELECT doc FROM {p}clusters WHERE doc != keep_id
+    """)
+    return f"""
+    {p}pairs AS (
+      SELECT doc_a, doc_b FROM ({pairs_sql})
+      WHERE doc_a % {_MM_DROP_MOD} = 0 OR doc_b % {_MM_DROP_MOD} = 0
+    ),
+    {p}hit AS (
+      SELECT doc_a AS doc FROM {p}pairs
+      WHERE doc_a % {_MM_DROP_MOD} = 0 AND doc_b % {_MM_DROP_MOD} != 0
+      UNION
+      SELECT doc_b FROM {p}pairs
+      WHERE doc_b % {_MM_DROP_MOD} = 0 AND doc_a % {_MM_DROP_MOD} != 0
+    ),
+    {p}bb AS (
+      SELECT doc_a, doc_b FROM {p}pairs
+      WHERE doc_a % {_MM_DROP_MOD} = 0 AND doc_b % {_MM_DROP_MOD} = 0
+    ),
+    {p}edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM {p}bb
+      UNION SELECT doc_b, doc_a FROM {p}bb
+    ),
+    {p}reach(doc, r) AS (
+      SELECT src, src FROM {p}edges
+      UNION
+      SELECT e.src, r.r FROM {p}edges e JOIN {p}reach r ON e.dst = r.doc
+    ),
+    {p}clusters AS (
+      SELECT doc, MIN(r) AS keep_id FROM {p}reach GROUP BY doc
+    ),
+    {p}taint AS (
+      SELECT DISTINCT c.keep_id FROM {p}clusters c
+      JOIN {p}hit h ON h.doc = c.doc
+    ),
+    {p}dropped AS (
+      SELECT doc FROM {p}hit
+      UNION
+      SELECT doc FROM {p}clusters
+      WHERE keep_id IN (SELECT keep_id FROM {p}taint)
+      UNION
+      {losers}
+    )"""
+
+
+@register(
+    "mm_ingest_incremental",
+    f"""
+    WITH RECURSIVE
+    gall AS (
+      SELECT doc_id, text, source FROM documents
+      WHERE octet_length(encode(text)) >= {_MM_MIN_BYTES}
+    ),
+    kindcat AS (
+      SELECT doc_id AS media_id, {_MM_KIND} AS kind,
+             octet_length(encode(text)) AS n_bytes
+      FROM gall
+    ),
+    gimg AS (
+      SELECT g.doc_id, g.text FROM gall g
+      JOIN kindcat c ON c.media_id = g.doc_id AND c.kind = 'image'
+    ),
+    gvid AS (
+      SELECT g.doc_id, g.text FROM gall g
+      JOIN kindcat c ON c.media_id = g.doc_id AND c.kind = 'video'
+    ),
+    gaud AS (
+      SELECT g.doc_id, g.text FROM gall g
+      JOIN kindcat c ON c.media_id = g.doc_id AND c.kind = 'audio'
+    ),
+    iah AS (
+      SELECT media_id, ahash FROM ({_ahash_sql('gimg')})
+      WHERE ahash IS NOT NULL
+    ),
+    ichunks AS (
+      SELECT media_id, ahash, c AS chunk,
+             (ahash >> (c * 15)) & 32767 AS cv
+      FROM iah, (SELECT UNNEST(range(0, 4)) AS c)
+    ),
+    iallpairs AS (
+      SELECT DISTINCT a.media_id AS doc_a, b.media_id AS doc_b
+      FROM ichunks a
+      JOIN ichunks b ON a.chunk = b.chunk AND a.cv = b.cv
+                    AND a.media_id < b.media_id
+      WHERE bit_count(xor(a.ahash, b.ahash)) <= 3
+    ),
+    {_mm_incr_modality_sql('i', 'SELECT doc_a, doc_b FROM iallpairs',
+                           keep_best=True)},
+    {_mm_incr_modality_sql('v', _video_pairs_sql('gvid'),
+                           keep_best=False)},
+    {_mm_incr_modality_sql('a', _audio_pairs_sql('gaud'),
+                           keep_best=False)}
+    SELECT media_id, kind, n_bytes FROM kindcat
+    WHERE media_id % {_MM_DROP_MOD} = 0
+      AND media_id NOT IN (SELECT doc FROM idropped)
+      AND media_id NOT IN (SELECT doc FROM vdropped)
+      AND media_id NOT IN (SELECT doc FROM adropped)
+    """)
+def q_mm_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPOSED incremental multimodal ingest (VERDICT r9 missing #3):
+    a 4% media drop accept-filtered against the standing per-modality
+    fingerprint indexes (operators/multimodal.py
+    media_ingest_incremental) — byte gate, then image aHash / video
+    frame-digest / audio window-digest near-dups via the stored
+    indexes, corpus payloads never re-read. Accept rule is
+    corpus-immutable: any batch doc whose within-batch component
+    touches a corpus near-dup is dropped; corpus-untouched components
+    keep the batch-pipeline winner (images largest-by-bytes, video and
+    audio min id). The oracle re-derives gates, fingerprints,
+    one-new-side pairs, within-batch recursive components, taint, and
+    winners per modality."""
+    from ..operators.multimodal import (ahash_fps, audio_window_index,
+                                        media_ingest_incremental,
+                                        video_frame_index)
+
+    media = _media(spark, sf_dir)
+    corpus = media.where(F.col("media_id") % _MM_DROP_MOD != 0)
+    newb = media.where(F.col("media_id") % _MM_DROP_MOD == 0)
+    # standing indexes: fingerprints of every previously GATED doc
+    cstats = byte_stats(corpus).where(F.col("n_bytes") >= _MM_MIN_BYTES)
+    cgated = corpus.join(cstats.select("media_id"), "media_id")
+    return media_ingest_incremental(
+        newb,
+        image_fps=ahash_fps(cgated.where(F.col("kind") == "image")),
+        video_index=video_frame_index(
+            cgated.where(F.col("kind") == "video")),
+        audio_index=audio_window_index(
+            cgated.where(F.col("kind") == "audio")))
