@@ -1,7 +1,10 @@
 #!/usr/bin/env python3
-"""DuckDB reference bench: run the PRIORITY queries' oracle SQL through
+"""DuckDB reference bench: run the registry's oracle SQL through
 DuckDB at a given SF and report per-query + total seconds, side by side
 with the engine's own timings (BENCH_DETAIL.json when present).
+Default scope is the WHOLE registry (VERDICT r9 #7 — the 2x bar is
+anchored registry-wide, not basket-wide); --priority-only restores the
+50-slot basket scope.
 
 Purpose (VERDICT r3 #5): BASELINE.md carries no reference timings, so the
 "within 2x of baseline at the same sf" bar needs a concrete, locally
@@ -42,6 +45,10 @@ def main() -> None:
     ap.add_argument("--timeout", type=float, default=60.0,
                     help="per-run cap in seconds; a capped query records "
                          "the cap as a lower bound")
+    ap.add_argument("--priority-only", action="store_true",
+                    help="bench only the driver's 50-slot PRIORITY "
+                         "basket (the pre-round-10 scope) instead of "
+                         "every registry oracle")
     args = ap.parse_args()
 
     import duckdb
@@ -59,10 +66,11 @@ def main() -> None:
 
     import threading
 
+    names = PRIORITY if args.priority_only else list(oracles)
     timings: dict[str, float] = {}
     skipped: list[str] = []
     timed_out: list[str] = []
-    for name in PRIORITY:
+    for name in names:
         sql = oracles.get(name)
         if sql is None:
             skipped.append(name)
@@ -95,6 +103,7 @@ def main() -> None:
         "sf": float(os.path.basename(args.sf_dir.rstrip("/"))
                     .replace("sf", "") or 0.1),
         "n_queries": len(timings),
+        "scope": "priority" if args.priority_only else "registry",
         "skipped_no_oracle": skipped,
         "timed_out_lower_bound": timed_out,
         "queries": timings,

@@ -152,6 +152,21 @@ HEADLINERS = [
      "bounded by a semi-join against the batch's prefix shingles — "
      "per-ingest shuffled rows O(batch + prefix-hit index + matches), "
      "never a corpus pair scan."),
+    ("mm_audio_neardup",
+     "Audio near-dup (round 10): overlapping 64-byte window digests "
+     "are computed in the Arrow map pass (payload bytes never reach "
+     "an Exchange — only 32-char digests move), then the track-as-"
+     "digest-document rides ngram_jaccard_pairs' lossless prefix "
+     "filter verbatim, scale_safe='auto' guarding the silence-run hot "
+     "shingle."),
+    ("mm_ingest_incremental",
+     "Composed incremental multimodal ingest (round 10): the drop is "
+     "gated by one Arrow byte-stats pass, each modality joins its "
+     "STORED fingerprint index (corpus payloads never re-read), "
+     "within-batch components run CC on the output-bounded edge list, "
+     "and each modality's accept set returns through bounded "
+     "anti-joins — per-drop cost O(batch + index hits), the text "
+     "ingest_batch contract extended to media."),
 ]
 
 
@@ -268,7 +283,29 @@ than even r4. Verdict: **no code regression in either query**; both r5
 driver one-shots were host-noise + first-execution samples (the driver
 bench has no warm pass — ab_query.py's warmed round-0 for ann_ivf
 still showed a 2.85s first-timed-run outlier, exactly the r5 driver's
-number, before settling at 1.1s for every later round)."""
+number, before settling at 1.1s for every later round).
+
+## ann_ivf_topk driver-run swing — A/B (round 10, VERDICT r9 #1)
+
+The r9 driver bench showed `ann_ivf_topk` 1.37s → 3.39s (x2.48) on an
+untouched code path while sibling `ann_srp_incremental` swung the
+OPPOSITE way in the same run — the classic ambient signature, but the
+protocol hadn't been run for this query. Run this round (5 interleaved
+rounds, controls appended):
+
+| query | best | median | all |
+|---|---|---|---|
+| ann_ivf_topk | 1.32s | 1.55s | 2.01 1.95 1.32 1.53 1.55 |
+| ann_srp_incremental | 1.41s | 1.53s | 1.63 1.56 1.53 1.44 1.41 |
+| revenue_by_nation (ctrl) | 0.57s | 0.61s | 0.67 0.63 0.61 0.57 0.58 |
+| zorder_orders (ctrl) | 0.33s | 0.38s | 0.43 0.40 0.38 0.34 0.33 |
+
+Median 1.55s sits inside the query's canonical history
+(1.17/1.36/1.59s best-of-3 across r7-r9); no sample approaches the
+driver's 3.39s; both controls are flat, and the ivf/revenue ratio
+(2.5) matches its historical band. Verdict: **host noise, no code
+regression** — the driver's single shot landed on a busy window, the
+same mechanism adjudicated for this query in round 6."""
 
 
 def main() -> None:
