@@ -1017,57 +1017,101 @@ def media_ingest_incremental(new_media: DataFrame,
     convention: exclude the replayed drop's own index partition before
     calling, and the accept decision is bit-identical (pytest-pinned).
     """
-    from .dedup import dedup_clusters, dedup_survivors
+    from pyspark import StorageLevel
 
+    from .dedup import cluster_representatives, dedup_clusters
+
+    # Cache lifecycle (the ngram_jaccard_pairs materialize discipline):
+    # the gate catalog feeds every modality branch (cat_k, bids, the
+    # final union) and each modality's flagged pair frame feeds hit/
+    # bb/clusters — both are re-derived per consumer if left lazy, and
+    # the pair frames sit on top of the batch's payload-decode passes.
+    # Persist both, eagerly compute each modality's (batch-bounded)
+    # accept set, and release before returning.
     stats = byte_stats(new_media).where(F.col("n_bytes") >= min_bytes)
     catalog = (new_media.select("media_id", "kind")
-               .join(stats.select("media_id", "n_bytes"), "media_id"))
-    gated = new_media.join(catalog.select("media_id"), "media_id")
-    bids = catalog.select("media_id")
+               .join(stats.select("media_id", "n_bytes"), "media_id")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        catalog.count()
+        gated = new_media.join(catalog.select("media_id"), "media_id")
+        bids = catalog.select("media_id")
 
-    def modality(kind: str, pairs: DataFrame, a_col: str, b_col: str,
-                 keep: str, score=None) -> DataFrame:
-        cat_k = catalog.where(F.col("kind") == kind)
-        p = (pairs.select(F.col(a_col).alias("pa"), F.col(b_col).alias("pb"))
-             .join(bids.select(F.col("media_id").alias("pa"),
-                               F.lit(True).alias("_na")), "pa", "left")
-             .join(bids.select(F.col("media_id").alias("pb"),
-                               F.lit(True).alias("_nb")), "pb", "left"))
-        # batch docs paired straight to a corpus doc
-        hit = (p.where(F.col("_nb").isNull())
-               .select(F.col("pa").alias("doc"))
-               .unionByName(p.where(F.col("_na").isNull())
-                            .select(F.col("pb").alias("doc")))
-               .distinct())
-        # within-batch edges; components; corpus-tainted components
-        bb = (p.where(F.col("_na").isNotNull() & F.col("_nb").isNotNull())
-              .select(F.col("pa").alias("doc_a"),
-                      F.col("pb").alias("doc_b")))
-        clusters = dedup_clusters(bb)
-        tainted = (clusters.join(hit, "doc", "left_semi")
-                   .select("keep_id").distinct())
-        taint_members = (clusters.join(tainted, "keep_id", "left_semi")
-                         .select("doc"))
-        drop0 = (hit.unionByName(taint_members).distinct()
-                 .withColumnRenamed("doc", "media_id"))
-        rest = cat_k.join(drop0, "media_id", "left_anti")
-        return dedup_survivors(rest, bb, keep=keep, score=score,
-                               id_col="media_id")
+        def modality(kind: str, pairs: DataFrame, a_col: str, b_col: str,
+                     keep: str, score=None) -> DataFrame:
+            cat_k = catalog.where(F.col("kind") == kind)
+            p = (pairs.select(F.col(a_col).alias("pa"),
+                              F.col(b_col).alias("pb"))
+                 .join(bids.select(F.col("media_id").alias("pa"),
+                                   F.lit(True).alias("_na")), "pa", "left")
+                 .join(bids.select(F.col("media_id").alias("pb"),
+                                   F.lit(True).alias("_nb")), "pb", "left")
+                 .persist(StorageLevel.MEMORY_AND_DISK))
+            try:
+                p.count()
+                # batch docs paired straight to a corpus doc
+                hit = (p.where(F.col("_nb").isNull())
+                       .select(F.col("pa").alias("doc"))
+                       .unionByName(p.where(F.col("_na").isNull())
+                                    .select(F.col("pb").alias("doc")))
+                       .distinct())
+                # within-batch edges -> ONE components run (its output
+                # is lineage-truncated, so taint, losers, and winners
+                # all read it cheaply — calling dedup_survivors here
+                # would cluster the same edges a second time)
+                bb = (p.where(F.col("_na").isNotNull()
+                              & F.col("_nb").isNotNull())
+                      .select(F.col("pa").alias("doc_a"),
+                              F.col("pb").alias("doc_b")))
+                clusters = dedup_clusters(bb)
+                tainted = (clusters.join(hit, "doc", "left_semi")
+                           .select("keep_id").distinct())
+                taint_members = (clusters
+                                 .join(tainted, "keep_id", "left_semi")
+                                 .select("doc"))
+                drop0 = (hit.unionByName(taint_members).distinct()
+                         .withColumnRenamed("doc", "media_id"))
+                rest = cat_k.join(drop0, "media_id", "left_anti")
+                if keep == "first":
+                    losers = (clusters
+                              .where(F.col("doc") != F.col("keep_id"))
+                              .select(F.col("doc").alias("media_id")))
+                    out = rest.join(losers, "media_id", "left_anti")
+                else:
+                    out = cluster_representatives(rest, clusters, score,
+                                                  id_col="media_id")
+                return out.localCheckpoint(eager=True)
+            finally:
+                p.unpersist()
 
-    img = modality(
-        "image",
-        ahash_pairs_incremental(gated.where(F.col("kind") == "image"),
-                                image_fps),
-        "media_a", "media_b", keep="best", score=F.col("n_bytes"))
-    vid = modality(
-        "video",
-        video_neardup_pairs_incremental(
-            gated.where(F.col("kind") == "video"), video_index),
-        "doc_a", "doc_b", keep="first")
-    aud = modality(
-        "audio",
-        audio_neardup_pairs_incremental(
-            gated.where(F.col("kind") == "audio"), audio_index),
-        "doc_a", "doc_b", keep="first")
-    return (img.unionByName(vid).unionByName(aud)
-            .select("media_id", "kind", "n_bytes"))
+        # The three modality pipelines share no state (catalog is
+        # staged above) — submit their jobs CONCURRENTLY so the
+        # scheduler overlaps them instead of paying three sequential
+        # stage chains; on a cluster this is the utilization shape a
+        # composed ingest wants (Spark supports concurrent actions
+        # from driver threads), and results are deterministic
+        # regardless of completion order.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            img_f = ex.submit(
+                modality, "image",
+                ahash_pairs_incremental(
+                    gated.where(F.col("kind") == "image"), image_fps),
+                "media_a", "media_b", "best", F.col("n_bytes"))
+            vid_f = ex.submit(
+                modality, "video",
+                video_neardup_pairs_incremental(
+                    gated.where(F.col("kind") == "video"), video_index),
+                "doc_a", "doc_b", "first")
+            aud_f = ex.submit(
+                modality, "audio",
+                audio_neardup_pairs_incremental(
+                    gated.where(F.col("kind") == "audio"), audio_index),
+                "doc_a", "doc_b", "first")
+            img, vid, aud = (img_f.result(), vid_f.result(),
+                             aud_f.result())
+        return (img.unionByName(vid).unionByName(aud)
+                .select("media_id", "kind", "n_bytes"))
+    finally:
+        catalog.unpersist()

@@ -719,16 +719,36 @@ def q_mm_ingest_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         media_ingest_incremental,
                                         video_frame_index)
 
+    from pyspark import StorageLevel
+
     media = _media(spark, sf_dir)
     corpus = media.where(F.col("media_id") % _MM_DROP_MOD != 0)
     newb = media.where(F.col("media_id") % _MM_DROP_MOD == 0)
-    # standing indexes: fingerprints of every previously GATED doc
+    # Standing indexes: fingerprints of every previously GATED doc. In
+    # production these are STORED parquet (one cheap columnar scan per
+    # consumer — the incremental core reads each index three times by
+    # design); this oracle query must rebuild them in-query for
+    # self-containment, so it persists the rebuilt frames for the
+    # call's duration to keep the decode/shingle passes at one
+    # evaluation, the same cost shape as the stored tables (the
+    # dedup_containment_incr precedent, SCALE.md).
     cstats = byte_stats(corpus).where(F.col("n_bytes") >= _MM_MIN_BYTES)
     cgated = corpus.join(cstats.select("media_id"), "media_id")
-    return media_ingest_incremental(
-        newb,
-        image_fps=ahash_fps(cgated.where(F.col("kind") == "image")),
-        video_index=video_frame_index(
+    idx = {
+        "image_fps": ahash_fps(cgated.where(F.col("kind") == "image")),
+        "video_index": video_frame_index(
             cgated.where(F.col("kind") == "video")),
-        audio_index=audio_window_index(
-            cgated.where(F.col("kind") == "audio")))
+        "audio_index": audio_window_index(
+            cgated.where(F.col("kind") == "audio")),
+    }
+    for f in idx.values():
+        # stage each cache BEFORE the pair job's branches race on it
+        # cold (the ngram_jaccard_pairs docs.count() discipline)
+        f.persist(StorageLevel.MEMORY_AND_DISK).count()
+    try:
+        # media_ingest_incremental eagerly computes the accept set, so
+        # the caches are fully consumed before the finally releases them
+        return media_ingest_incremental(newb, **idx)
+    finally:
+        for f in idx.values():
+            f.unpersist()
