@@ -560,30 +560,66 @@ def q_mm_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs on the gated subset of that modality — the oracle re-derives
     the identical gates, fingerprints, recursive components, and
     winners."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import StorageLevel
+
     from ..operators.dedup import dedup_survivors
     from ..operators.multimodal import (audio_neardup_pairs, ahash_pairs,
                                         video_neardup_pairs)
 
     media = _media(spark, sf_dir)
     stats = byte_stats(media).where(F.col("n_bytes") >= _MM_MIN_BYTES)
+    # the gate catalog feeds all three modality branches and the final
+    # union — stage it once (metadata-width rows); payloads are NOT
+    # cached: each branch's fingerprint map-pass reads only its own
+    # modality slice
     catalog = (media.select("media_id", "kind")
-               .join(stats.select("media_id", "n_bytes"), "media_id"))
-    gated = media.join(catalog.select("media_id"), "media_id")
-    img_pairs = ahash_pairs(gated.where(F.col("kind") == "image"))
-    img_surv = dedup_survivors(catalog.where(F.col("kind") == "image"),
-                               img_pairs, keep="best",
-                               score=F.col("n_bytes"), id_col="media_id",
-                               a_col="media_a", b_col="media_b")
-    vid_pairs = video_neardup_pairs(gated.where(F.col("kind") == "video"))
-    vid_surv = dedup_survivors(catalog.where(F.col("kind") == "video"),
-                               vid_pairs, id_col="media_id",
-                               a_col="doc_a", b_col="doc_b")
-    aud_pairs = audio_neardup_pairs(gated.where(F.col("kind") == "audio"))
-    aud_surv = dedup_survivors(catalog.where(F.col("kind") == "audio"),
-                               aud_pairs, id_col="media_id",
-                               a_col="doc_a", b_col="doc_b")
-    return (img_surv.unionByName(vid_surv).unionByName(aud_surv)
-            .select("media_id", "kind", "n_bytes"))
+               .join(stats.select("media_id", "n_bytes"), "media_id")
+               .persist(StorageLevel.MEMORY_AND_DISK))
+    try:
+        catalog.count()
+        gated = media.join(catalog.select("media_id"), "media_id")
+
+        def img_branch():
+            pairs = ahash_pairs(gated.where(F.col("kind") == "image"))
+            return dedup_survivors(
+                catalog.where(F.col("kind") == "image"), pairs,
+                keep="best", score=F.col("n_bytes"), id_col="media_id",
+                a_col="media_a", b_col="media_b")
+
+        def vid_branch():
+            pairs = video_neardup_pairs(
+                gated.where(F.col("kind") == "video"))
+            return dedup_survivors(
+                catalog.where(F.col("kind") == "video"), pairs,
+                id_col="media_id", a_col="doc_a", b_col="doc_b")
+
+        def aud_branch():
+            pairs = audio_neardup_pairs(
+                gated.where(F.col("kind") == "audio"))
+            return dedup_survivors(
+                catalog.where(F.col("kind") == "audio"), pairs,
+                id_col="media_id", a_col="doc_a", b_col="doc_b")
+
+        # the three modality dedups are independent job chains (pair
+        # materialization + CC iterations run eagerly) — overlap them,
+        # same pattern as media_ingest_incremental
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            img_f, vid_f, aud_f = (ex.submit(img_branch),
+                                   ex.submit(vid_branch),
+                                   ex.submit(aud_branch))
+            img_surv, vid_surv, aud_surv = (img_f.result(),
+                                            vid_f.result(),
+                                            aud_f.result())
+        # returned lazy (the plan artifact stays inspectable): the
+        # heavy work — pair materialization and CC iterations — already
+        # ran inside the branches; the final action recomputes only the
+        # one-pass gate catalog after the cache is released
+        return (img_surv.unionByName(vid_surv).unionByName(aud_surv)
+                .select("media_id", "kind", "n_bytes"))
+    finally:
+        catalog.unpersist()
 
 
 def _mm_incr_modality_sql(prefix: str, pairs_sql: str,
