@@ -1115,3 +1115,47 @@ def media_ingest_incremental(new_media: DataFrame,
                 .select("media_id", "kind", "n_bytes"))
     finally:
         catalog.unpersist()
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType(), False),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("energy", T.LongType(), True),
+    T.StructField("zero_crossings", T.LongType(), True),
+])
+
+
+def audio_features(media: DataFrame) -> DataFrame:
+    """Byte-domain audio features via Arrow-batched mapInPandas —
+    (media_id, n_samples, energy, zero_crossings), the audio analog of
+    :func:`image_features`. Payload bytes are read as signed-centered
+    8-bit samples (b - 128, the unsigned-PCM convention): ``energy`` =
+    Σ s² (exact integer — the loudness proxy), ``zero_crossings`` =
+    #{i : s_i · s_{i+1} < 0} (the classic cheap spectral-content
+    proxy; a zero sample breaks a crossing, matching the strict-<
+    product rule on both engines). Real PCM/codec decode is out of
+    scope in this container (no audio libraries) — the deterministic
+    byte interpretation stands in, and the Spark plumbing (Arrow batch
+    shape, schema, zero shuffle, NULL row per NULL payload) is the
+    tested deliverable, same contract as byte_stats. All outputs are
+    integers so the DuckDB oracle checks the whole Python path
+    value-exactly."""
+    import numpy as np
+    import pandas as pd
+
+    def feats(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                s = (np.frombuffer(payload, dtype=np.uint8)
+                     .astype(np.int64) - 128)
+                zc = int((s[:-1] * s[1:] < 0).sum()) if len(s) > 1 else 0
+                rows.append((mid, len(s), int((s * s).sum()), zc))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "n_samples", "energy", "zero_crossings"])
+
+    return media.select("media_id", "payload") \
+                .mapInPandas(feats, schema=AUDIO_FEATURES_SCHEMA)

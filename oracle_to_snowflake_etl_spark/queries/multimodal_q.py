@@ -76,6 +76,40 @@ def q_mm_byte_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return byte_stats(_media(spark, sf_dir))
 
 
+_AF_S = "(ascii(substr(text, i, 1)) - 128)"
+_AF_S1 = "(ascii(substr(text, i + 1, 1)) - 128)"
+
+
+@register(
+    "mm_audio_features",
+    f"""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS n_samples,
+           CAST(coalesce(list_sum(list_transform(
+                range(1, length(text) + 1),
+                i -> {_AF_S} * {_AF_S})), 0) AS BIGINT) AS energy,
+           CAST(coalesce(list_sum(list_transform(
+                range(1, length(text)),
+                i -> CASE WHEN {_AF_S} * {_AF_S1} < 0
+                     THEN 1 ELSE 0 END)), 0) AS BIGINT) AS zero_crossings
+    FROM documents
+    """)
+def q_mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-domain audio features (operators/multimodal.py
+    audio_features — round 10, the audio twin of mm_image_features):
+    signed-centered 8-bit samples (b - 128, the unsigned-PCM
+    convention), exact-integer energy Σs² and strict-product zero
+    crossings, computed by numpy in the Arrow map pass and re-derived
+    by DuckDB codepoint arithmetic. The ASCII driver corpus keeps
+    every sample negative so zero_crossings is identically 0 here —
+    the crossing logic is value-covered by the high-byte pytest
+    fixture (tests/test_audio_neardup.py), the same division of labor
+    as the PNG codec's filter paths."""
+    from ..operators.multimodal import audio_features
+
+    return audio_features(_media(spark, sf_dir))
+
+
 @register(
     "mm_frame_sample",
     f"""

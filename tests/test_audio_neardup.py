@@ -162,3 +162,36 @@ def test_text_ngram_jaccard_incremental_no_drift(spark):
                 batch, shingled_docs(corpus), threshold=0.3).collect()}
     assert incr == full - corpus_only
     assert any(a == 1 and b == 11 for a, b, _ in incr)
+
+
+def test_audio_features_energy_and_crossings(spark):
+    """audio_features: exact-integer energy and zero crossings against
+    hand-computed values, including HIGH bytes (>128) the ASCII driver
+    corpus cannot produce — the crossing logic's real coverage — plus
+    the NULL-payload and empty-payload contracts."""
+    from pyspark.sql import Row
+
+    from oracle_to_snowflake_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        audio_features,
+    )
+
+    meta = {"lang": "en", "source": "src1", "n_chars": 0}
+    rows = [
+        Row(media_id=1, kind="audio",
+            payload=bytes([100, 200, 100, 200]), meta=Row(**meta)),
+        Row(media_id=2, kind="audio", payload=b"", meta=Row(**meta)),
+        Row(media_id=3, kind="audio", payload=None, meta=Row(**meta)),
+        Row(media_id=4, kind="audio",
+            payload=bytes([128, 130, 126]), meta=Row(**meta)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r.media_id: (r.n_samples, r.energy, r.zero_crossings)
+           for r in audio_features(media).collect()}
+    # samples 1: [-28, 72, -28, 72] -> energy 2*(784+5184), 3 crossings
+    assert got[1] == (4, 2 * (784 + 5184), 3)
+    assert got[2] == (0, 0, 0)
+    assert got[3] == (None, None, None)
+    # samples 4: [0, 2, -2] -> zero sample breaks the first pair
+    # (0*2 not < 0), one true crossing (2 * -2 < 0)
+    assert got[4] == (3, 8, 1)
