@@ -131,6 +131,157 @@ def _cos_q6_udf():
     return cos_q6
 
 
+#: per-task element budget for the blocked GEMM score matrix
+#: (block_rows x cell_size doubles): 16M doubles = 128 MB / task.
+_GEMM_BLOCK_ELEMS = 16_000_000
+
+#: rescore sub-chunk bound — candidate pairs exact-rescored per numpy
+#: batch (2M pairs x 64 dims x 2 sides x 8 B ~ 2 GB transient worst
+#: case; real near-dup densities are orders of magnitude below this).
+_GEMM_RESCORE_CHUNK = 2_000_000
+
+
+def _exact_q6_rows(A: "np.ndarray", B: "np.ndarray",
+                   nsq_a: "np.ndarray", nsq_b: "np.ndarray") -> "np.ndarray":
+    """Quantized cosine of row-aligned vector pairs with the EXACT fold
+    order of :func:`_cos_q6_udf`: np.cumsum sequential left-fold dots,
+    sqrt of the PRODUCT of squared norms, floor(x*1e6+0.5). Candidates
+    surfaced by the BLAS prefilter are rescored through this, so the
+    GEMM pair stage is bit-identical to the row-wise UDF join it
+    replaced (and to the DuckDB oracle's list_reduce fold)."""
+    dot = np.cumsum(A * B, axis=1)[:, -1]
+    sim = dot / np.sqrt(nsq_a * nsq_b)
+    return np.floor(sim * Q_SCALE + 0.5).astype(np.int64)
+
+
+def _gemm_prefilter_threshold(threshold_q6: int) -> float:
+    """BLAS-score admission bound for the GEMM prefilter: one full
+    quantization unit (1e-6) of margin below the exact threshold.
+    BLAS pairwise summation and the sequential cumsum fold differ by
+    at most ~d*eps ~ 1e-14 absolute on unit-cosine values — six orders
+    of magnitude inside the margin — so no pair the exact rescore
+    would keep is ever dropped by the prefilter."""
+    return (threshold_q6 - 1.0) / Q_SCALE
+
+
+def _cell_pairs_gemm(assigned: DataFrame, threshold_q6: int) -> DataFrame:
+    """Within-cell near-dup pairs via per-cell blocked GEMM — the
+    semantic_dedup pair stage (VERDICT r10: replaces the row-wise
+    self-join that materialized Sum(|cell|²) shuffle rows, each
+    carrying TWO 64-float vectors; the reproduced 2M-vector overshoot
+    (SCALE_SEMANTIC5B.json, local exponent ~2.0 vs the 1.5 design) was
+    that pair-row scratch spilling through one volume).
+
+    ``assigned``: (_sd_cell int, _sd_id long, _sd_vec array<float>) —
+    one row per (vector, probe cell). Returns (doc_a, doc_b) with
+    doc_a < doc_b and quantized cosine >= threshold, possibly
+    duplicated across shared probe cells (callers ``.distinct()``,
+    exactly as the join form required).
+
+    Shape: ONE shuffle of the assignment rows (N x nprobe vectors,
+    ~300 B each) into cell groups; all O(|cell|²) pair work happens
+    INSIDE a task as a blocked numpy matmul over the cell's matrix —
+    only pairs already >= threshold-margin leave the BLAS kernel, and
+    those are exact-rescored (:func:`_exact_q6_rows`) before emission.
+    Shuffle-scratch volume drops from O(pair-mass x vector-width) to
+    O(N x nprobe x vector-width + true-dup pairs). Per-cell memory is
+    |cell| x dims x 8 B plus a bounded score block
+    (``_GEMM_BLOCK_ELEMS``); the ``max_cell_pairs`` guard and √N cell
+    sizing keep |cell| bounded, same as before."""
+    thr_pre = _gemm_prefilter_threshold(threshold_q6)
+    empty = pd.DataFrame({"doc_a": pd.Series([], dtype="int64"),
+                          "doc_b": pd.Series([], dtype="int64")})
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        n = len(pdf)
+        if n < 2:
+            return empty
+        ids = pdf["_sd_id"].to_numpy(dtype=np.int64)
+        M = np.stack(pdf["_sd_vec"].to_numpy()).astype(np.float64)
+        nsq = np.cumsum(M * M, axis=1)[:, -1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Mn = M / np.sqrt(nsq)[:, None]
+        bs = max(16, _GEMM_BLOCK_ELEMS // n)
+        outs_a, outs_b = [], []
+        for i0 in range(0, n - 1, bs):
+            i1 = min(i0 + bs, n)
+            S = Mn[i0:i1] @ Mn.T
+            ii, jj = np.nonzero(S >= thr_pre)  # NaN (zero-norm) never admits
+            gi = ii + i0
+            keep = jj > gi  # each unordered pair once, positional i<j
+            gi, jj = gi[keep], jj[keep]
+            for c0 in range(0, len(gi), _GEMM_RESCORE_CHUNK):
+                cg = gi[c0:c0 + _GEMM_RESCORE_CHUNK]
+                cj = jj[c0:c0 + _GEMM_RESCORE_CHUNK]
+                q = _exact_q6_rows(M[cg], M[cj], nsq[cg], nsq[cj])
+                hit = q >= threshold_q6
+                if hit.any():
+                    a, b = ids[cg[hit]], ids[cj[hit]]
+                    outs_a.append(np.minimum(a, b))
+                    outs_b.append(np.maximum(a, b))
+        if not outs_a:
+            return empty
+        return pd.DataFrame({"doc_a": np.concatenate(outs_a),
+                             "doc_b": np.concatenate(outs_b)})
+
+    return (assigned.groupBy("_sd_cell")
+            .applyInPandas(gen, "doc_a long, doc_b long"))
+
+
+def _cell_dropped_gemm_incr(unioned: DataFrame,
+                            threshold_q6: int) -> DataFrame:
+    """The incremental twin of :func:`_cell_pairs_gemm`: dropped NEW
+    ids per cell. ``unioned``: (_sd_cell, _sd_id long, _sd_vec,
+    _sd_new boolean) — corpus rows carry ``_sd_new=false`` (their
+    ``_sd_id`` is a placeholder, never read); new rows carry their
+    real id. A new row is dropped iff some same-cell row dominates it
+    (corpus row, or new row with strictly lower id) at quantized
+    cosine >= threshold — exactly semantic_dedup_incremental's rule.
+
+    Work is the asymmetric GEMM |new_in_cell| x |cell| (never
+    corpus x corpus — the whole point of the incremental form), with
+    the same prefilter-margin + exact-rescore bit-parity contract.
+    Output may repeat an id across probe cells; callers
+    ``.distinct()``."""
+    thr_pre = _gemm_prefilter_threshold(threshold_q6)
+    empty = pd.DataFrame({"_sd_id": pd.Series([], dtype="int64")})
+
+    def gen(pdf: pd.DataFrame) -> pd.DataFrame:
+        is_new = pdf["_sd_new"].to_numpy(dtype=bool)
+        if not is_new.any() or len(pdf) < 2:
+            return empty
+        ids_all = pdf["_sd_id"].to_numpy(dtype=np.int64)
+        M = np.stack(pdf["_sd_vec"].to_numpy()).astype(np.float64)
+        nsq = np.cumsum(M * M, axis=1)[:, -1]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            Mn = M / np.sqrt(nsq)[:, None]
+        new_pos = np.nonzero(is_new)[0]
+        ids_new = ids_all[new_pos]
+        dropped = np.zeros(len(new_pos), dtype=bool)
+        bs = max(16, _GEMM_BLOCK_ELEMS // len(pdf))
+        for i0 in range(0, len(new_pos), bs):
+            rows = new_pos[i0:i0 + bs]
+            S = Mn[rows] @ Mn.T
+            ii, jj = np.nonzero(S >= thr_pre)
+            # domination: corpus side always; new side on strictly
+            # lower id (strict also excludes the row's own echo in the
+            # unioned frame).
+            dom = (~is_new[jj]) | (ids_all[jj] < ids_new[i0 + ii])
+            ii, jj = ii[dom], jj[dom]
+            for c0 in range(0, len(ii), _GEMM_RESCORE_CHUNK):
+                ci = ii[c0:c0 + _GEMM_RESCORE_CHUNK]
+                cj = jj[c0:c0 + _GEMM_RESCORE_CHUNK]
+                gr = rows[ci]
+                q = _exact_q6_rows(M[gr], M[cj], nsq[gr], nsq[cj])
+                dropped[i0 + ci[q >= threshold_q6]] = True
+        if not dropped.any():
+            return empty
+        return pd.DataFrame({"_sd_id": ids_new[dropped]})
+
+    return (unioned.groupBy("_sd_cell")
+            .applyInPandas(gen, "_sd_id long"))
+
+
 def brute_force_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                      vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
     """Exact cosine top-k per query: broadcast-crossJoin the query set
@@ -588,7 +739,18 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
 
     100 TB shape: one Arrow map pass to assign cells, then ONE hash
     shuffle on `cell`; all pairwise work is Sum(|cell|^2) inside
-    partitions — never a corpus cross-join. Cell count is the cost
+    partitions — never a corpus cross-join. Since round 11 the
+    within-cell pair stage is a per-cell blocked GEMM
+    (:func:`_cell_pairs_gemm`): only the N x nprobe assignment rows
+    shuffle (~300 B each), the O(|cell|²) cosines run as numpy matmul
+    INSIDE each task, and only pairs already >= threshold leave the
+    kernel — the prior row-wise self-join materialized every candidate
+    pair as a shuffle row carrying two vectors, which the reproduced
+    2M-point sweep (SCALE_SEMANTIC5B.json, local exponent ~2.0 vs the
+    1.5 design) showed spilling through the single host volume.
+    Bit-parity with the join form (and the DuckDB oracle) is kept by
+    exact-rescoring GEMM candidates through the same cumsum fold
+    (:func:`_exact_q6_rows`). Cell count is the cost
     dial: train cells ~ N / target_cell_size so per-cell work stays
     bounded (FAISS-style sqrt(N) cells gives N^1.5 total pair work
     spread over N/sqrt(N) independent tasks); a skewed giant cell is
@@ -670,23 +832,15 @@ def semantic_dedup(df: DataFrame, threshold_q6: int = 350_000,
     assigned = df.select(
         F.col(id_col).alias("_sd_id"), F.col(vec_col).alias("_sd_vec"),
         cell_expr.alias("_sd_cell"))
-    peers = assigned.select(F.col("_sd_cell"),
-                            F.col("_sd_id").alias("_kp_id"),
-                            F.col("_sd_vec").alias("_kp_vec"))
-    joined = (assigned.join(peers, "_sd_cell")
-              .where(F.col("_kp_id") < F.col("_sd_id"))
-              .where(_cos_q6_udf()(F.col("_sd_vec"), F.col("_kp_vec"))
-                     >= F.lit(threshold_q6)))
+    pairs = _cell_pairs_gemm(assigned, threshold_q6)
     if keep == "best":
         from .dedup import dedup_survivors
 
-        pairs = (joined.select(F.col("_kp_id").alias("doc_a"),
-                               F.col("_sd_id").alias("doc_b"))
-                 .distinct())
-        return dedup_survivors(df, pairs, keep="best", score=score,
-                               id_col=id_col)
-    dropped = (joined.select(F.col("_sd_id").alias(id_col))
-               .distinct())
+        return dedup_survivors(df, pairs.distinct(), keep="best",
+                               score=score, id_col=id_col)
+    # min-id rule: pairs are (doc_a < doc_b), so doc_b has a lower-id
+    # near-dup and is dropped — same predicate the join form applied.
+    dropped = pairs.select(F.col("doc_b").alias(id_col)).distinct()
     return df.join(dropped, id_col, "left_anti")
 
 
@@ -718,7 +872,11 @@ def semantic_dedup_incremental(new_df: DataFrame, corpus: DataFrame,
     hash shuffle on cell; the corpus side arrives cell-partitioned when
     the survivor store is written partitionBy(cell)
     (:func:`write_ivf_index` layout), so the join prunes to the cells
-    the batch actually touches.
+    the batch actually touches. Since round 11 the per-cell cosines run
+    as an asymmetric blocked GEMM inside each task
+    (:func:`_cell_dropped_gemm_incr`) — only assignment rows shuffle,
+    never candidate-pair rows; bit-parity via the same
+    prefilter-margin + exact-rescore contract as the batch form.
 
     ``nprobe`` mirrors the batch form's multi-probe dial (pass the
     SAME value the full runs use — the no-drift contract holds per
@@ -737,24 +895,20 @@ def semantic_dedup_incremental(new_df: DataFrame, corpus: DataFrame,
                                           centroids=centroids)))
 
     new_a = new_df.select(
-        F.col(id_col).alias("_sd_id"), F.col(vec_col).alias("_sd_vec"),
-        cell_expr().alias("_sd_cell"))
-    keep_corpus = corpus.select(
         cell_expr().alias("_sd_cell"),
-        F.lit(None).cast("long").alias("_kp_id"),
-        F.col(vec_col).alias("_kp_vec"))
-    keep_new = new_a.select(F.col("_sd_cell"),
-                            F.col("_sd_id").alias("_kp_id"),
-                            F.col("_sd_vec").alias("_kp_vec"))
-    # corpus rows dominate every new row (_kp_id NULL = corpus side);
-    # within the batch, lower id dominates — same min-id rule as the
-    # batch form.
-    keep = keep_corpus.unionByName(keep_new)
+        F.col(id_col).alias("_sd_id"), F.col(vec_col).alias("_sd_vec"),
+        F.lit(True).alias("_sd_new"))
+    corpus_a = corpus.select(
+        cell_expr().alias("_sd_cell"),
+        F.lit(0).cast("long").alias("_sd_id"),  # placeholder, never read
+        F.col(vec_col).alias("_sd_vec"),
+        F.lit(False).alias("_sd_new"))
+    # corpus rows dominate every new row; within the batch, lower id
+    # dominates — same min-id rule as the batch form, applied inside
+    # the per-cell GEMM kernel (asymmetric: |new| x |cell|, never
+    # corpus x corpus).
     dropped = (
-        new_a.join(keep, "_sd_cell")
-        .where(F.col("_kp_id").isNull() | (F.col("_kp_id") < F.col("_sd_id")))
-        .where(_cos_q6_udf()(F.col("_sd_vec"), F.col("_kp_vec"))
-               >= F.lit(threshold_q6))
+        _cell_dropped_gemm_incr(corpus_a.unionByName(new_a), threshold_q6)
         .select(F.col("_sd_id").alias(id_col))
         .distinct())
     return new_df.join(dropped, id_col, "left_anti")
