@@ -559,7 +559,12 @@ def ahash_bucket_report(fps: DataFrame) -> DataFrame:
 def ahash_pairs_from_fps(fps: DataFrame, max_hamming: int = 3,
                          max_bucket_pairs: int | None = None) -> DataFrame:
     """Band + verify over a precomputed (doc, fp) fingerprint frame:
-    (doc_a, doc_b, hamming) with Hamming <= max_hamming. Public so
+    (doc_a, doc_b, hamming) with Hamming <= max_hamming. NOTE: with
+    ``max_bucket_pairs`` set the call is EAGER — the pair set is
+    computed at call time and returned localCheckpoint'ed (lineage
+    truncated: on executor loss the result is lost, not recomputed —
+    prefer checkpoint(reliable) semantics on a real cluster); with the
+    default ``None`` the usual lazy plan is returned. Public so
     crafted fingerprints can be driven straight through the banding SQL
     (the lossless-pigeonhole property is testable on the REAL pair
     path, not a hand-computed twin — ADVICE r8) and so a STORED
@@ -656,10 +661,14 @@ def ahash_pairs(media: DataFrame, max_hamming: int = 3,
 def ahash_pairs_incremental(new_media: DataFrame, corpus_fps: DataFrame,
                             max_hamming: int = 3,
                             fake_width: int = 16,
-                            max_bucket_pairs: int | None = None
+                            max_bucket_pairs: int | None = None,
+                            new_fps: DataFrame | None = None
                             ) -> DataFrame:
     """Incremental image near-dup: match a NEW media batch against a
-    PRECOMPUTED corpus fingerprint index (``corpus_fps``: (doc, fp)
+    PRECOMPUTED corpus fingerprint index. NOTE: with
+    ``max_bucket_pairs`` set the call is EAGER (pair set computed at
+    call time, localCheckpoint'ed — see :func:`ahash_pairs_from_fps`);
+    lazy with the default ``None``. (``corpus_fps``: (doc, fp)
     from :func:`ahash_fps`) plus the batch itself — corpus PAYLOADS are
     never re-decoded; only the batch is hashed. Emits the same
     (media_a, media_b, hamming) contract as :func:`ahash_pairs`
@@ -686,10 +695,20 @@ def ahash_pairs_incremental(new_media: DataFrame, corpus_fps: DataFrame,
     (ADVICE r9): the batch fingerprints are persisted so the guard's
     histogram and the two pair joins share one payload-decode pass,
     then the (output-bounded) pair set is eagerly computed and the
-    cache released."""
+    cache released.
+
+    ``new_fps``: caller-staged batch fingerprint frame (an
+    :func:`ahash_fps` output the caller has already persisted —
+    composed pipelines stage it once so the payload-decode pass is
+    shared across decision, guard, and both pair branches; ADVICE
+    r10). The caller owns its lifecycle (neither persisted nor
+    unpersisted here). ``None`` (default) computes it from
+    ``new_media``."""
     from .util import bucket_pairs
 
-    new_fps = ahash_fps(new_media, fake_width=fake_width)
+    caller_staged = new_fps is not None
+    if new_fps is None:
+        new_fps = ahash_fps(new_media, fake_width=fake_width)
 
     def pair_plan(nf: DataFrame) -> DataFrame:
         nb = _ahash_chunks(nf)
@@ -716,7 +735,8 @@ def ahash_pairs_incremental(new_media: DataFrame, corpus_fps: DataFrame,
         return pair_plan(new_fps)
     from pyspark import StorageLevel
 
-    new_fps = new_fps.persist(StorageLevel.MEMORY_AND_DISK)
+    if not caller_staged:
+        new_fps = new_fps.persist(StorageLevel.MEMORY_AND_DISK)
     try:
         hot = (ahash_bucket_report(corpus_fps.unionByName(new_fps))
                .where(F.col("pairs") > max_bucket_pairs).limit(5).collect())
@@ -731,7 +751,8 @@ def ahash_pairs_incremental(new_media: DataFrame, corpus_fps: DataFrame,
                 f"budget.")
         return pair_plan(new_fps).localCheckpoint(eager=True)
     finally:
-        new_fps.unpersist()
+        if not caller_staged:
+            new_fps.unpersist()
 
 
 def frame_docs(media: DataFrame) -> DataFrame:
@@ -797,7 +818,8 @@ def video_frame_index(media: DataFrame) -> DataFrame:
 def video_neardup_pairs_incremental(new_media: DataFrame,
                                     corpus_index: DataFrame,
                                     threshold: float = 0.3,
-                                    scale_safe: bool | str = "auto"
+                                    scale_safe: bool | str = "auto",
+                                    batch_shingles: DataFrame | None = None
                                     ) -> DataFrame:
     """Incremental video near-dup: which NEW videos share segments
     (3-frame-run shingle Jaccard >= ``threshold``) with an already-
@@ -820,10 +842,17 @@ def video_neardup_pairs_incremental(new_media: DataFrame,
     hot-shingle case that motivated auto on the batch form exists for
     batches too — a drop of intro-card videos lands one digest shingle
     on one window partition; the decision moves the plan, never the
-    pairs."""
+    pairs.
+
+    ``batch_shingles``: caller-staged batch shingle frame (a
+    ``shingled_docs(frame_docs(new_media))`` output the caller has
+    persisted — composed pipelines stage it once so the payload-decode
+    pass is shared across the auto decision and every pair-plan branch;
+    ADVICE r10). Caller owns its lifecycle. ``None`` computes it."""
     from .dedup import jaccard_pairs_incremental_from_index, shingled_docs
 
-    batch = shingled_docs(frame_docs(new_media))
+    batch = (batch_shingles if batch_shingles is not None
+             else shingled_docs(frame_docs(new_media)))
     return jaccard_pairs_incremental_from_index(
         batch, corpus_index, threshold=threshold, scale_safe=scale_safe)
 
@@ -944,7 +973,8 @@ def audio_window_index(media: DataFrame) -> DataFrame:
 def audio_neardup_pairs_incremental(new_media: DataFrame,
                                     corpus_index: DataFrame,
                                     threshold: float = 0.3,
-                                    scale_safe: bool | str = "auto"
+                                    scale_safe: bool | str = "auto",
+                                    batch_shingles: DataFrame | None = None
                                     ) -> DataFrame:
     """Incremental audio near-dup: which NEW tracks share segments
     (3-window-run shingle Jaccard >= ``threshold``) with an already-
@@ -953,10 +983,13 @@ def audio_neardup_pairs_incremental(new_media: DataFrame,
     PAYLOADS are never re-read or re-windowed; only the batch is
     digested. Same shared core, guarantees, and no-drift contract as
     the video and text incrementals
-    (dedup.jaccard_pairs_incremental_from_index)."""
+    (dedup.jaccard_pairs_incremental_from_index). ``batch_shingles``:
+    caller-staged ``shingled_docs(audio_docs(new_media))`` frame (see
+    :func:`video_neardup_pairs_incremental`)."""
     from .dedup import jaccard_pairs_incremental_from_index, shingled_docs
 
-    batch = shingled_docs(audio_docs(new_media))
+    batch = (batch_shingles if batch_shingles is not None
+             else shingled_docs(audio_docs(new_media)))
     return jaccard_pairs_incremental_from_index(
         batch, corpus_index, threshold=threshold, scale_safe=scale_safe)
 
@@ -977,7 +1010,8 @@ def media_ingest_incremental(new_media: DataFrame,
                              image_fps: DataFrame,
                              video_index: DataFrame,
                              audio_index: DataFrame,
-                             min_bytes: int = MEDIA_MIN_BYTES) -> DataFrame:
+                             min_bytes: int = MEDIA_MIN_BYTES,
+                             scale_safe: bool | str = "auto") -> DataFrame:
     """Accept-filter a new media drop against the standing per-modality
     fingerprint indexes; returns the accepted catalog rows
     (media_id, kind, n_bytes). This composes the three modality
@@ -1012,14 +1046,29 @@ def media_ingest_incremental(new_media: DataFrame,
     The stored indexes follow the family convention: fingerprints of
     every previously GATED doc (survivors and dropped alike — the
     min-id/no-drift argument of semantic_dedup_incremental's docstring),
-    written at first ingest; payload bytes are hashed exactly once per
-    media lifetime. Replay safety is the ingest_embeddings_stream
-    convention: exclude the replayed drop's own index partition before
-    calling, and the accept decision is bit-identical (pytest-pinned).
+    written at first ingest; corpus payload bytes are hashed exactly
+    once per media lifetime (at index build), and within one call the
+    BATCH's payloads are decoded once per modality: the batch
+    fingerprint/shingle frames are staged persisted here, so the auto
+    decision, the corpus-match join, and the within-batch pair branch
+    all read one decode pass (ADVICE r10 — previously the image decode
+    ran twice and the video/audio decode ~4x per call). Replay safety
+    is the ingest_embeddings_stream convention: exclude the replayed
+    drop's own index partition before calling, and the accept decision
+    is bit-identical (pytest-pinned).
+
+    ``scale_safe`` (VERDICT r10 #3 — amortize the auto decision):
+    forwarded to the video and audio incrementals. The default
+    ``"auto"`` decides per call from the STAGED batch shingle frames
+    (cache reads, not fresh decode jobs); a production loop ingesting
+    many drops against one stored index should decide ONCE per corpus
+    (dedup.choose_dedup_scale_path) and pass the explicit bool —
+    zero decision jobs per drop.
     """
     from pyspark import StorageLevel
 
-    from .dedup import cluster_representatives, dedup_clusters
+    from .dedup import (_auto_scale_safe, cluster_representatives,
+                        dedup_clusters, shingled_docs)
 
     # Cache lifecycle (the ngram_jaccard_pairs materialize discipline):
     # the gate catalog feeds every modality branch (cat_k, bids, the
@@ -1032,10 +1081,35 @@ def media_ingest_incremental(new_media: DataFrame,
     catalog = (new_media.select("media_id", "kind")
                .join(stats.select("media_id", "n_bytes"), "media_id")
                .persist(StorageLevel.MEMORY_AND_DISK))
+    staged: list[DataFrame] = []
+
+    def stage(frame: DataFrame) -> DataFrame:
+        f = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        staged.append(f)
+        return f
+
     try:
         catalog.count()
         gated = new_media.join(catalog.select("media_id"), "media_id")
         bids = catalog.select("media_id")
+
+        # Stage each modality's batch-side decode output ONCE (ADVICE
+        # r10): every downstream consumer — the scale decision, the
+        # corpus-match join, the within-batch pair branch — reads the
+        # cache instead of re-running the payload-decode map pass.
+        img_fps = stage(ahash_fps(gated.where(F.col("kind") == "image")))
+        vid_sh = stage(shingled_docs(frame_docs(
+            gated.where(F.col("kind") == "video"))))
+        aud_sh = stage(shingled_docs(audio_docs(
+            gated.where(F.col("kind") == "audio"))))
+        if scale_safe == "auto":
+            # decide from the staged (cached) shingle frames — two
+            # cache-read jobs per modality, no fresh decode; explicit
+            # bools below mean the inner calls never re-decide.
+            vid_safe: bool | str = _auto_scale_safe(vid_sh)
+            aud_safe: bool | str = _auto_scale_safe(aud_sh)
+        else:
+            vid_safe = aud_safe = scale_safe
 
         def modality(kind: str, pairs: DataFrame, a_col: str, b_col: str,
                      keep: str, score=None) -> DataFrame:
@@ -1097,23 +1171,28 @@ def media_ingest_incremental(new_media: DataFrame,
             img_f = ex.submit(
                 modality, "image",
                 ahash_pairs_incremental(
-                    gated.where(F.col("kind") == "image"), image_fps),
+                    gated.where(F.col("kind") == "image"), image_fps,
+                    new_fps=img_fps),
                 "media_a", "media_b", "best", F.col("n_bytes"))
             vid_f = ex.submit(
                 modality, "video",
                 video_neardup_pairs_incremental(
-                    gated.where(F.col("kind") == "video"), video_index),
+                    gated.where(F.col("kind") == "video"), video_index,
+                    scale_safe=vid_safe, batch_shingles=vid_sh),
                 "doc_a", "doc_b", "first")
             aud_f = ex.submit(
                 modality, "audio",
                 audio_neardup_pairs_incremental(
-                    gated.where(F.col("kind") == "audio"), audio_index),
+                    gated.where(F.col("kind") == "audio"), audio_index,
+                    scale_safe=aud_safe, batch_shingles=aud_sh),
                 "doc_a", "doc_b", "first")
             img, vid, aud = (img_f.result(), vid_f.result(),
                              aud_f.result())
         return (img.unionByName(vid).unionByName(aud)
                 .select("media_id", "kind", "n_bytes"))
     finally:
+        for f in staged:
+            f.unpersist()
         catalog.unpersist()
 
 

@@ -422,11 +422,60 @@ def centroid_weights(cells: int = IVF_CELLS, dims: int = DEFAULT_DIMS) -> tuple:
 def _cell_sims(V: "np.ndarray", C: "np.ndarray") -> "np.ndarray":
     """n x cells cosine matrix with the exact fold order of the SQL form:
     cumsum dots, sqrt of the PRODUCT of squared norms (sqrt(a*b), never
-    sqrt(a)*sqrt(b) — different rounding)."""
+    sqrt(a)*sqrt(b) — different rounding). O(n x cells x dims) cumsum
+    work — the reference implementation the masked fast path
+    (:func:`_cell_sims_masked`) is verified against."""
     proj = np.cumsum(V[:, None, :] * C[None, :, :], axis=2)[:, :, -1]
     nv = np.cumsum(V * V, axis=1)[:, -1]
     nc = np.cumsum(C * C, axis=1)[:, -1]
     return proj / np.sqrt(nv[:, None] * nc[None, :])
+
+
+#: BLAS-vs-sequential-fold disagreement bound for the assignment
+#: prefilter: d*eps on unit-cosine values is ~1e-14; 1e-9 leaves five
+#: orders of magnitude of headroom while admitting ~1 extra candidate
+#: cell per row.
+_ASSIGN_MARGIN = 1e-9
+
+
+def _cell_sims_masked(V: "np.ndarray", C: "np.ndarray",
+                      top: int) -> "np.ndarray":
+    """n x cells cosine matrix that is EXACT (bit-identical to
+    :func:`_cell_sims`) on every cell that can possibly rank in each
+    row's top ``top``, and -inf elsewhere — the GEMM-prefilter +
+    exact-rescore contract applied to cell ASSIGNMENT (round 11: the
+    full-cumsum assignment pass became the dominant cost once the pair
+    stage went GEMM; at √N cells it is O(N^1.5 · d) cumsum work).
+
+    One BLAS matmul scores all cells; per row, only cells within
+    ``_ASSIGN_MARGIN`` of the ``top``-th BLAS score (~top+1 cells) are
+    rescored through the sequential cumsum fold. Any cell outside the
+    margin is > 1e-9 below the top-th BLAS score, and BLAS vs fold
+    disagree by <= ~1e-14 — so its exact score cannot reach the exact
+    top-``top``; argmax / stable top-k over the masked matrix therefore
+    equal the full exact computation, ties and all (-inf never ties a
+    real score; NaN zero-norm rows mask to all--inf, same index-0
+    argmax as the all-NaN full matrix)."""
+    n, cells = len(V), len(C)
+    nv = np.cumsum(V * V, axis=1)[:, -1]
+    nc = np.cumsum(C * C, axis=1)[:, -1]
+    with np.errstate(divide="ignore", invalid="ignore"):
+        S = (V @ C.T) / np.sqrt(nv[:, None] * nc[None, :])
+        k = min(top, cells)
+        kth = np.partition(S, cells - k, axis=1)[:, cells - k]
+        mask = S >= (kth[:, None] - _ASSIGN_MARGIN)  # NaN rows: all False
+        ri, cj = np.nonzero(mask)
+        out = np.full((n, cells), -np.inf)
+        if len(ri):
+            dot = np.cumsum(V[ri] * C[cj], axis=1)[:, -1]
+            out[ri, cj] = dot / np.sqrt(nv[ri] * nc[cj])
+        # degenerate rows (any non-finite BLAS score: zero-norm vector
+        # or centroid) fall back to the full exact matrix so NaN
+        # argmax/ordering semantics match _cell_sims bit-for-bit
+        bad = ~np.isfinite(S).all(axis=1)
+        if bad.any():
+            out[bad] = _cell_sims(V[bad], C)
+    return out
 
 
 def ivf_cell(vec: Column, cells: int = IVF_CELLS,
@@ -448,7 +497,8 @@ def ivf_cell(vec: Column, cells: int = IVF_CELLS,
         vals = v.values
         for lo in range(0, len(vals), 1024):
             V = np.stack(vals[lo:lo + 1024]).astype(np.float64)
-            out[lo:lo + len(V)] = np.argmax(_cell_sims(V, C), axis=1)
+            out[lo:lo + len(V)] = np.argmax(
+                _cell_sims_masked(V, C, top=1), axis=1)
         return pd.Series(out)
 
     return cell(vec)
@@ -468,11 +518,17 @@ def ivf_probe_cells(vec: Column, nprobe: int = IVF_NPROBE,
 
     @pandas_udf("array<int>")
     def probes(v: pd.Series) -> pd.Series:
-        V = np.stack(v.values).astype(np.float64)
-        sims = _cell_sims(V, C)
-        # stable sort on -sim -> descending sim, ascending cell on ties
-        order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-        return pd.Series(list(order.astype(np.int32)))
+        outs = []
+        vals = v.values
+        for lo in range(0, len(vals), 1024):
+            V = np.stack(vals[lo:lo + 1024]).astype(np.float64)
+            sims = _cell_sims_masked(V, C, top=nprobe)
+            # stable sort on -sim -> descending sim, ascending cell on
+            # ties (exact on every top-nprobe candidate; -inf filler
+            # never outranks a real score)
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
+            outs.extend(order.astype(np.int32))
+        return pd.Series(outs)
 
     return probes(vec)
 

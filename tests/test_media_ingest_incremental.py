@@ -193,3 +193,46 @@ def test_replay_idempotence_exclude_own_partition(spark, scenario):
         (r.media_id, r.kind, r.n_bytes)
         for r in media_ingest_incremental(batch, **replay_idx).collect())
     assert acc3 == acc1
+
+
+def test_scale_decision_amortized(spark, scenario, monkeypatch):
+    """VERDICT r10 #3: the auto scale decision is hoisted to the
+    composition — exactly ONE _auto_scale_safe call per shingle
+    modality (video, audio) on the STAGED batch frames with "auto"
+    (the inner incrementals receive explicit bools and never
+    re-decide), and ZERO calls when the caller passes the explicit
+    bool (the decide-once-per-corpus production shape). The accept
+    set is identical on every path (the decision moves the plan,
+    never the pairs)."""
+    from oracle_to_snowflake_etl_spark.operators import dedup as D
+
+    corpus, batch, idx = scenario
+    calls = []
+    real = D._auto_scale_safe
+
+    def counting(docs, *a, **kw):
+        calls.append(1)
+        return real(docs, *a, **kw)
+
+    monkeypatch.setattr(D, "_auto_scale_safe", counting)
+    expect = {(104, "image", 360), (106, "audio", 896),
+              (112, "video", 2 * _VSEG)}
+
+    got = {(r.media_id, r.kind, r.n_bytes)
+           for r in media_ingest_incremental(batch, **idx).collect()}
+    assert got == expect
+    assert len(calls) == 2  # one per shingle modality, none inner
+
+    calls.clear()
+    got = {(r.media_id, r.kind, r.n_bytes)
+           for r in media_ingest_incremental(
+               batch, **idx, scale_safe=False).collect()}
+    assert got == expect
+    assert len(calls) == 0
+
+    calls.clear()
+    got = {(r.media_id, r.kind, r.n_bytes)
+           for r in media_ingest_incremental(
+               batch, **idx, scale_safe=True).collect()}
+    assert got == expect
+    assert len(calls) == 0
