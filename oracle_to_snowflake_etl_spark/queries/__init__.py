@@ -93,12 +93,24 @@ PRIORITY = [
     # slots; drop is pytest-covered) — its slot carries the round-8
     # SemDeDup embedding-space dedup family's representative
     "dedup_ngram_jaccard_auto", "dedup_semantic",
-    # Similarity / embeddings
-    "ann_brute_topk", "ann_ivf_topk", "ann_srp_neardup",
+    # Similarity / embeddings (ann_brute_topk rotated to full-local in
+    # round 11 — it is the pinned brute-force BASELINE, unchanged since
+    # round 3, and the family keeps ann_ivf_topk + ann_srp_neardup
+    # driver slots; its slot carries mm_audio_features, the round-10/11
+    # audio feature extractor whose oracle now exercises the
+    # zero-crossing branch via the high-byte PCM family — VERDICT r10
+    # asks #5 and #7)
+    "mm_audio_features", "ann_ivf_topk", "ann_srp_neardup",
     "emb_label_centroids",
     # Text analysis (text_quality_filter stays full-local-checked; its
     # slot carries the round-4 MV-maintenance family instead)
-    "text_quality_features", "text_lang_id", "mv_incremental_refresh",
+    # (text_lang_id rotated to full-local in round 11 — floor-class
+    # column expressions, stable since round 3, text family keeps five
+    # driver slots; its slot carries mm_audio_neardup_incr, the newest
+    # stored-index incremental through the shared Jaccard core —
+    # VERDICT r10 ask #7)
+    "text_quality_features", "mm_audio_neardup_incr",
+    "mv_incremental_refresh",
     # (text_corpus_quantiles + pii_redact_contacts rotated to full-local
     # in round 5; their slots carry the r4 skew-diagnosis + exact-sum
     # stats family)
