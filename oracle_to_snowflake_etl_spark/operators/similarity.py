@@ -1270,6 +1270,131 @@ def quantize_int8(vec: Column, out_scale: str = "scale",
     return [(absmax / 127.0).alias(out_scale), q.alias(out_q)]
 
 
+#: contract cap on the broadcast query matrix of the quantized scan —
+#: the _collect_eval_matrix convention: a corpus-sized "query set" is a
+#: near-dup problem (semantic_dedup), not a broadcast-scan problem
+ANN_INT8_MAX_QUERIES = 4096
+
+
+def ann_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                  rescore: int = 3,
+                  vec_col: str = "embedding", id_col: str = "vec_id",
+                  max_queries: int = ANN_INT8_MAX_QUERIES) -> DataFrame:
+    """Quantized-scan ANN top-k: first-pass candidate search over the
+    INT8 store (:func:`quantize_int8`), exact float cosine rescore of
+    only ``k * rescore`` candidates per query. Same output contract as
+    :func:`brute_force_topk`: (query_id, neighbor_id, sim_q6),
+    self-matches excluded, ties broken by neighbor_id.
+
+    Why this exists at 100 TB: the scan — the term that touches every
+    byte — reads the int8 table (4x smaller than float32), and the
+    float vectors are fetched only for the candidate set (|queries| x
+    k x rescore rows). The first pass runs as ONE Arrow map pass over
+    the quantized corpus: the quantized query matrix broadcasts
+    (contract-capped like the decontamination eval side), each task
+    computes exact-integer dot products via a numpy int64 matmul, and
+    emits only its PER-PARTITION top ``k * rescore`` ids per query —
+    the distributive-top-k property means the global cut over
+    (partitions x queries x R) skinny rows is exact. Corpus vectors
+    never shuffle; int8 codes never leave their task.
+
+    Cross-engine determinism: integer dots are exact (|dot| <=
+    dims x 127² << 2^53); the ranking score is (double)qdot * c_scale
+    * q_scale evaluated left-to-right on both engines; the rescore is
+    the family's sequential-fold cos_q6. A query id listed in
+    ``queries`` must exist with the same vector in DuckDB's view of the
+    data for the oracle to agree (the registry uses vec_id < N).
+
+    Composes with IVF: at cluster scale, store the int8 codes bucketed
+    by :func:`ivf_cell` and run this scan per probed cell — the scan
+    term then drops by nprobe/cells on top of the 4x byte win.
+    """
+    qrows = (queries.select(F.col(id_col), F.col(vec_col))
+             .limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}: the "
+            f"broadcast quantized-scan path is for bounded query "
+            f"batches; for corpus-sized query sides use "
+            f"semantic_dedup / embedding_near_dups.")
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim_q6 long")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Qf = np.array([r[1] for r in qrows], dtype=np.float64)
+    # the same quantization quantize_int8 computes, in numpy: floor
+    # over double products is elementwise-deterministic on both paths
+    q_absmax = np.abs(Qf).max(axis=1)
+    q_safe = np.where(q_absmax == 0.0, 1.0, q_absmax)
+    Qq = np.floor(Qf * 127.0 / q_safe[:, None] + 0.5).astype(np.int64)
+    q_scale = q_absmax / 127.0
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, Qq, q_scale))
+    r_cut = k * rescore
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        ids_b, Qq_b, qs_b = bc.value
+        best: list[np.ndarray] = []  # per-batch (qid, nid, approx) rows
+        for pdf in batches:
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cs = pdf["c_scale"].to_numpy(dtype=np.float64)
+            Cq = np.stack(pdf["c_q"].values).astype(np.int64)
+            dots = Cq @ Qq_b.T                      # exact int64
+            approx = (dots.astype(np.float64)
+                      * cs[:, None]) * qs_b[None, :]
+            approx[nid[:, None] == ids_b[None, :]] = -np.inf
+            cut = min(r_cut, approx.shape[0])
+            # per-query top-R within the batch under the TOTAL order
+            # (approx DESC, neighbor_id ASC) — the same order the global
+            # cut uses, so every global top-R row is in its batch's
+            # top-R (distributive top-k; ties cannot leak because the
+            # id tiebreak makes the order total)
+            for j in range(ids_b.shape[0]):
+                col = approx[:, j]
+                order = np.lexsort((nid, -col))[:cut]
+                best.append(np.column_stack((
+                    np.full(cut, ids_b[j], dtype=np.float64),
+                    nid[order].astype(np.float64), col[order])))
+        if best:
+            allr = np.concatenate(best, axis=0)
+            out = []
+            for qid in np.unique(allr[:, 0]):
+                rows = allr[allr[:, 0] == qid]
+                order = np.lexsort((rows[:, 1], -rows[:, 2]))[:r_cut]
+                out.append(rows[order])
+            allr = np.concatenate(out, axis=0)
+            allr = allr[np.isfinite(allr[:, 2])]
+            yield pd.DataFrame({
+                "query_id": allr[:, 0].astype(np.int64),
+                "neighbor_id": allr[:, 1].astype(np.int64),
+                "approx": allr[:, 2]})
+
+    qc = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       *quantize_int8(F.col(vec_col), "c_scale", "c_q"))
+    part_top = qc.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, approx double")
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.desc("approx"), F.asc("neighbor_id"))
+    cand = (part_top.withColumn("crnk", F.row_number().over(w1))
+            .where(F.col("crnk") <= r_cut)
+            .select("query_id", "neighbor_id"))
+    # float vectors touched ONLY here: |queries| x r_cut candidate rows
+    c_vecs = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("c_vec"))
+    q_vecs = queries.select(F.col(id_col).alias("query_id"),
+                            F.col(vec_col).alias("q_vec"))
+    scored = (cand.join(c_vecs, "neighbor_id")
+              .join(F.broadcast(q_vecs), "query_id")
+              .select("query_id", "neighbor_id",
+                      _cos_q6_udf()(F.col("q_vec"),
+                                    F.col("c_vec")).alias("sim_q6")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.desc("sim_q6"), F.asc("neighbor_id"))
+    return (scored.withColumn("rnk", F.row_number().over(w2))
+            .where(F.col("rnk") <= k)
+            .select("query_id", "neighbor_id", "sim_q6"))
+
+
 def write_ivf_index(corpus: DataFrame, path: str,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",

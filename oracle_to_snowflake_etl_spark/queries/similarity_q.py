@@ -429,6 +429,66 @@ def q_emb_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id", *quantize_int8(F.col("embedding")))
 
 
+@register(
+    "ann_int8_topk",
+    f"""
+    WITH m AS (
+      SELECT vec_id,
+             CAST(list_max(list_transform(embedding, x -> abs(x)))
+                  AS DOUBLE) AS absmax,
+             embedding
+      FROM embeddings
+    ),
+    z AS (
+      SELECT vec_id, absmax / 127.0 AS scale,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                               / (CASE WHEN absmax = 0 THEN 1.0
+                                       ELSE absmax END) + 0.5)
+                         AS INTEGER)) AS q,
+             embedding
+      FROM m
+    ),
+    qs AS (SELECT vec_id AS query_id, scale AS q_scale, q AS q_q,
+                  embedding AS q_vec FROM z WHERE vec_id < {N_QUERIES}),
+    cs AS (SELECT vec_id AS neighbor_id, scale AS c_scale, q AS c_q,
+                  embedding AS c_vec FROM z),
+    cand AS (
+      SELECT query_id, neighbor_id, q_vec, c_vec,
+             CAST(list_sum(list_transform(range(1, len(c_q) + 1),
+                  i -> CAST(c_q[i] AS BIGINT) * CAST(q_q[i] AS BIGINT)))
+                  AS DOUBLE) * c_scale * q_scale AS approx
+      FROM cs, qs
+      WHERE query_id != neighbor_id
+      QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY approx DESC, neighbor_id ASC) <= {TOP_K * 3}
+    )
+    SELECT query_id, neighbor_id, {_duck_cos_q6('q_vec', 'c_vec')} AS sim_q6
+    FROM cand
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY {_duck_cos_q6('q_vec', 'c_vec')} DESC, neighbor_id ASC)
+        <= {TOP_K}
+    """)
+def q_ann_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized-scan ANN (operators/similarity.ann_int8_topk): the
+    candidate pass reads only the int8 store — one Arrow map pass
+    computing exact-integer dot products against the broadcast
+    quantized query matrix, emitting per-partition top-3k ids — and
+    float vectors are touched only to rescore the 3k candidates per
+    query with the family's sequential-fold cos_q6. Deterministic
+    cross-engine: integer dots are exact, the ranking score
+    (double)qdot * c_scale * q_scale multiplies left-to-right on both
+    sides, ties break on neighbor_id."""
+    from ..operators.similarity import ann_int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_int8_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
+                         k=TOP_K, rescore=3)
+
+
 #: ingest split for the incremental SRP query — same split as the text
 #: incremental family (queries/dedup_q._INC_SPLIT)
 from .dedup_q import _INC_SPLIT as SRP_INC_SPLIT  # noqa: E402

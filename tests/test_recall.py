@@ -112,3 +112,48 @@ def test_semantic_pair_recall_floor(spark, emb):
     assert d256 >= 0.63         # measured 0.676
     assert d64 > r64            # the probe dial must buy recall
     assert d256 > r256
+
+
+def test_int8_rescored_recall_vs_exact(spark, emb):
+    """ann_int8_topk (quantized scan + float rescore of 3k candidates)
+    against the exact brute-force top-10: int8 quantization costs
+    <0.5% cosine error on unit-ish vectors, so with a 3x rescore
+    margin the result should be essentially exact. Guard overlap at
+    >= 0.95 over 50 query vectors; also pin the output contract
+    (k rows per query, no self matches)."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_int8_topk,
+        brute_force_topk,
+    )
+
+    q = emb.where(F.col("vec_id") < 50)
+    got = ann_int8_topk(emb, q, k=10, rescore=3).collect()
+    exact = brute_force_topk(emb, q, k=10).collect()
+    by_q: dict[int, set[int]] = {}
+    for r in got:
+        assert r.query_id != r.neighbor_id
+        by_q.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert all(len(v) == 10 for v in by_q.values()) and len(by_q) == 50
+    hits = sum(r.neighbor_id in by_q[r.query_id] for r in exact)
+    assert hits / len(exact) >= 0.95
+
+
+def test_int8_topk_contract_caps(spark, emb):
+    """The broadcast query matrix is contract-capped (the
+    _collect_eval_matrix convention) and an empty query set returns an
+    empty frame with the output schema."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_int8_topk,
+    )
+
+    with _pytest.raises(ValueError, match="max_queries"):
+        ann_int8_topk(emb, emb.limit(3), k=2, max_queries=2)
+    out = ann_int8_topk(emb, emb.where(F.lit(False)), k=2)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "sim_q6"]
