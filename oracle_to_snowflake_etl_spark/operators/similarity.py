@@ -1395,6 +1395,56 @@ def ann_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .select("query_id", "neighbor_id", "sim_q6"))
 
 
+def emb_cell_sample(df: DataFrame, fraction: float,
+                    cells: int = IVF_CELLS,
+                    centroids: tuple | None = None,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    salt: str = "cellsample") -> DataFrame:
+    """Cluster-stratified embedding downsample for training-data
+    selection: assign every vector to its IVF cell (one Arrow map
+    pass), then keep ceil(fraction x |cell|) rows PER CELL, chosen by
+    the repo's deterministic 60-bit hash order. Returns (id, cell).
+
+    Why not the existing samplers: ``hash_sample`` is Bernoulli — on a
+    clustered corpus it over/under-samples small clusters by sampling
+    noise, exactly the modes a curated training mix wants preserved;
+    ``sample_n_per_group`` is a fixed absolute budget. The
+    PROPORTIONAL hard budget keeps every cluster's mass ratio exact
+    (ceil guarantees no non-empty cell is emptied), which is the
+    coreset-style diversity property embedding-space curation wants —
+    downsample the corpus 4x without erasing its rare modes.
+
+    Determinism contract (operators/sampling.py): membership depends
+    only on (salt, id, centroids) — never on partitioning — and the
+    DuckDB oracle reproduces the full path (pinned snapshot assignment
+    + the same md5-derived rank). 100 TB shape: assignment is map-only;
+    the rank and the per-cell count share ONE shuffle on cell (~√N
+    partitions of √N rows when cells are trained at √N); payload/float
+    columns are not carried — join survivors back by id.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    from ..functions.hashing import hash60
+
+    if centroids is None:
+        centroids = ivf_train_centroids(df, cells=cells, vec_col=vec_col,
+                                        id_col=id_col)
+    assigned = df.select(
+        F.col(id_col),
+        ivf_cell(F.col(vec_col), cells=cells,
+                 centroids=centroids).alias("cell"),
+        hash60(F.concat_ws("|", F.lit(salt),
+                           F.col(id_col).cast("string"))).alias("_h"))
+    wcell = Window.partitionBy("cell")
+    worder = wcell.orderBy(F.asc("_h"), F.asc(id_col))
+    return (assigned
+            .withColumn("_rn", F.row_number().over(worder))
+            .withColumn("_cnt", F.count("*").over(wcell))
+            .where(F.col("_rn") <= F.ceil(F.lit(float(fraction))
+                                          * F.col("_cnt")))
+            .select(id_col, "cell"))
+
+
 def write_ivf_index(corpus: DataFrame, path: str,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",

@@ -361,6 +361,64 @@ def q_dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     return semantic_cell_report(emb, centroids=IVF_SNAPSHOT)
 
 
+#: fraction for the cell-stratified downsample query
+CELL_SAMPLE_FRAC = 0.25
+
+
+def _duck_cell_sample_sql(fraction: float = CELL_SAMPLE_FRAC) -> str:
+    """DuckDB oracle for emb_cell_sample: pinned-snapshot single-assign
+    cell (the _duck_cells_sql probes=1 fragment), the identical
+    md5-derived 60-bit rank, and the proportional ceil budget."""
+    from ..functions.hashing import duck_hash60_sql
+
+    cs = IVF_SNAPSHOT
+    c_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
+    dot_vc = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+              "list_transform(embedding, (x, i) -> "
+              "CAST(x AS DOUBLE) * C[c + 1][i])), (p, q) -> p + q)")
+    nsq_v = _duck_dot("embedding", "embedding")
+    nsq_c = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(C[c + 1], (x, i) -> x * C[c + 1][i])), "
+             "(p, q) -> p + q)")
+    sims = (f"list_transform(range(0, {IVF_CELLS}), c -> "
+            f"{dot_vc} / sqrt({nsq_v} * {nsq_c}))")
+    h = duck_hash60_sql(
+        "'cellsample' || '|' || CAST(vec_id AS VARCHAR)")
+    return f"""
+    WITH cents AS (SELECT {c_lit} AS C),
+    assigned AS (
+      SELECT vec_id, list_position(sims, list_max(sims)) - 1 AS cell,
+             {h} AS h
+      FROM (SELECT vec_id, {sims} AS sims FROM embeddings, cents)
+    )
+    SELECT vec_id, cell
+    FROM (
+      SELECT vec_id, cell,
+             row_number() OVER (PARTITION BY cell
+                                ORDER BY h ASC, vec_id ASC) AS rn,
+             COUNT(*) OVER (PARTITION BY cell) AS cnt
+      FROM assigned)
+    WHERE rn <= ceil(CAST({fraction!r} AS DOUBLE) * cnt)
+    """
+
+
+@register("emb_cell_sample", _duck_cell_sample_sql())
+def q_emb_cell_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-stratified embedding downsample
+    (operators/similarity.emb_cell_sample): keep ceil(25% x |cell|)
+    vectors per pinned-snapshot IVF cell, chosen by the repo's
+    deterministic md5-derived hash order — a proportional hard budget
+    that preserves every cluster's mass ratio (no non-empty cell is
+    emptied), where Bernoulli sampling would thin rare modes by noise.
+    Assignment is one Arrow map pass; rank + count share one shuffle
+    on cell."""
+    from ..operators.similarity import emb_cell_sample
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb_cell_sample(emb, CELL_SAMPLE_FRAC, centroids=IVF_SNAPSHOT)
+
+
 @register("ann_srp_neardup", _duck_srp_sql())
 def q_ann_srp_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SRP-LSH (32-bit code, 4x8 bands) embedding near-dup pairs at

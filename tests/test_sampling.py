@@ -197,3 +197,47 @@ def test_leakage_free_split_contracts(spark, sf_dir):
     unclustered = set(labels) - set(cl)
     assert unclustered
     assert all(labels[d] == plain[d] for d in unclustered)
+
+
+def test_cell_sample_proportional_budget_and_stability(spark, sf_dir):
+    """emb_cell_sample keeps EXACTLY ceil(frac x |cell|) rows per
+    pinned-snapshot cell (the mass-ratio-preserving property Bernoulli
+    lacks), and the kept set is partitioning-independent."""
+    import math
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        emb_cell_sample,
+        ivf_cell,
+    )
+    from oracle_to_snowflake_etl_spark.queries.similarity_q import (
+        IVF_SNAPSHOT,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    kept = emb_cell_sample(emb, 0.25, centroids=IVF_SNAPSHOT)
+    per_cell = {r.cell: r.n for r in
+                kept.groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    totals = {r.cell: r.n for r in
+              emb.select(ivf_cell(F.col("embedding"),
+                                  centroids=IVF_SNAPSHOT).alias("cell"))
+              .groupBy("cell").agg(F.count("*").alias("n")).collect()}
+    assert per_cell  # non-degenerate
+    for cell, n in totals.items():
+        assert per_cell.get(cell, 0) == math.ceil(0.25 * n)
+    a = {r.vec_id for r in kept.collect()}
+    b = {r.vec_id for r in
+         emb_cell_sample(emb.repartition(13, "label"), 0.25,
+                         centroids=IVF_SNAPSHOT).collect()}
+    assert a == b
+
+
+def test_cell_sample_fraction_contract(spark, sf_dir):
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        emb_cell_sample,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    with pytest.raises(ValueError, match="fraction"):
+        emb_cell_sample(emb, 0.0)
+    with pytest.raises(ValueError, match="fraction"):
+        emb_cell_sample(emb, 1.5)
