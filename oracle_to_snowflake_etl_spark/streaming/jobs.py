@@ -884,3 +884,107 @@ def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _read_parquet_or_none(spark: SparkSession, path: str):
+    """Read a parquet dir that may not exist yet (first micro-batch of
+    an ingest loop) — the shared guard of the streaming ingest jobs."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return None
+
+
+def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
+                             checkpoint: str, centroids: tuple,
+                             threshold_q6: int = 350_000,
+                             nprobe: int | None = None,
+                             vec_col: str = "embedding",
+                             id_col: str = "vec_id") -> StreamingQuery:
+    """Streaming SEMANTIC-dedup ingest — the embedding-modality twin of
+    :func:`ingest_documents_stream`: each micro-batch of vectors is
+    deduplicated against the ACCUMULATED accepted corpus via
+    ``semantic_dedup_incremental`` plus its own lower-id siblings, and
+    survivors are appended — the store is self-maintaining, batch N+1
+    dedups against everything batches 1..N accepted.
+
+    Accept policy: accept-against-ACCEPTED (the corpus-immutable rule
+    of ingest_batch / media_ingest_incremental — a new vector is
+    dropped only if it near-dups something the store KEPT), which is
+    the ingest-loop policy, deliberately distinct from the batch-
+    equivalence index convention semantic_dedup_incremental documents
+    for its oracle (there the index holds every seen row).
+
+    ``centroids`` is REQUIRED (an ivf_train_centroids snapshot or any
+    fixed matrix): acceptance must not drift as the corpus grows, and
+    per-batch retraining would re-assign historic cells.
+
+    100 TB shape: accepted rows are stored WITH their probe-cell array,
+    so each micro-batch prunes the corpus to rows sharing at least one
+    of the batch's probed cells BEFORE the incremental call — lossless
+    (a near-dup pair must share a probe cell by construction), and the
+    O(corpus) re-assignment collapses to the touched cells' rows. The
+    batch's distinct probe set (<= number of trained cells) is the only
+    driver-side collect. Exactly-once by layout: every batch writes its
+    own ``batch=<id>`` dir in overwrite mode and the corpus read
+    excludes the in-flight batch id, so at-least-once replays rewrite
+    instead of double-append (the ingest_documents_stream pattern).
+    """
+    from ..operators.similarity import (
+        SEMDEDUP_NPROBE,
+        ivf_probe_cells,
+        semantic_dedup_incremental,
+    )
+
+    if centroids is None:
+        raise ValueError(
+            "ingest_embeddings_stream requires pinned centroids: "
+            "per-batch training would re-assign historic cells and "
+            "drift the accept decisions (pass an ivf_train_centroids "
+            "snapshot).")
+    probes = SEMDEDUP_NPROBE if nprobe is None else nprobe
+    n_cells = len(centroids)
+    spark = stream.sparkSession
+
+    def cells_arr(col):  # noqa: ANN001 — Column -> Column
+        return ivf_probe_cells(col, nprobe=probes, cells=n_cells,
+                               centroids=centroids)
+
+    def accept(batch: DataFrame, batch_id: int) -> None:
+        corpus = _read_parquet_or_none(spark, accepted_path)
+        if corpus is not None:
+            corpus = corpus.where(F.col("batch") != batch_id)
+        slim = batch.select(id_col, vec_col)
+        if corpus is None:
+            pruned = slim.limit(0)
+        else:
+            touched = sorted({c for r in batch.select(
+                F.explode(cells_arr(F.col(vec_col))).alias("c"))
+                .distinct().collect() for c in [r.c]})
+            pruned = (corpus
+                      .where(F.arrays_overlap(
+                          F.col("_cells"),
+                          F.array(*[F.lit(c) for c in touched])))
+                      .select(id_col, vec_col))
+        survivors = semantic_dedup_incremental(
+            slim, pruned, threshold_q6=threshold_q6,
+            vec_col=vec_col, id_col=id_col,
+            cells=n_cells, centroids=centroids, nprobe=probes)
+        accepted = batch.join(survivors.select(id_col), id_col,
+                              "left_semi")
+        (accepted
+         .withColumn("_cells", cells_arr(F.col(vec_col)))
+         .write.mode("overwrite")
+         .parquet(f"{accepted_path}/batch={batch_id}"))
+
+    return (
+        stream.writeStream
+        .foreachBatch(accept)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

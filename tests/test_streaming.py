@@ -526,3 +526,65 @@ def test_static_dim_cache_refresh_picks_up_changes(spark):
 
     with _pytest.raises(ValueError, match="refresh_every_batches"):
         StaticDimCache(lambda: None, refresh_every_batches=0)
+
+
+def test_streaming_embedding_ingest_semantic_accept_loop(spark, tmp_path):
+    """ingest_embeddings_stream: three vector drops pass through the
+    foreachBatch semantic accept loop with PINNED one-hot centroids;
+    near-dups of earlier-ACCEPTED vectors are rejected (the stored
+    probe-cell index carries the knowledge forward), batch siblings
+    dedup by min-id, and a no-new-data re-run changes nothing."""
+    import os
+    import time as _t
+
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        ingest_embeddings_stream,
+    )
+
+    # 4 one-hot centroids in R^4: assignment is unambiguous, twins
+    # (0.9 ei + 0.1 ej) stay in cell i with cos ~0.994 to ei and
+    # ~0.11 to ej (below the 0.35 operating point)
+    cents = tuple(tuple(1.0 if i == j else 0.0 for j in range(4))
+                  for i in range(4))
+    e = [[1.0 if i == j else 0.0 for j in range(4)] for i in range(4)]
+
+    def twin(i, j):
+        return [0.9 * a + 0.1 * b for a, b in zip(e[i], e[j])]
+
+    vecs = {0: e[0], 1: e[1],
+            2: twin(0, 1), 3: e[2],            # 2 near-dups accepted 0
+            4: twin(1, 0), 5: e[3], 6: twin(3, 2)}  # 4 dups 1; 6 dups 5
+    drops = [(0, 1), (2, 3), (4, 5, 6)]
+    src = tmp_path / "emb_src"
+    src.mkdir()
+    acc = str(tmp_path / "emb_acc")
+    ckp = str(tmp_path / "emb_ckp")
+    now = _t.time()
+    seen: set = set()
+    for i, ids in enumerate(drops):
+        rows = [(v, vecs[v]) for v in ids]
+        spark.createDataFrame(rows, "vec_id long, embedding array<float>") \
+            .coalesce(1).write.mode("append").parquet(str(src))
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                os.utime(src / f, (now + i * 10, now + i * 10))
+                seen.add(f)
+
+    def run():
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<float>")
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = ingest_embeddings_stream(stream, acc, ckp, centroids=cents)
+        q.awaitTermination(180)
+
+    run()
+    kept = spark.read.parquet(acc)
+    accepted = {r.vec_id for r in kept.select("vec_id").collect()}
+    assert accepted == {0, 1, 3, 5}, accepted
+    # the stored index carries every accepted row's probe-cell array
+    assert all(r._cells for r in kept.select("_cells").collect())
+
+    run()  # no new files: nothing changes, no double-append
+    kept2 = spark.read.parquet(acc)
+    assert {r.vec_id for r in kept2.select("vec_id").collect()} == accepted
+    assert kept2.count() == kept.count()
