@@ -287,3 +287,90 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
         raise ValueError(f"unknown form: {form!r}")
     return out.select(*key_cols, op_col, F.lit(1).alias("seq"),
                       *[F.col(f"_p.{c}").alias(c) for c in payload_cols])
+
+
+#: contract cap on a purge request — compliance requests are
+#: metadata-sized; a corpus-sized key set is a reprocessing job
+PURGE_MAX_KEYS = 100_000
+
+
+def purge_keys(spark, path: str, keys, key_col: str,
+               partition_cols: list[str],
+               max_keys: int = PURGE_MAX_KEYS) -> int:
+    """Compliance delete (right-to-be-forgotten) on one partitioned
+    parquet store: remove every row whose ``key_col`` is in ``keys``,
+    rewriting ONLY the partitions that contain at least one such row.
+    Returns the number of rows removed.
+
+    Cost contract (the partition-scoped-mutation family's): ∝ the
+    affected partitions' data, never table size — locating them is one
+    pruned scan with an IN filter, the rewrite is dynamic partition
+    overwrite, and untouched partitions' files are never opened for
+    write (byte-identical on disk, pytest-pinned). A partition fully
+    EMPTIED by the purge is removed through the FileSystem API — the
+    apply_changes_partitioned edge: dynamic overwrite never rewrites a
+    directory it has no rows for, so without this the purged data would
+    silently survive.
+
+    ``keys`` is driver-side and contract-capped (compliance requests
+    are metadata-sized lists of ids); at 100 TB the IN predicate pushes
+    into the scan. Use :func:`purge_keys_everywhere` to propagate one
+    request across a corpus AND its derived stores — forgetting a
+    document must also forget its fingerprints.
+    """
+    keys = list(keys)
+    if len(keys) > max_keys:
+        raise ValueError(
+            f"purge request has {len(keys)} keys > max_keys={max_keys}: "
+            f"corpus-sized deletions are a reprocessing job (anti-join "
+            f"rewrite), not a compliance purge.")
+    if not keys:
+        return 0
+    from ..sources.readers import overwrite_partitions_dynamic
+
+    tbl = spark.read.parquet(path)
+    touched = [tuple(r) for r in
+               tbl.where(F.col(key_col).isin(keys))
+               .select(*partition_cols).distinct().collect()]
+    if not touched:
+        return 0
+    scoped = tbl.where(_partition_predicate(touched, partition_cols))
+    kept = scoped.where(~F.col(key_col).isin(keys))
+    # execute everything that reads the current files BEFORE the
+    # overwrite replaces them (the apply_changes_partitioned pattern)
+    n_before = scoped.count()
+    n_kept = kept.count()
+    written = {tuple(r) for r in
+               kept.select(*partition_cols).distinct().collect()}
+    overwrite_partitions_dynamic(kept, path, partition_cols)
+    emptied = [t for t in touched if t not in written]
+    if emptied:
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for t in emptied:
+            seg = "/".join(f"{c}={v}"
+                           for c, v in zip(partition_cols, t))
+            p = jvm.org.apache.hadoop.fs.Path(f"{path}/{seg}")
+            p.getFileSystem(hconf).delete(p, True)
+    return n_before - n_kept
+
+
+def purge_keys_everywhere(spark, stores: list[dict], keys,
+                          max_keys: int = PURGE_MAX_KEYS) -> dict[str, int]:
+    """Propagate one forget request across a corpus AND every derived
+    store that carries traces of it — the part naive deletes miss: a
+    stored MinHash signature, ahash fingerprint, shingle index row, or
+    cell-assigned embedding of a forgotten document is still data ABOUT
+    the document. Each store dict names {path, key_col, partition_cols}
+    (key columns differ per store: the corpus keys on doc_id, a dedup
+    signature index on doc, a media index on media_id — same id space,
+    different column names). Returns {path: rows_removed}; stores with
+    no trace report 0 rather than erroring, so one request fans out
+    over a heterogeneous store list idempotently (re-running a purge is
+    a no-op)."""
+    out: dict[str, int] = {}
+    for st in stores:
+        out[st["path"]] = purge_keys(
+            spark, st["path"], keys, st["key_col"],
+            st["partition_cols"], max_keys=max_keys)
+    return out

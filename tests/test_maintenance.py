@@ -487,3 +487,86 @@ def test_approx_group_quantiles_rank_error_bound(spark):
             lo = vals[max(0, int((p - 1.0 / acc) * n) - 1)]
             hi = vals[min(n - 1, int((p + 1.0 / acc) * n))]
             assert lo <= q <= hi, (r.o_orderstatus, p, q, lo, hi)
+
+
+def test_purge_keys_partition_scoped_and_emptied_dir(spark, tmp_path):
+    """purge_keys: purged keys gone, untouched partitions byte-identical
+    on disk, a fully-emptied partition's directory is REMOVED (dynamic
+    overwrite alone would silently leave it), re-run is a no-op, and
+    the request-size contract raises."""
+    import os
+
+    import pytest as _pytest
+
+    from oracle_to_snowflake_etl_spark.operators.merge import purge_keys
+    from oracle_to_snowflake_etl_spark.sources.readers import (
+        write_partitioned,
+    )
+
+    path = str(tmp_path / "purge")
+    base = spark.range(0, 70).select(
+        (F.col("id") % 7).alias("day"), F.col("id").alias("k"),
+        (F.col("id") * 2).alias("v"))
+    write_partitioned(base, path, ["day"])
+
+    def files_of(day):
+        d = os.path.join(path, f"day={day}")
+        return {f for f in os.listdir(d) if f.startswith("part-")}
+
+    before = {d: files_of(d) for d in range(7)}
+    # forget: two keys in day=3, and EVERY key of day=5
+    victims = [3, 10] + [k for k in range(70) if k % 7 == 5]
+    n = purge_keys(spark, path, victims, "k", ["day"])
+    assert n == 2 + 10
+    out = spark.read.parquet(path)
+    assert out.where(F.col("k").isin(victims)).count() == 0
+    assert out.count() == 70 - 12
+    assert not os.path.isdir(os.path.join(path, "day=5"))  # emptied
+    for d in (0, 1, 2, 4, 6):  # untouched partitions: same files
+        assert files_of(d) == before[d]
+    assert purge_keys(spark, path, victims, "k", ["day"]) == 0  # no-op
+    with _pytest.raises(ValueError, match="max_keys"):
+        purge_keys(spark, path, [1, 2, 3], "k", ["day"], max_keys=2)
+
+
+def test_purge_keys_everywhere_fans_out_over_derived_stores(spark,
+                                                            tmp_path):
+    """One forget request removes the documents AND their stored
+    fingerprint rows (different key column names per store) in one
+    call; a store with no trace reports 0."""
+    from oracle_to_snowflake_etl_spark.functions.hashing import hash60
+    from oracle_to_snowflake_etl_spark.operators.merge import (
+        purge_keys_everywhere,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import (
+        write_partitioned,
+    )
+
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    other = str(tmp_path / "other")
+    docs = spark.range(0, 40).select(
+        (F.col("id") % 4).alias("shard"), F.col("id").alias("doc_id"),
+        F.concat(F.lit("text-"), F.col("id")).alias("text"))
+    write_partitioned(docs, corpus, ["shard"])
+    write_partitioned(
+        docs.select("shard", F.col("doc_id").alias("doc"),
+                    hash60(F.col("text")).alias("_h")),
+        index, ["shard"])
+    write_partitioned(
+        spark.range(100, 110).select(
+            F.lit(0).alias("shard"), F.col("id").alias("doc"),
+            F.lit(0).alias("_h")),
+        other, ["shard"])
+
+    removed = purge_keys_everywhere(spark, [
+        {"path": corpus, "key_col": "doc_id", "partition_cols": ["shard"]},
+        {"path": index, "key_col": "doc", "partition_cols": ["shard"]},
+        {"path": other, "key_col": "doc", "partition_cols": ["shard"]},
+    ], keys=[7, 8])
+    assert removed == {corpus: 2, index: 2, other: 0}
+    assert spark.read.parquet(corpus) \
+        .where(F.col("doc_id").isin([7, 8])).count() == 0
+    assert spark.read.parquet(index) \
+        .where(F.col("doc").isin([7, 8])).count() == 0
+    assert spark.read.parquet(other).count() == 10
