@@ -305,6 +305,96 @@ def q_dedup_semantic_probe1(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "label"))
 
 
+def _duck_semantic_keep_best_sql(probes: int = 2) -> str:
+    """DuckDB oracle for semantic_dedup(keep="best"): the same pinned
+    multi-probe assignment and within-cell pair relation as
+    _duck_semantic_sql, then recursive reachability into connected
+    components and a per-component arg-max winner on the quantized L2
+    norm (the text family's keep-best oracle shape, dedup_keep_best)."""
+    cs = IVF_SNAPSHOT
+    c_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
+    dot_vc = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+              "list_transform(embedding, (x, i) -> "
+              "CAST(x AS DOUBLE) * C[c + 1][i])), (p, q) -> p + q)")
+    nsq_v = _duck_dot("embedding", "embedding")
+    nsq_c = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(C[c + 1], (x, i) -> x * C[c + 1][i])), "
+             "(p, q) -> p + q)")
+    sims = (f"list_transform(range(0, {IVF_CELLS}), c -> "
+            f"{dot_vc} / sqrt({nsq_v} * {nsq_c}))")
+    score_q6 = (f"CAST(floor({_duck_dot('embedding', 'embedding')} "
+                f"* 1000000 + 0.5) AS BIGINT)")
+    return f"""
+    WITH RECURSIVE cents AS (SELECT {c_lit} AS C),
+    assigned AS (
+      SELECT vec_id, embedding, c AS cell
+      FROM (SELECT vec_id, embedding, {sims} AS sims
+            FROM embeddings, cents),
+           (SELECT UNNEST(range(0, {IVF_CELLS})) AS c)
+      QUALIFY row_number() OVER (
+          PARTITION BY vec_id
+          ORDER BY sims[c + 1] DESC, c ASC) <= {probes}
+    ),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS doc_a, b.vec_id AS doc_b
+      FROM assigned a
+      JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      WHERE {_duck_cos_q6('a.embedding', 'b.embedding')} >= {NEARDUP_Q6}
+    ),
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM pairs
+      UNION
+      SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(doc, r) AS (
+      SELECT src, src FROM edges
+      UNION
+      SELECT e.src, r.r FROM edges e JOIN reach r ON e.dst = r.doc
+    ),
+    clusters AS (SELECT doc, MIN(r) AS keep_id FROM reach GROUP BY doc),
+    scored AS (
+      SELECT c.doc, c.keep_id, {score_q6} AS q
+      FROM clusters c JOIN embeddings ON embeddings.vec_id = c.doc
+    ),
+    winners AS (
+      SELECT doc FROM (
+        SELECT doc, ROW_NUMBER() OVER (
+            PARTITION BY keep_id ORDER BY q DESC, doc ASC) AS rn
+        FROM scored) t
+      WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT doc FROM clusters
+      WHERE doc NOT IN (SELECT doc FROM winners)
+    )
+    SELECT vec_id, label FROM embeddings
+    WHERE vec_id NOT IN (SELECT doc FROM dropped)
+    """
+
+
+@register("dedup_semantic_keep_best", _duck_semantic_keep_best_sql())
+def q_dedup_semantic_keep_best(spark: SparkSession, sf_dir: str
+                               ) -> DataFrame:
+    """Quality-aware SemDeDup survivor selection
+    (operators/similarity.semantic_dedup keep="best"): near-dup pairs
+    from the pinned-snapshot multi-probe cells are resolved into
+    CONNECTED COMPONENTS and each cluster keeps its arg-max member by
+    quantized L2 norm (min-id tiebreak) — where keep="first" drops
+    any row with a lower-id same-cell near-dup (transitive chains keep
+    multiple members), keep="best" keeps exactly one per component,
+    the policy a curation pipeline wants when crawl order and quality
+    are uncorrelated. Score parity: sequential-fold norm² quantized at
+    1e-6 on both engines."""
+    from ..operators.similarity import norm_sq, quantize
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (semantic_dedup(emb, threshold_q6=NEARDUP_Q6,
+                           centroids=IVF_SNAPSHOT, keep="best",
+                           score=quantize(norm_sq(F.col("embedding"))))
+            .select("vec_id", "label"))
+
+
 def _duck_cells_sql(probes: int = 2) -> str:
     """DuckDB oracle for the semantic-cell workload report: identical
     pinned centroid assignment, then a plain histogram with the exact
