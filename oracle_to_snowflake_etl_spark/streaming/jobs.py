@@ -833,12 +833,19 @@ def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
     batch, one hash shuffle on cell joining |batch| against the seen
     index's touched cells — O(batch x cell loads), never a corpus
     rescan; the corpus-sized text/vector data is read only as the
-    (columnar, cell-prunable) index parquet.
+    (columnar, cell-prunable) index parquet. Since round 11 the
+    pruning is explicit: index rows carry their probe-cell array
+    (``_cells``) and each micro-batch filters the seen index to rows
+    sharing at least one of ITS probed cells before the incremental
+    call — lossless (pair visibility IS "shares a probe cell"), so the
+    batch-equivalence contract is untouched while the per-batch
+    re-assignment cost drops from O(index) to the touched cells' rows.
+    A pre-round-11 index without the column is read unpruned.
     """
-    from pyspark.errors import AnalysisException
-
     from ..operators.similarity import (
         IVF_CELLS,
+        SEMDEDUP_NPROBE,
+        ivf_probe_cells,
         semantic_dedup_incremental,
     )
 
@@ -851,15 +858,22 @@ def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
     k_cells = cells if cells is not None else IVF_CELLS
     spark = stream.sparkSession
 
+    def cells_arr(col):  # noqa: ANN001 — Column -> Column
+        return ivf_probe_cells(col, nprobe=SEMDEDUP_NPROBE,
+                               cells=k_cells, centroids=centroids)
+
     def accept(batch: DataFrame, batch_id: int) -> None:
-        try:
-            seen = spark.read.parquet(index_path).where(
-                F.col("batch") != batch_id)
-        except AnalysisException as e:
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
-            seen = None
+        seen = _read_parquet_or_none(spark, index_path)
+        if seen is not None:
+            seen = seen.where(F.col("batch") != batch_id)
         if seen is not None and seen.limit(1).count() > 0:
+            if "_cells" in seen.columns:
+                touched = sorted({r.c for r in batch.select(
+                    F.explode(cells_arr(F.col("embedding"))).alias("c"))
+                    .distinct().collect()})
+                seen = seen.where(F.arrays_overlap(
+                    F.col("_cells"),
+                    F.array(*[F.lit(c) for c in touched])))
             survivors = semantic_dedup_incremental(
                 batch, seen.select(batch.columns),
                 threshold_q6=threshold_q6, cells=k_cells,
@@ -873,9 +887,11 @@ def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
                 centroids=centroids)
         survivors.write.mode("overwrite").parquet(
             f"{accepted_path}/batch={batch_id}")
-        # index rows = the WHOLE batch (stored-index convention)
-        batch.write.mode("overwrite").parquet(
-            f"{index_path}/batch={batch_id}")
+        # index rows = the WHOLE batch (stored-index convention), each
+        # carrying its probe-cell array for next batches' pruning
+        batch.withColumn("_cells", cells_arr(F.col("embedding"))) \
+            .write.mode("overwrite").parquet(
+                f"{index_path}/batch={batch_id}")
 
     return (
         stream.writeStream
@@ -897,94 +913,3 @@ def _read_parquet_or_none(spark: SparkSession, path: str):
         if "PATH_NOT_FOUND" not in str(e):
             raise
         return None
-
-
-def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
-                             checkpoint: str, centroids: tuple,
-                             threshold_q6: int = 350_000,
-                             nprobe: int | None = None,
-                             vec_col: str = "embedding",
-                             id_col: str = "vec_id") -> StreamingQuery:
-    """Streaming SEMANTIC-dedup ingest — the embedding-modality twin of
-    :func:`ingest_documents_stream`: each micro-batch of vectors is
-    deduplicated against the ACCUMULATED accepted corpus via
-    ``semantic_dedup_incremental`` plus its own lower-id siblings, and
-    survivors are appended — the store is self-maintaining, batch N+1
-    dedups against everything batches 1..N accepted.
-
-    Accept policy: accept-against-ACCEPTED (the corpus-immutable rule
-    of ingest_batch / media_ingest_incremental — a new vector is
-    dropped only if it near-dups something the store KEPT), which is
-    the ingest-loop policy, deliberately distinct from the batch-
-    equivalence index convention semantic_dedup_incremental documents
-    for its oracle (there the index holds every seen row).
-
-    ``centroids`` is REQUIRED (an ivf_train_centroids snapshot or any
-    fixed matrix): acceptance must not drift as the corpus grows, and
-    per-batch retraining would re-assign historic cells.
-
-    100 TB shape: accepted rows are stored WITH their probe-cell array,
-    so each micro-batch prunes the corpus to rows sharing at least one
-    of the batch's probed cells BEFORE the incremental call — lossless
-    (a near-dup pair must share a probe cell by construction), and the
-    O(corpus) re-assignment collapses to the touched cells' rows. The
-    batch's distinct probe set (<= number of trained cells) is the only
-    driver-side collect. Exactly-once by layout: every batch writes its
-    own ``batch=<id>`` dir in overwrite mode and the corpus read
-    excludes the in-flight batch id, so at-least-once replays rewrite
-    instead of double-append (the ingest_documents_stream pattern).
-    """
-    from ..operators.similarity import (
-        SEMDEDUP_NPROBE,
-        ivf_probe_cells,
-        semantic_dedup_incremental,
-    )
-
-    if centroids is None:
-        raise ValueError(
-            "ingest_embeddings_stream requires pinned centroids: "
-            "per-batch training would re-assign historic cells and "
-            "drift the accept decisions (pass an ivf_train_centroids "
-            "snapshot).")
-    probes = SEMDEDUP_NPROBE if nprobe is None else nprobe
-    n_cells = len(centroids)
-    spark = stream.sparkSession
-
-    def cells_arr(col):  # noqa: ANN001 — Column -> Column
-        return ivf_probe_cells(col, nprobe=probes, cells=n_cells,
-                               centroids=centroids)
-
-    def accept(batch: DataFrame, batch_id: int) -> None:
-        corpus = _read_parquet_or_none(spark, accepted_path)
-        if corpus is not None:
-            corpus = corpus.where(F.col("batch") != batch_id)
-        slim = batch.select(id_col, vec_col)
-        if corpus is None:
-            pruned = slim.limit(0)
-        else:
-            touched = sorted({c for r in batch.select(
-                F.explode(cells_arr(F.col(vec_col))).alias("c"))
-                .distinct().collect() for c in [r.c]})
-            pruned = (corpus
-                      .where(F.arrays_overlap(
-                          F.col("_cells"),
-                          F.array(*[F.lit(c) for c in touched])))
-                      .select(id_col, vec_col))
-        survivors = semantic_dedup_incremental(
-            slim, pruned, threshold_q6=threshold_q6,
-            vec_col=vec_col, id_col=id_col,
-            cells=n_cells, centroids=centroids, nprobe=probes)
-        accepted = batch.join(survivors.select(id_col), id_col,
-                              "left_semi")
-        (accepted
-         .withColumn("_cells", cells_arr(F.col(vec_col)))
-         .write.mode("overwrite")
-         .parquet(f"{accepted_path}/batch={batch_id}"))
-
-    return (
-        stream.writeStream
-        .foreachBatch(accept)
-        .option("checkpointLocation", checkpoint)
-        .trigger(availableNow=True)
-        .start()
-    )

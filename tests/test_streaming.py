@@ -528,12 +528,13 @@ def test_static_dim_cache_refresh_picks_up_changes(spark):
         StaticDimCache(lambda: None, refresh_every_batches=0)
 
 
-def test_streaming_embedding_ingest_semantic_accept_loop(spark, tmp_path):
-    """ingest_embeddings_stream: three vector drops pass through the
-    foreachBatch semantic accept loop with PINNED one-hot centroids;
-    near-dups of earlier-ACCEPTED vectors are rejected (the stored
-    probe-cell index carries the knowledge forward), batch siblings
-    dedup by min-id, and a no-new-data re-run changes nothing."""
+def test_streaming_embedding_ingest_prunes_by_stored_probe_cells(
+        spark, tmp_path):
+    """ingest_embeddings_stream with hand-built one-hot centroids:
+    near-dups of earlier-SEEN vectors are rejected across drops, batch
+    siblings dedup by min-id, the stored index carries each row's
+    probe-cell array (the round-11 pruning column), and a no-new-data
+    re-run changes nothing."""
     import os
     import time as _t
 
@@ -552,12 +553,13 @@ def test_streaming_embedding_ingest_semantic_accept_loop(spark, tmp_path):
         return [0.9 * a + 0.1 * b for a, b in zip(e[i], e[j])]
 
     vecs = {0: e[0], 1: e[1],
-            2: twin(0, 1), 3: e[2],            # 2 near-dups accepted 0
+            2: twin(0, 1), 3: e[2],            # 2 near-dups seen 0
             4: twin(1, 0), 5: e[3], 6: twin(3, 2)}  # 4 dups 1; 6 dups 5
     drops = [(0, 1), (2, 3), (4, 5, 6)]
     src = tmp_path / "emb_src"
     src.mkdir()
     acc = str(tmp_path / "emb_acc")
+    idx = str(tmp_path / "emb_idx")
     ckp = str(tmp_path / "emb_ckp")
     now = _t.time()
     seen: set = set()
@@ -574,15 +576,18 @@ def test_streaming_embedding_ingest_semantic_accept_loop(spark, tmp_path):
         stream = (spark.readStream
                   .schema("vec_id long, embedding array<float>")
                   .option("maxFilesPerTrigger", 1).parquet(str(src)))
-        q = ingest_embeddings_stream(stream, acc, ckp, centroids=cents)
+        q = ingest_embeddings_stream(stream, acc, idx, ckp,
+                                     centroids=cents, cells=4)
         q.awaitTermination(180)
 
     run()
     kept = spark.read.parquet(acc)
     accepted = {r.vec_id for r in kept.select("vec_id").collect()}
     assert accepted == {0, 1, 3, 5}, accepted
-    # the stored index carries every accepted row's probe-cell array
-    assert all(r._cells for r in kept.select("_cells").collect())
+    # index = every SEEN row, each with its probe-cell pruning array
+    index = spark.read.parquet(idx)
+    assert {r.vec_id for r in index.select("vec_id").collect()} == set(vecs)
+    assert all(r._cells for r in index.select("_cells").collect())
 
     run()  # no new files: nothing changes, no double-append
     kept2 = spark.read.parquet(acc)
