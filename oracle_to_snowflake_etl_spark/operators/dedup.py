@@ -586,9 +586,20 @@ def minhash_lsh_pairs_incremental(new_df: DataFrame, corpus_sigs: DataFrame,
 # 4. Cluster resolution: near-dup pairs -> connected components -> keeper
 # ---------------------------------------------------------------------------
 
+#: edge count under which dedup_clusters solves components driver-side
+#: (union-find over the collected, output-bounded edge list): 2M edges
+#: ≈ 32 MB of longs — metadata-sized. Above it, the distributed
+#: min-label loop runs. Round-11 motivation: a chain-shaped 1k-edge
+#: graph cost 14.5 s in the loop (rounds × job floor, O(diameter)
+#: convergence) vs milliseconds in union-find.
+CLUSTERS_DRIVER_MAX_EDGES = 2_000_000
+
+
 def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a",
                    b_col: str = "doc_b",
-                   max_iterations: int = 50) -> DataFrame:
+                   max_iterations: int = 50,
+                   driver_max_edges: int = CLUSTERS_DRIVER_MAX_EDGES
+                   ) -> DataFrame:
     """Resolve pairwise near-dup edges into clusters: every doc mentioned
     in ``pairs`` is assigned the MINIMUM doc id of its connected
     component as its canonical keeper. Returns (doc, keep_id).
@@ -597,16 +608,30 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     (MinHash/SimHash/embedding): pairs say "these are the same"; the
     cluster decides who survives.
 
-    Algorithm: iterative min-label propagation (the DataFrame form of
-    large-star/small-star connected components). Each round every node
-    takes the min of its own label and its neighbors' labels; converges
-    in O(diameter) rounds, which is small for the dense, tiny clusters
-    near-dup graphs produce. Each round is ONE shuffle (join on the
-    edge list + min-agg); the edge list is output-bounded, so
-    iterations run on data proportional to the near-dup volume, never
-    the corpus. The driver-side loop checks a convergence COUNT per
-    round — legitimate for an iterative algorithm (it is the fixed-point
-    test, not a planning probe).
+    Two paths behind one contract, picked by the MATERIALIZED edge
+    count (the same count that already sizes the loop's partitioning):
+
+    * ``n_edges <= driver_max_edges`` — union-find over the collected
+      edge list. The edge list is OUTPUT-bounded (near-dup volume,
+      never corpus volume), so below the explicit byte bound this is a
+      legitimate driver-side solve, not a scale leak: path-compressed
+      union-find is O(E α(E)) in milliseconds where the distributed
+      loop pays O(diameter) rounds × the per-job floor (measured
+      14.5 s for a 1k-edge chain graph at toy scale).
+    * above the bound — the iterative min-label propagation below,
+      unchanged; at 100 TB a billion-edge near-dup graph takes this
+      path and the driver never sees an edge.
+
+    Algorithm (distributed path): iterative min-label propagation (the
+    DataFrame form of large-star/small-star connected components). Each
+    round every node takes the min of its own label and its neighbors'
+    labels; converges in O(diameter) rounds, which is small for the
+    dense, tiny clusters near-dup graphs produce. Each round is ONE
+    shuffle (join on the edge list + min-agg); the edge list is
+    output-bounded, so iterations run on data proportional to the
+    near-dup volume, never the corpus. The driver-side loop checks a
+    convergence COUNT per round — legitimate for an iterative
+    algorithm (it is the fixed-point test, not a planning probe).
 
     Two iterative-loop disciplines (measured 8 s -> ~1 s at sf0.1):
 
@@ -634,6 +659,35 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a",
              .distinct()
              .persist())
     n_edges = edges.count()  # materializes the cache; sizes the loop
+    if n_edges <= driver_max_edges:
+        try:
+            rows = edges.collect()
+        finally:
+            edges.unpersist()
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for r in rows:
+            a, b = r.src, r.dst
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by MIN root so the canonical label needs no
+                # second pass: keep_id is the component's min id
+                if rb < ra:
+                    ra, rb = rb, ra
+                parent[rb] = ra
+        out = [(doc, find(doc)) for doc in parent]
+        return pairs.sparkSession.createDataFrame(
+            out, "doc long, keep_id long")
     n_parts = int(max(1, min(1024, n_edges // 2_000_000 + 1)))
     edges = edges.repartition(n_parts, "dst")
     labels = (edges.select(F.col("src").alias("doc"))

@@ -188,3 +188,23 @@ def test_semantic_multiprobe_supersets_drops(spark, sf_dir):
     r2 = semantic_pair_recall(planted, threshold_q6=350_000, cells=64,
                               nprobe=2)
     assert r2 > r1
+
+
+def test_clusters_driver_and_distributed_paths_agree(spark):
+    """The size-gated union-find path (round 11) must return exactly
+    the distributed min-label loop's (doc, keep_id) set — pinned on a
+    graph with a long chain (the loop's worst O(diameter) case), a
+    separate triangle, and an isolated pair."""
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    chain = [(i, i + 1) for i in range(10, 25)]          # 15-edge chain
+    tri = [(100, 101), (101, 102), (100, 102)]
+    pairs = spark.createDataFrame(
+        chain + tri + [(7, 3)], "doc_a long, doc_b long")
+    fast = {(r.doc, r.keep_id) for r in dedup_clusters(pairs).collect()}
+    slow = {(r.doc, r.keep_id) for r in
+            dedup_clusters(pairs, driver_max_edges=0).collect()}
+    assert fast == slow
+    assert (24, 10) in fast and (102, 100) in fast and (7, 3) in fast
