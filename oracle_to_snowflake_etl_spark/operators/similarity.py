@@ -1279,7 +1279,8 @@ ANN_INT8_MAX_QUERIES = 4096
 def ann_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                   rescore: int = 3,
                   vec_col: str = "embedding", id_col: str = "vec_id",
-                  max_queries: int = ANN_INT8_MAX_QUERIES) -> DataFrame:
+                  max_queries: int = ANN_INT8_MAX_QUERIES,
+                  prequantized: DataFrame | None = None) -> DataFrame:
     """Quantized-scan ANN top-k: first-pass candidate search over the
     INT8 store (:func:`quantize_int8`), exact float cosine rescore of
     only ``k * rescore`` candidates per query. Same output contract as
@@ -1308,6 +1309,16 @@ def ann_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     Composes with IVF: at cluster scale, store the int8 codes bucketed
     by :func:`ivf_cell` and run this scan per probed cell — the scan
     term then drops by nprobe/cells on top of the 4x byte win.
+
+    ``prequantized``: the stored-index form — a frame of (id, scale, q)
+    materialized once by :func:`quantize_int8` at write time; when
+    given, the scan reads it directly (the int8-at-rest shape; corpus
+    floats are then touched only by the rescore join). When ``None``
+    the scan reads ``corpus``'s float vectors and quantizes INSIDE the
+    Arrow kernel with the identical floor((x*127)/safe + 0.5) double
+    math — never via quantize_int8's column expression, whose HOF tree
+    is interpreted (CodegenFallback) and measured 74 s over 200k
+    vectors where the numpy pass is milliseconds (SCALE_ANN.json).
     """
     qrows = (queries.select(F.col(id_col), F.col(vec_col))
              .limit(max_queries + 1).collect())
@@ -1337,8 +1348,22 @@ def ann_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         best: list[np.ndarray] = []  # per-batch (qid, nid, approx) rows
         for pdf in batches:
             nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            cs = pdf["c_scale"].to_numpy(dtype=np.float64)
-            Cq = np.stack(pdf["c_q"].values).astype(np.int64)
+            if "c_q" in pdf.columns:
+                # prequantized store: (scale, q) read straight off disk
+                cs = pdf["c_scale"].to_numpy(dtype=np.float64)
+                Cq = np.stack(pdf["c_q"].values).astype(np.int64)
+            else:
+                # float input: quantize HERE, vectorized — the same
+                # floor((x*127)/safe + 0.5) double math as
+                # quantize_int8's column form, which is an interpreted
+                # HOF tree (CodegenFallback) and measured 74 s over
+                # 200k x 64 floats where this pass is milliseconds
+                Cf = np.stack(pdf["c_vec"].values).astype(np.float64)
+                c_absmax = np.abs(Cf).max(axis=1)
+                c_safe = np.where(c_absmax == 0.0, 1.0, c_absmax)
+                Cq = np.floor(Cf * 127.0 / c_safe[:, None] + 0.5) \
+                    .astype(np.int64)
+                cs = c_absmax / 127.0
             dots = Cq @ Qq_b.T                      # exact int64
             approx = (dots.astype(np.float64)
                       * cs[:, None]) * qs_b[None, :]
@@ -1369,8 +1394,17 @@ def ann_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 "neighbor_id": allr[:, 1].astype(np.int64),
                 "approx": allr[:, 2]})
 
-    qc = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       *quantize_int8(F.col(vec_col), "c_scale", "c_q"))
+    if prequantized is not None:
+        # the stored-index form: (id, scale, q) materialized once by
+        # quantize_int8 at write time — the true int8-at-rest scan
+        qc = prequantized.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("scale").alias("c_scale"), F.col("q").alias("c_q"))
+    else:
+        # self-contained form: read floats, quantize inside the Arrow
+        # kernel (never via the interpreted column-HOF tree)
+        qc = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("c_vec"))
     part_top = qc.mapInPandas(
         scan, schema="query_id long, neighbor_id long, approx double")
     w1 = Window.partitionBy("query_id").orderBy(

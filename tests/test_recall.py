@@ -157,3 +157,22 @@ def test_int8_topk_contract_caps(spark, emb):
     assert out.count() == 0
     assert [f.name for f in out.schema.fields] == [
         "query_id", "neighbor_id", "sim_q6"]
+
+
+def test_int8_prequantized_store_path_equals_float_path(spark, emb):
+    """The stored-index form (prequantized (id, scale, q) from
+    quantize_int8 at write time) must return exactly the float-input
+    kernel-quantization path's result — same formula, two entrances."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_int8_topk,
+        quantize_int8,
+    )
+
+    q = emb.where(F.col("vec_id") < 20)
+    store = emb.select("vec_id", *quantize_int8(F.col("embedding")))
+    a = {tuple(r) for r in ann_int8_topk(emb, q, k=5).collect()}
+    b = {tuple(r) for r in
+         ann_int8_topk(emb, q, k=5, prequantized=store).collect()}
+    assert a == b and len(a) == 20 * 5
