@@ -1407,6 +1407,16 @@ def ann_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                            F.col(vec_col).alias("c_vec"))
     part_top = qc.mapInPandas(
         scan, schema="query_id long, neighbor_id long, approx double")
+    return _int8_cut_and_rescore(part_top, corpus, queries, k, r_cut,
+                                 vec_col, id_col)
+
+
+def _int8_cut_and_rescore(part_top: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: int, r_cut: int,
+                          vec_col: str, id_col: str) -> DataFrame:
+    """Shared tail of the quantized-scan ANN family: global top-R cut
+    over the skinny per-partition candidates, then exact float cos_q6
+    rescore of only those candidates, per-query top-k."""
     w1 = Window.partitionBy("query_id").orderBy(
         F.desc("approx"), F.asc("neighbor_id"))
     cand = (part_top.withColumn("crnk", F.row_number().over(w1))
@@ -1427,6 +1437,112 @@ def ann_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     return (scored.withColumn("rnk", F.row_number().over(w2))
             .where(F.col("rnk") <= k)
             .select("query_id", "neighbor_id", "sim_q6"))
+
+
+def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                      nprobe: int = IVF_NPROBE, rescore: int = 3,
+                      cells: int = IVF_CELLS,
+                      centroids: tuple | None = None,
+                      vec_col: str = "embedding", id_col: str = "vec_id",
+                      max_queries: int = ANN_INT8_MAX_QUERIES) -> DataFrame:
+    """The composed 100 TB ANN path: IVF cell PRUNING on top of the
+    INT8 quantized scan — each corpus vector is scored for a query only
+    if its (single-assign) cell is among the query's ``nprobe`` probed
+    cells, scoring runs as the exact-integer numpy GEMM of
+    :func:`ann_int8_topk`, and float vectors are touched only to
+    rescore k x rescore candidates per query. Same output contract as
+    :func:`ivf_topk` / :func:`brute_force_topk`.
+
+    Cost at scale multiplies the two wins: the scan term drops by
+    ~nprobe/cells (partition pruning when the int8 store is laid out
+    by cell) AND reads 4x fewer bytes per surviving row; the per-query
+    probe sets ride the same broadcast as the quantized query matrix
+    (one (cells x |queries|) boolean mask), so pruning costs the scan
+    kernel one row-gather, no extra join or shuffle.
+
+    The probe sets are computed by the SAME :func:`ivf_probe_cells`
+    pandas_udf the exact IVF path uses (collected with the query
+    vectors — the contract-capped driver-side set), so tie-breaking and
+    assignment degeneracies mirror :func:`ivf_topk` and the DuckDB
+    oracle exactly. ``centroids=None`` trains on the corpus
+    (:func:`ivf_train_centroids`); pass a snapshot to pin geometry.
+    """
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, cells=cells,
+                                        vec_col=vec_col, id_col=id_col)
+    qrows = (queries.select(
+        F.col(id_col), F.col(vec_col),
+        ivf_probe_cells(F.col(vec_col), nprobe=nprobe, cells=cells,
+                        centroids=centroids).alias("_probes"))
+        .limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}: the "
+            f"broadcast quantized-scan path is for bounded query "
+            f"batches.")
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim_q6 long")
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Qf = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_absmax = np.abs(Qf).max(axis=1)
+    q_safe = np.where(q_absmax == 0.0, 1.0, q_absmax)
+    Qq = np.floor(Qf * 127.0 / q_safe[:, None] + 0.5).astype(np.int64)
+    q_scale = q_absmax / 127.0
+    allowed = np.zeros((cells, len(qrows)), dtype=bool)
+    for j, r in enumerate(qrows):
+        for c in r[2]:
+            allowed[c, j] = True
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, Qq, q_scale, allowed))
+    r_cut = k * rescore
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        ids_b, Qq_b, qs_b, allow_b = bc.value
+        best: list[np.ndarray] = []
+        for pdf in batches:
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cell = pdf["cell"].to_numpy(dtype=np.int64)
+            Cf = np.stack(pdf["c_vec"].values).astype(np.float64)
+            c_absmax = np.abs(Cf).max(axis=1)
+            c_safe = np.where(c_absmax == 0.0, 1.0, c_absmax)
+            Cq = np.floor(Cf * 127.0 / c_safe[:, None] + 0.5) \
+                .astype(np.int64)
+            cs = c_absmax / 127.0
+            dots = Cq @ Qq_b.T
+            approx = (dots.astype(np.float64)
+                      * cs[:, None]) * qs_b[None, :]
+            approx[~allow_b[cell]] = -np.inf       # IVF pruning mask
+            approx[nid[:, None] == ids_b[None, :]] = -np.inf
+            cut = min(r_cut, approx.shape[0])
+            for j in range(ids_b.shape[0]):
+                col = approx[:, j]
+                order = np.lexsort((nid, -col))[:cut]
+                best.append(np.column_stack((
+                    np.full(cut, ids_b[j], dtype=np.float64),
+                    nid[order].astype(np.float64), col[order])))
+        if best:
+            allr = np.concatenate(best, axis=0)
+            out = []
+            for qid in np.unique(allr[:, 0]):
+                rows = allr[allr[:, 0] == qid]
+                order = np.lexsort((rows[:, 1], -rows[:, 2]))[:r_cut]
+                out.append(rows[order])
+            allr = np.concatenate(out, axis=0)
+            allr = allr[np.isfinite(allr[:, 2])]
+            yield pd.DataFrame({
+                "query_id": allr[:, 0].astype(np.int64),
+                "neighbor_id": allr[:, 1].astype(np.int64),
+                "approx": allr[:, 2]})
+
+    qc = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("c_vec"),
+                       ivf_cell(F.col(vec_col), cells=cells,
+                                centroids=centroids).alias("cell"))
+    part_top = qc.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, approx double")
+    return _int8_cut_and_rescore(part_top, corpus, queries, k, r_cut,
+                                 vec_col, id_col)
 
 
 def emb_cell_sample(df: DataFrame, fraction: float,

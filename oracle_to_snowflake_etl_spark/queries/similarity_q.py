@@ -167,6 +167,103 @@ def _duck_ivf_sql() -> str:
     """
 
 
+def _duck_ivf_int8_sql() -> str:
+    """DuckDB oracle for the composed IVF + int8 path: the pinned
+    snapshot's single-assign corpus cells and nprobe query probes (the
+    _duck_ivf_sql fragments), the emb_quantize_int8 quantization, an
+    approx (double)qdot * c_scale * q_scale first-pass rank within the
+    probed cells, then the family's exact cos_q6 rescore of the top
+    3k candidates."""
+    cs = IVF_SNAPSHOT
+    c_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
+    dot_vc = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+              "list_transform(embedding, (x, i) -> "
+              "CAST(x AS DOUBLE) * C[c + 1][i])), (p, q) -> p + q)")
+    nsq_v = _duck_dot("embedding", "embedding")
+    nsq_c = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(C[c + 1], (x, i) -> x * C[c + 1][i])), "
+             "(p, q) -> p + q)")
+    sims = (f"list_transform(range(0, {IVF_CELLS}), c -> "
+            f"{dot_vc} / sqrt({nsq_v} * {nsq_c}))")
+    return f"""
+    WITH cents AS (SELECT {c_lit} AS C),
+    z AS (
+      SELECT vec_id, absmax / 127.0 AS scale,
+             list_transform(
+               embedding,
+               x -> CAST(floor(CAST(x AS DOUBLE) * 127.0
+                               / (CASE WHEN absmax = 0 THEN 1.0
+                                       ELSE absmax END) + 0.5)
+                         AS INTEGER)) AS q
+      FROM (SELECT vec_id,
+                   CAST(list_max(list_transform(embedding,
+                        x -> abs(x))) AS DOUBLE) AS absmax,
+                   embedding
+            FROM embeddings)
+    ),
+    corpus AS (
+      SELECT t.vec_id AS neighbor_id, t.embedding AS c_vec, t.cell,
+             z.scale AS c_scale, z.q AS c_q
+      FROM (SELECT vec_id, embedding,
+                   list_position(sims, list_max(sims)) - 1 AS cell
+            FROM (SELECT vec_id, embedding, {sims} AS sims
+                  FROM embeddings, cents)) t
+      JOIN z ON z.vec_id = t.vec_id
+    ),
+    qsims AS (
+      SELECT e.vec_id AS query_id, e.embedding AS q_vec, {sims} AS sims,
+             z.scale AS q_scale, z.q AS q_q
+      FROM embeddings e, cents
+      JOIN z ON z.vec_id = e.vec_id
+      WHERE e.vec_id < {N_QUERIES}
+    ),
+    qprobe AS (
+      SELECT query_id, q_vec, q_scale, q_q, c AS cell
+      FROM qsims, (SELECT UNNEST(range(0, {IVF_CELLS})) AS c)
+      QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY sims[c + 1] DESC, c ASC) <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, q_vec, c_vec,
+             CAST(list_sum(list_transform(range(1, len(c_q) + 1),
+                  i -> CAST(c_q[i] AS BIGINT) * CAST(q_q[i] AS BIGINT)))
+                  AS DOUBLE) * c_scale * q_scale AS approx
+      FROM corpus JOIN qprobe USING (cell)
+      WHERE query_id != neighbor_id
+      QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY approx DESC, neighbor_id ASC) <= {TOP_K * 3}
+    )
+    SELECT query_id, neighbor_id, {_duck_cos_q6('q_vec', 'c_vec')} AS sim_q6
+    FROM cand
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY {_duck_cos_q6('q_vec', 'c_vec')} DESC, neighbor_id ASC)
+        <= {TOP_K}
+    """
+
+
+@register("ann_ivf_int8_topk", _duck_ivf_int8_sql())
+def q_ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed 100 TB ANN path (operators/similarity.
+    ann_ivf_int8_topk): IVF cell pruning (pinned snapshot, 24 of 64
+    cells probed) ON TOP OF the int8 quantized scan — a corpus vector
+    is scored for a query only if its single-assign cell is probed,
+    scoring is the exact-integer numpy GEMM, and floats are read only
+    to rescore 3k candidates per query. The two scale wins multiply:
+    ~nprobe/cells of the corpus scanned, at 4x fewer bytes per
+    surviving row. Probe sets come from the same ivf_probe_cells
+    pandas_udf as the exact path, so the oracle's qprobe QUALIFY
+    mirrors tie-breaking bitwise."""
+    from ..operators.similarity import ann_ivf_int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ann_ivf_int8_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
+                             k=TOP_K, rescore=3, centroids=IVF_SNAPSHOT)
+
+
 @register("ann_ivf_topk", _duck_ivf_sql())
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10 for the first 8 vectors: 64 trained cells

@@ -176,3 +176,30 @@ def test_int8_prequantized_store_path_equals_float_path(spark, emb):
     b = {tuple(r) for r in
          ann_int8_topk(emb, q, k=5, prequantized=store).collect()}
     assert a == b and len(a) == 20 * 5
+
+
+def test_ivf_int8_composed_recall(spark, emb):
+    """ann_ivf_int8_topk: the composed IVF-pruned quantized scan must
+    hold recall near the exact-rescore IVF path's (same probed-cell
+    candidate relation; the int8 first pass only risks the approx cut
+    boundary at 3x margin). Exact IVF floor is 0.75; guard the
+    composition at >= 0.72 over 50 queries, and pin that it never
+    BEATS exact IVF (its candidates are a subset of the probed set)."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_ivf_int8_topk,
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    q = emb.where(F.col("vec_id") < 50)
+    exact = {(r.query_id, r.neighbor_id)
+             for r in brute_force_topk(emb, q, k=10).collect()}
+    got = {(r.query_id, r.neighbor_id)
+           for r in ann_ivf_int8_topk(emb, q, k=10,
+                                      nprobe=IVF_NPROBE).collect()}
+    ivf = {(r.query_id, r.neighbor_id)
+           for r in ivf_topk(emb, q, k=10, nprobe=IVF_NPROBE).collect()}
+    assert len(got & exact) / len(exact) >= 0.72
+    assert len(got & exact) <= len(ivf & exact)
