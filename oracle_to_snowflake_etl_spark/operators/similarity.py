@@ -1276,6 +1276,109 @@ def quantize_int8(vec: Column, out_scale: str = "scale",
 ANN_INT8_MAX_QUERIES = 4096
 
 
+def _int8_quantize_np(Cf: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
+    """quantize_int8's floor((x*127)/max|x| + 0.5) double math as ONE
+    vectorized numpy pass — the scan kernels and the index writer share
+    this instead of the column form, whose HOF tree is interpreted
+    (CodegenFallback) and measured 74 s over 200k x 64 floats where this
+    pass is milliseconds (SCALE_ANN.json). Returns (Cq int64, scales)."""
+    c_absmax = np.abs(Cf).max(axis=1)
+    c_safe = np.where(c_absmax == 0.0, 1.0, c_absmax)
+    Cq = np.floor(Cf * 127.0 / c_safe[:, None] + 0.5).astype(np.int64)
+    return Cq, c_absmax / 127.0
+
+
+def _int8_scan_kernel(bc, r_cut: int):
+    """Shared Arrow scan kernel of the quantized ANN family
+    (:func:`ann_int8_topk`, :func:`ann_ivf_int8_topk`): exact-int64
+    GEMM over the (pre)quantized corpus rows against the broadcast
+    quantized query matrix, per-partition top-``r_cut`` per query under
+    the TOTAL order (approx DESC, neighbor_id ASC) — distributive
+    top-k, so the global cut over the skinny candidate rows is exact.
+
+    ``bc`` broadcasts ``(q_ids, Qq, q_scale)`` for the flat scan or
+    ``(q_ids, Qq, q_scale, allowed)`` for the IVF-pruned scan, where
+    ``allowed`` is the (cells x |queries|) probe mask. In the pruned
+    form rows are GATHERED by cell and each cell's GEMM runs against
+    only the queries probing it — flops drop to
+    sum_cells |cell| x |probing queries| instead of N x Q; the
+    mask-after-full-GEMM round-11 form did 100 % of the unpruned flops.
+
+    Ids ride in PARALLEL int64 arrays end to end — never packed into
+    the float64 score matrix, which silently corrupts ids >= 2^53
+    (the repo's hash60 60-bit id convention; ADVICE r11)."""
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        payload = bc.value
+        ids_b, Qq_b, qs_b = payload[0], payload[1], payload[2]
+        allow_b = payload[3] if len(payload) > 3 else None
+        bq: list[np.ndarray] = []   # int64 query ids
+        bn: list[np.ndarray] = []   # int64 neighbor ids (parallel)
+        bs: list[np.ndarray] = []   # float64 approx scores (parallel)
+
+        def emit(nid_sub, approx, qsel):
+            # per-(group, query) top-R under the total order; -inf
+            # (masked self-matches) survive here and are dropped by the
+            # finite filter after the kernel-wide cut
+            cut = min(r_cut, nid_sub.shape[0])
+            for jj, j in enumerate(qsel):
+                col = approx[:, jj]
+                order = np.lexsort((nid_sub, -col))[:cut]
+                bq.append(np.full(order.shape[0], ids_b[j],
+                                  dtype=np.int64))
+                bn.append(nid_sub[order])
+                bs.append(col[order])
+
+        for pdf in batches:
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            if "c_q" in pdf.columns:
+                # prequantized store: (scale, q) read straight off disk
+                cs = pdf["c_scale"].to_numpy(dtype=np.float64)
+                Cq = np.stack(pdf["c_q"].values).astype(np.int64)
+            else:
+                Cq, cs = _int8_quantize_np(
+                    np.stack(pdf["c_vec"].values).astype(np.float64))
+            if allow_b is None:
+                dots = Cq @ Qq_b.T                  # exact int64
+                approx = (dots.astype(np.float64)
+                          * cs[:, None]) * qs_b[None, :]
+                approx[nid[:, None] == ids_b[None, :]] = -np.inf
+                emit(nid, approx, np.arange(ids_b.shape[0]))
+            else:
+                cell = pdf["cell"].to_numpy(dtype=np.int64)
+                for c in np.unique(cell):
+                    qsel = np.flatnonzero(allow_b[c])
+                    if qsel.size == 0:
+                        continue
+                    rmask = cell == c
+                    nid_sub = nid[rmask]
+                    dots = Cq[rmask] @ Qq_b[qsel].T
+                    approx = (dots.astype(np.float64)
+                              * cs[rmask][:, None]) * qs_b[None, qsel]
+                    approx[nid_sub[:, None]
+                           == ids_b[qsel][None, :]] = -np.inf
+                    emit(nid_sub, approx, qsel)
+        if bq:
+            qcat = np.concatenate(bq)
+            ncat = np.concatenate(bn)
+            scat = np.concatenate(bs)
+            oq, on, osc = [], [], []
+            for qid in np.unique(qcat):
+                m = qcat == qid
+                n_sub, s_sub = ncat[m], scat[m]
+                order = np.lexsort((n_sub, -s_sub))[:r_cut]
+                order = order[np.isfinite(s_sub[order])]
+                oq.append(np.full(order.shape[0], qid, dtype=np.int64))
+                on.append(n_sub[order])
+                osc.append(s_sub[order])
+            yield pd.DataFrame({
+                "query_id": np.concatenate(oq),
+                "neighbor_id": np.concatenate(on),
+                "approx": np.concatenate(osc)})
+
+    return scan
+
+
 def ann_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                   rescore: int = 3,
                   vec_col: str = "embedding", id_col: str = "vec_id",
@@ -1333,66 +1436,13 @@ def ann_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             [], "query_id long, neighbor_id long, sim_q6 long")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Qf = np.array([r[1] for r in qrows], dtype=np.float64)
-    # the same quantization quantize_int8 computes, in numpy: floor
-    # over double products is elementwise-deterministic on both paths
-    q_absmax = np.abs(Qf).max(axis=1)
-    q_safe = np.where(q_absmax == 0.0, 1.0, q_absmax)
-    Qq = np.floor(Qf * 127.0 / q_safe[:, None] + 0.5).astype(np.int64)
-    q_scale = q_absmax / 127.0
+    # the same quantization quantize_int8 computes, in numpy (shared
+    # with the scan-side kernel quantization — one formula, one place)
+    Qq, q_scale = _int8_quantize_np(Qf)
     bc = corpus.sparkSession.sparkContext.broadcast(
         (q_ids, Qq, q_scale))
     r_cut = k * rescore
-
-    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        ids_b, Qq_b, qs_b = bc.value
-        best: list[np.ndarray] = []  # per-batch (qid, nid, approx) rows
-        for pdf in batches:
-            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            if "c_q" in pdf.columns:
-                # prequantized store: (scale, q) read straight off disk
-                cs = pdf["c_scale"].to_numpy(dtype=np.float64)
-                Cq = np.stack(pdf["c_q"].values).astype(np.int64)
-            else:
-                # float input: quantize HERE, vectorized — the same
-                # floor((x*127)/safe + 0.5) double math as
-                # quantize_int8's column form, which is an interpreted
-                # HOF tree (CodegenFallback) and measured 74 s over
-                # 200k x 64 floats where this pass is milliseconds
-                Cf = np.stack(pdf["c_vec"].values).astype(np.float64)
-                c_absmax = np.abs(Cf).max(axis=1)
-                c_safe = np.where(c_absmax == 0.0, 1.0, c_absmax)
-                Cq = np.floor(Cf * 127.0 / c_safe[:, None] + 0.5) \
-                    .astype(np.int64)
-                cs = c_absmax / 127.0
-            dots = Cq @ Qq_b.T                      # exact int64
-            approx = (dots.astype(np.float64)
-                      * cs[:, None]) * qs_b[None, :]
-            approx[nid[:, None] == ids_b[None, :]] = -np.inf
-            cut = min(r_cut, approx.shape[0])
-            # per-query top-R within the batch under the TOTAL order
-            # (approx DESC, neighbor_id ASC) — the same order the global
-            # cut uses, so every global top-R row is in its batch's
-            # top-R (distributive top-k; ties cannot leak because the
-            # id tiebreak makes the order total)
-            for j in range(ids_b.shape[0]):
-                col = approx[:, j]
-                order = np.lexsort((nid, -col))[:cut]
-                best.append(np.column_stack((
-                    np.full(cut, ids_b[j], dtype=np.float64),
-                    nid[order].astype(np.float64), col[order])))
-        if best:
-            allr = np.concatenate(best, axis=0)
-            out = []
-            for qid in np.unique(allr[:, 0]):
-                rows = allr[allr[:, 0] == qid]
-                order = np.lexsort((rows[:, 1], -rows[:, 2]))[:r_cut]
-                out.append(rows[order])
-            allr = np.concatenate(out, axis=0)
-            allr = allr[np.isfinite(allr[:, 2])]
-            yield pd.DataFrame({
-                "query_id": allr[:, 0].astype(np.int64),
-                "neighbor_id": allr[:, 1].astype(np.int64),
-                "approx": allr[:, 2]})
+    scan = _int8_scan_kernel(bc, r_cut)
 
     if prequantized is not None:
         # the stored-index form: (id, scale, q) materialized once by
@@ -1444,7 +1494,8 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       cells: int = IVF_CELLS,
                       centroids: tuple | None = None,
                       vec_col: str = "embedding", id_col: str = "vec_id",
-                      max_queries: int = ANN_INT8_MAX_QUERIES) -> DataFrame:
+                      max_queries: int = ANN_INT8_MAX_QUERIES,
+                      index_path: str | None = None) -> DataFrame:
     """The composed 100 TB ANN path: IVF cell PRUNING on top of the
     INT8 quantized scan — each corpus vector is scored for a query only
     if its (single-assign) cell is among the query's ``nprobe`` probed
@@ -1453,23 +1504,42 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     rescore k x rescore candidates per query. Same output contract as
     :func:`ivf_topk` / :func:`brute_force_topk`.
 
-    Cost at scale multiplies the two wins: the scan term drops by
-    ~nprobe/cells (partition pruning when the int8 store is laid out
-    by cell) AND reads 4x fewer bytes per surviving row; the per-query
-    probe sets ride the same broadcast as the quantized query matrix
-    (one (cells x |queries|) boolean mask), so pruning costs the scan
-    kernel one row-gather, no extra join or shuffle.
+    Cost at scale multiplies the two wins, and with ``index_path`` BOTH
+    are realized in the plan, not just documented: the scan reads ONLY
+    the probed cells' partitions of a :func:`write_ivf_int8_index`
+    table (plan-time partition pruning — ~nprobe/cells of the
+    directories opened, plan-asserted in tests), each partition is the
+    int8 codes (4x fewer bytes at rest than float32), and inside the
+    kernel rows are GATHERED by cell so each cell's GEMM runs against
+    only the queries probing it (the round-11 form masked AFTER a full
+    N x Q GEMM — 100 % of the unpruned flops). The per-query probe
+    sets ride the same broadcast as the quantized query matrix (one
+    (cells x |queries|) boolean mask): pruning costs no extra join or
+    shuffle. ``corpus`` is still read for the float rescore — but only
+    |queries| x k x rescore rows of it (the candidate join).
+
+    With ``index_path=None`` the scan is self-contained: it reads
+    ``corpus``'s floats, assigns cells and quantizes inside the Arrow
+    kernel (same per-cell gather, so the flops cut still applies; the
+    byte/partition cut needs the at-rest index).
 
     The probe sets are computed by the SAME :func:`ivf_probe_cells`
     pandas_udf the exact IVF path uses (collected with the query
     vectors — the contract-capped driver-side set), so tie-breaking and
     assignment degeneracies mirror :func:`ivf_topk` and the DuckDB
-    oracle exactly. ``centroids=None`` trains on the corpus
-    (:func:`ivf_train_centroids`); pass a snapshot to pin geometry.
+    oracle exactly. ``centroids=None`` loads the matrix the index was
+    WRITTEN with when ``index_path`` is given (probing a cell layout
+    with foreign geometry silently probes the wrong cells — pass
+    ``centroids`` explicitly only to skip the one-time metadata read),
+    else trains on the corpus (:func:`ivf_train_centroids`).
     """
+    spark = corpus.sparkSession
     if centroids is None:
-        centroids = ivf_train_centroids(corpus, cells=cells,
-                                        vec_col=vec_col, id_col=id_col)
+        if index_path is not None:
+            centroids = read_ivf_centroids(spark, index_path)
+        else:
+            centroids = ivf_train_centroids(corpus, cells=cells,
+                                            vec_col=vec_col, id_col=id_col)
     qrows = (queries.select(
         F.col(id_col), F.col(vec_col),
         ivf_probe_cells(F.col(vec_col), nprobe=nprobe, cells=cells,
@@ -1481,64 +1551,37 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             f"broadcast quantized-scan path is for bounded query "
             f"batches.")
     if not qrows:
-        return corpus.sparkSession.createDataFrame(
+        return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim_q6 long")
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Qf = np.array([r[1] for r in qrows], dtype=np.float64)
-    q_absmax = np.abs(Qf).max(axis=1)
-    q_safe = np.where(q_absmax == 0.0, 1.0, q_absmax)
-    Qq = np.floor(Qf * 127.0 / q_safe[:, None] + 0.5).astype(np.int64)
-    q_scale = q_absmax / 127.0
+    Qq, q_scale = _int8_quantize_np(Qf)
     allowed = np.zeros((cells, len(qrows)), dtype=bool)
     for j, r in enumerate(qrows):
         for c in r[2]:
             allowed[c, j] = True
-    bc = corpus.sparkSession.sparkContext.broadcast(
-        (q_ids, Qq, q_scale, allowed))
+    bc = spark.sparkContext.broadcast((q_ids, Qq, q_scale, allowed))
     r_cut = k * rescore
+    scan = _int8_scan_kernel(bc, r_cut)
 
-    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        ids_b, Qq_b, qs_b, allow_b = bc.value
-        best: list[np.ndarray] = []
-        for pdf in batches:
-            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            cell = pdf["cell"].to_numpy(dtype=np.int64)
-            Cf = np.stack(pdf["c_vec"].values).astype(np.float64)
-            c_absmax = np.abs(Cf).max(axis=1)
-            c_safe = np.where(c_absmax == 0.0, 1.0, c_absmax)
-            Cq = np.floor(Cf * 127.0 / c_safe[:, None] + 0.5) \
-                .astype(np.int64)
-            cs = c_absmax / 127.0
-            dots = Cq @ Qq_b.T
-            approx = (dots.astype(np.float64)
-                      * cs[:, None]) * qs_b[None, :]
-            approx[~allow_b[cell]] = -np.inf       # IVF pruning mask
-            approx[nid[:, None] == ids_b[None, :]] = -np.inf
-            cut = min(r_cut, approx.shape[0])
-            for j in range(ids_b.shape[0]):
-                col = approx[:, j]
-                order = np.lexsort((nid, -col))[:cut]
-                best.append(np.column_stack((
-                    np.full(cut, ids_b[j], dtype=np.float64),
-                    nid[order].astype(np.float64), col[order])))
-        if best:
-            allr = np.concatenate(best, axis=0)
-            out = []
-            for qid in np.unique(allr[:, 0]):
-                rows = allr[allr[:, 0] == qid]
-                order = np.lexsort((rows[:, 1], -rows[:, 2]))[:r_cut]
-                out.append(rows[order])
-            allr = np.concatenate(out, axis=0)
-            allr = allr[np.isfinite(allr[:, 2])]
-            yield pd.DataFrame({
-                "query_id": allr[:, 0].astype(np.int64),
-                "neighbor_id": allr[:, 1].astype(np.int64),
-                "approx": allr[:, 2]})
-
-    qc = corpus.select(F.col(id_col).alias("neighbor_id"),
-                       F.col(vec_col).alias("c_vec"),
-                       ivf_cell(F.col(vec_col), cells=cells,
-                                centroids=centroids).alias("cell"))
+    if index_path is not None:
+        # the at-rest form: open ONLY the probed cells' partitions of
+        # the int8 index — the isin on the partition column resolves as
+        # PartitionFilters at planning time (unprobed directories are
+        # never listed), and the bytes under them are the 4x-smaller
+        # codes, not the float vectors
+        probed = sorted({c for r in qrows for c in r[2]})
+        qc = (spark.read.parquet(index_path)
+              .where(F.col("cell").isin(probed))
+              .select(F.col("neighbor_id"),
+                      F.col("cell"),
+                      F.col("scale").alias("c_scale"),
+                      F.col("q").alias("c_q")))
+    else:
+        qc = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("c_vec"),
+                           ivf_cell(F.col(vec_col), cells=cells,
+                                    centroids=centroids).alias("cell"))
     part_top = qc.mapInPandas(
         scan, schema="query_id long, neighbor_id long, approx double")
     return _int8_cut_and_rescore(part_top, corpus, queries, k, r_cut,
@@ -1630,10 +1673,70 @@ def write_ivf_index(corpus: DataFrame, path: str,
                                  centroids=centroids).alias("cell"))
     (out.repartition(cells, "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(path))
-    spark = corpus.sparkSession
+    _write_centroids(corpus.sparkSession, path, centroids)
+
+
+def _write_centroids(spark, path: str, centroids: tuple) -> None:
+    """Persist the centroid matrix INTO an index directory (the
+    ``_centroids`` parquet subdir — the underscore prefix hides it from
+    the data scan, like ``_metadata``): whichever geometry assigned the
+    cells travels with them, so a probe/index mismatch is impossible."""
     cent_rows = [(c, list(row)) for c, row in enumerate(centroids)]
     (spark.createDataFrame(cent_rows, "cell int, w array<double>")
      .coalesce(1).write.mode("overwrite").parquet(path + "/_centroids"))
+
+
+def write_ivf_int8_index(corpus: DataFrame, path: str,
+                         vec_col: str = "embedding",
+                         id_col: str = "vec_id",
+                         cells: int = IVF_CELLS,
+                         centroids: tuple | None = None) -> None:
+    """Materialize the COMPOSED ANN index at rest: int8 codes + scales
+    (:func:`quantize_int8`'s exact formula, computed in one Arrow pass)
+    written ``partitionBy(cell)`` — the storage layout under which
+    :func:`ann_ivf_int8_topk`'s two wins are both plan-real: a query
+    batch probing p of ``cells`` cells opens only p directories
+    (partition pruning) and the bytes under them are 4x smaller than
+    the float32 vectors. Float vectors do NOT live in this index —
+    the rescore stage reads them from the primary corpus table for
+    candidate rows only, so the index adds ~1/4 of the corpus bytes,
+    not 5/4.
+
+    Quantization runs as a struct-returning pandas_udf over
+    :func:`_int8_quantize_np` — never quantize_int8's column form,
+    whose HOF tree is interpreted (CodegenFallback) and ~1000x slower
+    at index-build scale (SCALE_ANN.json). Cell assignment is the
+    family's masked-exact-rescored BLAS :func:`ivf_cell`.
+
+    Like :func:`write_ivf_index`: re-centering is a full rewrite
+    (version the directory per centroid snapshot), and the matrix that
+    built the index is persisted into it (``_centroids``) so
+    :func:`ann_ivf_int8_topk` probes with exactly the geometry the
+    cells were assigned under."""
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, cells, vec_col=vec_col,
+                                        id_col=id_col)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<scale: double, q: array<int>>")
+    def _qz(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"scale": [], "q": []})
+        Cq, cs = _int8_quantize_np(np.stack(v.values).astype(np.float64))
+        return pd.DataFrame(
+            {"scale": cs, "q": [r.astype(np.int32) for r in Cq]})
+
+    out = (corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_cell(F.col(vec_col), cells,
+                 centroids=centroids).alias("cell"),
+        _qz(F.col(vec_col)).alias("_sq"))
+        .select("neighbor_id", "cell",
+                F.col("_sq.scale").alias("scale"),
+                F.col("_sq.q").alias("q")))
+    (out.repartition(cells, "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(path))
+    _write_centroids(corpus.sparkSession, path, centroids)
 
 
 def read_ivf_centroids(spark, index_path: str) -> tuple:

@@ -256,12 +256,28 @@ def q_ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~nprobe/cells of the corpus scanned, at 4x fewer bytes per
     surviving row. Probe sets come from the same ivf_probe_cells
     pandas_udf as the exact path, so the oracle's qprobe QUALIFY
-    mirrors tie-breaking bitwise."""
-    from ..operators.similarity import ann_ivf_int8_topk
+    mirrors tie-breaking bitwise.
+
+    Since round 12 this runs the AT-REST form end to end (the
+    dedup_containment_incr self-containment pattern): the int8-by-cell
+    index is materialized with write_ivf_int8_index and the scan reads
+    only probed partitions via index_path — the driver's hard signal
+    covers the layout the 100 TB pitch is about, not just the
+    in-memory kernel (indexed == in-memory is also pinned in
+    tests/test_recall.py)."""
+    import tempfile
+
+    from ..operators.similarity import (
+        ann_ivf_int8_topk,
+        write_ivf_int8_index,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_int8_idx_") + "/index"
+    write_ivf_int8_index(emb, path, centroids=IVF_SNAPSHOT)
     return ann_ivf_int8_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
-                             k=TOP_K, rescore=3, centroids=IVF_SNAPSHOT)
+                             k=TOP_K, rescore=3, centroids=IVF_SNAPSHOT,
+                             index_path=path)
 
 
 @register("ann_ivf_topk", _duck_ivf_sql())
