@@ -586,12 +586,16 @@ def minhash_lsh_pairs_incremental(new_df: DataFrame, corpus_sigs: DataFrame,
 # 4. Cluster resolution: near-dup pairs -> connected components -> keeper
 # ---------------------------------------------------------------------------
 
-#: edge count under which dedup_clusters solves components driver-side
-#: (union-find over the collected, output-bounded edge list): 2M edges
-#: ≈ 32 MB of longs — metadata-sized. Above it, the distributed
-#: min-label loop runs. Round-11 motivation: a chain-shaped 1k-edge
-#: graph cost 14.5 s in the loop (rounds × job floor, O(diameter)
-#: convergence) vs milliseconds in union-find.
+#: DIRECTED edge count (2x the undirected pair count — the bound is
+#: checked after the symmetric union below) under which dedup_clusters
+#: solves components driver-side via union-find over the collected
+#: edge list. 2M collected Rows cost on the order of hundreds of MB of
+#: driver heap transiently (Row/tuple overhead dominates the 32 MB of
+#: raw longs) — still metadata-sized against the driver's memory, and
+#: released before the result frame is built. Above it, the
+#: distributed min-label loop runs. Round-11 motivation: a
+#: chain-shaped 1k-edge graph cost 14.5 s in the loop (rounds × job
+#: floor, O(diameter) convergence) vs milliseconds in union-find.
 CLUSTERS_DRIVER_MAX_EDGES = 2_000_000
 
 
@@ -686,8 +690,16 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a",
                     ra, rb = rb, ra
                 parent[rb] = ra
         out = [(doc, find(doc)) for doc in parent]
+        # output schema follows the input id dtype (string doc ids are
+        # legal — the distributed path below preserves them too); a
+        # hardcoded "long" here would crash or silently change the
+        # schema depending on which path the edge count picked
+        from pyspark.sql.types import StructField, StructType
+
+        id_type = pairs.schema[a_col].dataType
         return pairs.sparkSession.createDataFrame(
-            out, "doc long, keep_id long")
+            out, StructType([StructField("doc", id_type),
+                             StructField("keep_id", id_type)]))
     n_parts = int(max(1, min(1024, n_edges // 2_000_000 + 1)))
     edges = edges.repartition(n_parts, "dst")
     labels = (edges.select(F.col("src").alias("doc"))

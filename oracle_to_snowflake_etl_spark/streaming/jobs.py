@@ -840,7 +840,22 @@ def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
     call — lossless (pair visibility IS "shares a probe cell"), so the
     batch-equivalence contract is untouched while the per-batch
     re-assignment cost drops from O(index) to the touched cells' rows.
-    A pre-round-11 index without the column is read unpruned.
+    Since round 12 the batch's touched-cell set never visits the
+    driver: it is aggregated into a single-row array that rides a
+    1-row broadcast into an ``arrays_overlap`` filter — one fewer job
+    per micro-batch than the round-11 explode+distinct+collect, and
+    an EMPTY batch degenerates cleanly (empty aggregated array ->
+    empty pruned index) where the literal-array form built an
+    ``array<null>`` and failed analysis (ADVICE r11).
+
+    Pruning is gated on a geometry stamp (``_meta``: cells, nprobe,
+    centroid md5) written when the index is first created: probe
+    arrays stored under one (centroids, cells, nprobe) geometry are
+    meaningless under another, so resuming with a DIFFERENT geometry
+    raises instead of silently missing near-dups, and an UNSTAMPED
+    index (pre-round-12, or a crash between first index and stamp
+    writes) is read unpruned — correct, just not cell-cut. A
+    pre-round-11 index without the column is read unpruned.
     """
     from ..operators.similarity import (
         IVF_CELLS,
@@ -862,18 +877,51 @@ def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
         return ivf_probe_cells(col, nprobe=SEMDEDUP_NPROBE,
                                cells=k_cells, centroids=centroids)
 
+    import hashlib as _hl
+
+    geom = (k_cells, SEMDEDUP_NPROBE,
+            _hl.md5(repr(tuple(tuple(row) for row in centroids))
+                    .encode()).hexdigest())
+
+    def read_geom() -> tuple | None:
+        m = _read_parquet_or_none(spark, index_path + "/_meta")
+        if m is None:
+            return None
+        rows = m.collect()
+        return ((rows[0].cells, rows[0].nprobe, rows[0].centroid_md5)
+                if len(rows) == 1 else None)
+
     def accept(batch: DataFrame, batch_id: int) -> None:
         seen = _read_parquet_or_none(spark, index_path)
         if seen is not None:
             seen = seen.where(F.col("batch") != batch_id)
-        if seen is not None and seen.limit(1).count() > 0:
+        has_seen = seen is not None and seen.limit(1).count() > 0
+        if has_seen:
             if "_cells" in seen.columns:
-                touched = sorted({r.c for r in batch.select(
-                    F.explode(cells_arr(F.col("embedding"))).alias("c"))
-                    .distinct().collect()})
-                seen = seen.where(F.arrays_overlap(
-                    F.col("_cells"),
-                    F.array(*[F.lit(c) for c in touched])))
+                stamped = read_geom()
+                if stamped == geom:
+                    # the batch's touched-cell set stays executor-side:
+                    # ONE aggregated distinct-cells array rides a 1-row
+                    # broadcast into the overlap filter. An empty batch
+                    # aggregates to an empty array<int> -> prunes seen
+                    # to empty (no array<null> literal, ADVICE r11).
+                    tc = batch.select(F.array_distinct(F.flatten(
+                        F.collect_list(cells_arr(F.col("embedding")))))
+                        .alias("_tc"))
+                    seen = (seen.crossJoin(F.broadcast(tc))
+                            .where(F.arrays_overlap(F.col("_cells"),
+                                                    F.col("_tc")))
+                            .drop("_tc"))
+                elif stamped is not None:
+                    raise ValueError(
+                        f"semantic ingest index at {index_path} was "
+                        f"stamped with geometry {stamped} but this run "
+                        f"probes with {geom}: stored probe arrays are "
+                        f"meaningless across geometries — version the "
+                        f"index directory per centroid snapshot "
+                        f"(write_ivf_index convention) instead of "
+                        f"resuming it.")
+                # unstamped (pre-round-12) index: read unpruned
             survivors = semantic_dedup_incremental(
                 batch, seen.select(batch.columns),
                 threshold_q6=threshold_q6, cells=k_cells,
@@ -892,6 +940,15 @@ def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
         batch.withColumn("_cells", cells_arr(F.col("embedding"))) \
             .write.mode("overwrite").parquet(
                 f"{index_path}/batch={batch_id}")
+        if not has_seen and read_geom() is None:
+            # stamp the index's geometry exactly once, when no OTHER
+            # batch's rows exist yet (also heals a crash between the
+            # first index write and this stamp on replay); a stamp is
+            # never written over foreign-geometry rows
+            spark.createDataFrame(
+                [geom], "cells int, nprobe int, centroid_md5 string") \
+                .coalesce(1).write.mode("overwrite") \
+                .parquet(index_path + "/_meta")
 
     return (
         stream.writeStream

@@ -208,3 +208,26 @@ def test_clusters_driver_and_distributed_paths_agree(spark):
             dedup_clusters(pairs, driver_max_edges=0).collect()}
     assert fast == slow
     assert (24, 10) in fast and (102, 100) in fast and (7, 3) in fast
+
+
+def test_clusters_string_ids_both_paths(spark):
+    """Non-long doc ids (string content hashes are a legal id space)
+    must survive BOTH component paths with the input dtype preserved —
+    the union-find path derives its output schema from the pairs frame
+    instead of hardcoding long (ADVICE r11), and min-root union is
+    lexicographic exactly like the loop's F.least."""
+    from oracle_to_snowflake_etl_spark.operators.dedup import (
+        dedup_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [("b", "c"), ("c", "d"), ("x", "y")],
+        "doc_a string, doc_b string")
+    fast_df = dedup_clusters(pairs)
+    assert [f.dataType.simpleString() for f in fast_df.schema.fields] \
+        == ["string", "string"]
+    fast = {(r.doc, r.keep_id) for r in fast_df.collect()}
+    slow = {(r.doc, r.keep_id) for r in
+            dedup_clusters(pairs, driver_max_edges=0).collect()}
+    assert fast == slow
+    assert ("d", "b") in fast and ("y", "x") in fast

@@ -305,3 +305,90 @@ def test_streaming_semantic_ingest_requires_pinned_centroids(spark, emb,
         ingest_embeddings_stream(stream, str(tmp_path / "a"),
                                  str(tmp_path / "i"),
                                  str(tmp_path / "c"), centroids=None)
+
+
+def test_streaming_ingest_empty_batch_stamp_and_no_driver_collect(
+        spark, emb, tmp_path, monkeypatch):
+    """Round-12 ingest loop contract, end to end: (a) the batch's
+    touched-cell pruning never collects data to the driver (the
+    round-11 explode+distinct+collect is gone — any DataFrame.collect
+    issued DIRECTLY from the accept closure fails this test; the
+    1-row _meta geometry read and the operators' own contract-capped
+    collects are exempt by frame), (b) an EMPTY micro-batch (a
+    zero-row file drop) flows through the pruned path instead of
+    failing analysis on an array<null> literal, and (c) the index is
+    stamped with its probe geometry."""
+    import os
+    import time as _t
+    import traceback
+
+    import pyspark.sql.dataframe as _dfmod
+
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        ingest_embeddings_stream,
+    )
+
+    planted = plant_near_dup_twins(emb)
+    centroids = ivf_train_centroids(planted)
+    base = emb.agg(F.max("vec_id")).first()[0] + 1
+    drops = [planted.where(F.col("vec_id") < base),
+             planted.where(F.col("vec_id") >= base),
+             planted.where(F.lit(False))]          # empty micro-batch
+    src = tmp_path / "s12_src"
+    src.mkdir()
+    now = _t.time()
+    seen_files: set = set()
+    for i, d in enumerate(drops):
+        d.coalesce(1).write.mode("append").parquet(str(src))
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in seen_files:
+                os.utime(src / f, (now + i * 10, now + i * 10))
+                seen_files.add(f)
+    acc = str(tmp_path / "s12_acc")
+    idx = str(tmp_path / "s12_idx")
+    offenders: list[str] = []
+    real_collect = _dfmod.DataFrame.collect
+
+    def tracked(self):
+        jobs_frames = [fr.name for fr in traceback.extract_stack()
+                       if fr.filename.endswith("streaming/jobs.py")]
+        if jobs_frames and jobs_frames[-1] == "accept":
+            offenders.append(jobs_frames[-1])
+        return real_collect(self)
+
+    monkeypatch.setattr(_dfmod.DataFrame, "collect", tracked)
+    schema = spark.read.parquet(str(src)).schema
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = ingest_embeddings_stream(stream, acc, idx,
+                                 str(tmp_path / "s12_ckp"),
+                                 centroids=centroids,
+                                 threshold_q6=TWIN_Q6)
+    q.awaitTermination(180)
+    monkeypatch.setattr(_dfmod.DataFrame, "collect", real_collect)
+    assert not offenders, offenders
+    streamed = {r.vec_id for r in
+                spark.read.parquet(acc).select("vec_id").collect()}
+    batch_form = {r.vec_id for r in
+                  semantic_dedup(planted, threshold_q6=TWIN_Q6,
+                                 centroids=centroids)
+                  .select("vec_id").collect()}
+    assert streamed == batch_form
+    meta = spark.read.parquet(idx + "/_meta").collect()
+    assert len(meta) == 1 and meta[0].cells == 64
+
+    # (d) resuming the stamped index under a DIFFERENT probe geometry
+    # must fail loudly (stored probe arrays are meaningless across
+    # geometries), not silently miss near-dups
+    from pyspark.errors import StreamingQueryException
+
+    other = ivf_train_centroids(planted, cells=16)
+    stream2 = (spark.readStream.schema(schema)
+               .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q2 = ingest_embeddings_stream(stream2, acc, idx,
+                                  str(tmp_path / "s12_ckp2"),
+                                  centroids=other, cells=16,
+                                  threshold_q6=TWIN_Q6)
+    with pytest.raises(StreamingQueryException, match="geometry"):
+        q2.awaitTermination(180)
+        raise AssertionError("mismatched-geometry resume did not fail")
