@@ -75,7 +75,11 @@ PRIORITY = [
     "incremental_anti", "count_recon",
     "revenue_by_nation", "recon_fingerprint_lineitem",
     # Mutation / temporal / layout / skew / graph / entity operators
-    "merge_upsert_orders", "asof_click_attribution", "range_join_promo",
+    # (round-12: purge_propagation joins the mutation family — the
+    # compliance purge's partition-scoped rewrite + emptied-dir
+    # removal under the driver's hard signal, VERDICT r11 ask #2)
+    "merge_upsert_orders", "purge_propagation",
+    "asof_click_attribution", "range_join_promo",
     "scd2_user_status", "pit_join_purchases", "zorder_orders",
     "salted_join_nation",
     "pagerank_supplier_orders", "fuzzy_name_pairs",
@@ -93,15 +97,23 @@ PRIORITY = [
     # slots; drop is pytest-covered) — its slot carries the round-8
     # SemDeDup embedding-space dedup family's representative
     "dedup_ngram_jaccard_auto", "dedup_semantic",
+    # round-12 rotation (VERDICT r11 ask #3): dedup_semantic_keep_best
+    # joins the dedup family's driver slots
+    "dedup_semantic_keep_best",
     # Similarity / embeddings (ann_brute_topk rotated to full-local in
     # round 11 — it is the pinned brute-force BASELINE, unchanged since
-    # round 3, and the family keeps ann_ivf_topk + ann_srp_neardup
-    # driver slots; its slot carries mm_audio_features, the round-10/11
+    # round 3; its slot carries mm_audio_features, the round-10/11
     # audio feature extractor whose oracle now exercises the
     # zero-crossing branch via the high-byte PCM family — VERDICT r10
     # asks #5 and #7)
-    "mm_audio_features", "ann_ivf_topk", "ann_srp_neardup",
-    "emb_label_centroids",
+    # (round-12 rotation, VERDICT r11 ask #3: ann_ivf_topk and
+    # emb_label_centroids move to full-local — the exact IVF path is
+    # recall-pytested and its probe machinery is exercised harder by
+    # the composed indexed form; emb_label_centroids is a long-stable
+    # grouped agg. Their slots carry ann_int8_topk, ann_ivf_int8_topk
+    # (the at-rest indexed form since r12), and emb_cell_sample.)
+    "mm_audio_features", "ann_int8_topk", "ann_ivf_int8_topk",
+    "emb_cell_sample", "ann_srp_neardup",
     # Text analysis (text_quality_filter stays full-local-checked; its
     # slot carries the round-4 MV-maintenance family instead)
     # (text_lang_id rotated to full-local in round 11 — floor-class
@@ -117,8 +129,10 @@ PRIORITY = [
     # (stat_gini rotated to full-local in round 6; its slot carries the
     # REAL-image-decode round trip so the PNG capability is
     # driver-verified, per the r5 verdict's item 5)
+    # (text_repeated_spans rotated to full-local in round 12 — rotated
+    # in at r8, stable since, pytest-covered; the text family keeps
+    # five driver slots)
     "text_winnow_fp", "skew_report_custkey", "text_decontaminate",
-    "text_repeated_spans",
     "mm_image_png_roundtrip", "text_bm25_topk", "corpus_prep_pipeline",
     # Multimodal (mm_byte_stats stays full-local-checked; its slot
     # carries the round-4 incremental ingest composition instead)
@@ -138,8 +152,12 @@ PRIORITY = [
     # its slot carries the mergeable-sketch family instead)
     # (ev_tumbling_5m rotated to full-local in round 5 — the event-time
     # family keeps ev_sessions + ev_gapfill_hourly driver slots)
+    # (ev_gapfill_hourly + funnel_view_click_purchase rotated to
+    # full-local in round 12 — the event-time/window family keeps
+    # ev_sessions, w_running_spend, and stream_session_windows driver
+    # slots; both rotated-out queries are long-stable and
+    # pytest-covered)
     "w_running_spend", "sketch_hll_custkey", "ev_sessions",
-    "ev_gapfill_hourly", "funnel_view_click_purchase",
     # TPC-H representative (full 22-query suite keeps full-local oracle
     # coverage in registration order below)
     "tpch_q1_pricing",

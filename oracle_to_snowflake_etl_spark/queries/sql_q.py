@@ -1562,3 +1562,77 @@ def q_drift_weekly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("ts") < F.lit("2024-01-15").cast("timestamp")))
     vq = F.floor(F.col("value") * 10_000 + F.lit(0.5)).cast("long")
     return drift_report(ev, "event_type", in_a, in_b, "user_id", vq)
+
+
+from ..functions.hashing import duck_hash60_sql, hash60  # noqa: E402
+
+
+@register(
+    "purge_propagation",
+    f"""
+    WITH corpus AS (
+      SELECT o_orderkey AS key, CAST(year(o_orderdate) AS BIGINT) AS part,
+             o_custkey AS val
+      FROM orders),
+    fp AS (
+      SELECT o_orderkey AS key, o_orderkey % 8 AS part,
+             {duck_hash60_sql("CAST(o_orderkey AS VARCHAR)", "fp|")} AS val
+      FROM orders),
+    doomed AS (SELECT key FROM corpus WHERE part = 2001 OR key % 97 = 0)
+    SELECT 'corpus' AS store, key, part, val FROM corpus
+    WHERE key NOT IN (SELECT key FROM doomed)
+    UNION ALL
+    SELECT 'fp' AS store, key, part, val FROM fp
+    WHERE key NOT IN (SELECT key FROM doomed)
+    """)
+def q_purge_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance purge, cross-engine-checked end to end
+    (operators/merge.py purge_keys_everywhere): a year-partitioned
+    corpus store AND a derived fingerprint store (different key column,
+    different bucket layout — forgetting a document must also forget
+    the data ABOUT it) are materialized, one forget request fans out
+    over both, and the COMBINED read-back final state is the result.
+    The oracle is the from-scratch anti-join over the same inputs — the
+    merge_upsert_orders pattern for mutations.
+
+    The request empties the corpus store's part=2001 directory
+    entirely, so the FileSystem-delete edge is under the hard signal:
+    dynamic partition overwrite never rewrites a directory it has no
+    rows for, and without the explicit removal the purged year's files
+    would silently survive — and show up here as extra rows against
+    the oracle. The key list is request-sized (contract-capped at
+    PURGE_MAX_KEYS; ~1/97 of keys plus one partial year), and purge
+    cost is ∝ the affected partitions' data, never table size."""
+    import tempfile
+
+    from ..operators.merge import purge_keys_everywhere
+
+    orders = load_table(spark, sf_dir, "orders")
+    corpus = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.year("o_orderdate").cast("long").alias("part"),
+        F.col("o_custkey").alias("val"))
+    fp = orders.select(
+        F.col("o_orderkey").alias("doc"),
+        (F.col("o_orderkey") % 8).alias("bucket"),
+        hash60(F.col("o_orderkey").cast("string"), "fp|").alias("fpv"))
+    base = tempfile.mkdtemp(prefix="purge_prop_")
+    cpath, fpath = base + "/corpus", base + "/fp"
+    corpus.repartition(8, "part").write.partitionBy("part").parquet(cpath)
+    fp.repartition(8, "bucket").write.partitionBy("bucket").parquet(fpath)
+    keys = [r.key for r in
+            corpus.where((F.col("part") == 2001)
+                         | (F.col("key") % 97 == 0))
+            .select("key").collect()]
+    purge_keys_everywhere(spark, [
+        {"path": cpath, "key_col": "key", "partition_cols": ["part"]},
+        {"path": fpath, "key_col": "doc", "partition_cols": ["bucket"]},
+    ], keys)
+    c2 = spark.read.parquet(cpath).select(
+        F.lit("corpus").alias("store"), F.col("key"),
+        F.col("part").cast("long").alias("part"), F.col("val"))
+    f2 = spark.read.parquet(fpath).select(
+        F.lit("fp").alias("store"), F.col("doc").alias("key"),
+        F.col("bucket").cast("long").alias("part"),
+        F.col("fpv").alias("val"))
+    return c2.unionByName(f2)
