@@ -522,15 +522,23 @@ def ivf_probe_cells(vec: Column, nprobe: int = IVF_NPROBE,
         vals = v.values
         for lo in range(0, len(vals), 1024):
             V = np.stack(vals[lo:lo + 1024]).astype(np.float64)
-            sims = _cell_sims_masked(V, C, top=nprobe)
-            # stable sort on -sim -> descending sim, ascending cell on
-            # ties (exact on every top-nprobe candidate; -inf filler
-            # never outranks a real score)
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
-            outs.extend(order.astype(np.int32))
+            outs.extend(_probe_cells_np(V, C, nprobe).astype(np.int32))
         return pd.Series(outs)
 
     return probes(vec)
+
+
+def _probe_cells_np(V: "np.ndarray", C: "np.ndarray",
+                    nprobe: int) -> "np.ndarray":
+    """The probe-cell kernel of :func:`ivf_probe_cells`, shared with
+    the driver-side path of :func:`ann_ivf_int8_topk` (whose query set
+    is collected anyway — spinning up a Python worker to run this over
+    a handful of broadcast-bound rows costs ~1 s of udf overhead for
+    milliseconds of math). Stable sort on -sim -> descending sim,
+    ascending cell on ties (exact on every top-nprobe candidate; -inf
+    filler never outranks a real score)."""
+    sims = _cell_sims_masked(V, C, top=nprobe)
+    return np.argsort(-sims, axis=1, kind="stable")[:, :nprobe]
 
 
 def ivf_train_centroids(corpus: DataFrame, cells: int = IVF_CELLS,
@@ -1346,18 +1354,38 @@ def _int8_scan_kernel(bc, r_cut: int):
                 emit(nid, approx, np.arange(ids_b.shape[0]))
             else:
                 cell = pdf["cell"].to_numpy(dtype=np.int64)
-                for c in np.unique(cell):
-                    qsel = np.flatnonzero(allow_b[c])
-                    if qsel.size == 0:
-                        continue
-                    rmask = cell == c
-                    nid_sub = nid[rmask]
-                    dots = Cq[rmask] @ Qq_b[qsel].T
+                cell_u = np.unique(cell)
+                if cell_u.shape[0] <= 16:
+                    # cell-homogeneous batch (the write_ivf_int8_index
+                    # partitionBy(cell) layout): gather rows AND query
+                    # columns per cell before the matmul — flops are
+                    # sum_cells |cell| x |probing queries|, the
+                    # composed operator's claimed cut
+                    for c in cell_u:
+                        qsel = np.flatnonzero(allow_b[c])
+                        if qsel.size == 0:
+                            continue
+                        rmask = cell == c
+                        nid_sub = nid[rmask]
+                        dots = Cq[rmask] @ Qq_b[qsel].T
+                        approx = (dots.astype(np.float64)
+                                  * cs[rmask][:, None]) * qs_b[None, qsel]
+                        approx[nid_sub[:, None]
+                               == ids_b[qsel][None, :]] = -np.inf
+                        emit(nid_sub, approx, qsel)
+                else:
+                    # cell-MIXED batch (self-contained in-memory form):
+                    # hundreds of per-cell sub-matmuls lose to one BLAS
+                    # GEMM + row mask (measured 27.6 s vs 2.8 s at 2M
+                    # rows x 1.4k cells) — same admitted candidates
+                    # either way; the flops cut belongs to the at-rest
+                    # layout, whose batches take the branch above
+                    dots = Cq @ Qq_b.T
                     approx = (dots.astype(np.float64)
-                              * cs[rmask][:, None]) * qs_b[None, qsel]
-                    approx[nid_sub[:, None]
-                           == ids_b[qsel][None, :]] = -np.inf
-                    emit(nid_sub, approx, qsel)
+                              * cs[:, None]) * qs_b[None, :]
+                    approx[~allow_b[cell]] = -np.inf
+                    approx[nid[:, None] == ids_b[None, :]] = -np.inf
+                    emit(nid, approx, np.arange(ids_b.shape[0]))
         if bq:
             qcat = np.concatenate(bq)
             ncat = np.concatenate(bn)
@@ -1540,11 +1568,8 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         else:
             centroids = ivf_train_centroids(corpus, cells=cells,
                                             vec_col=vec_col, id_col=id_col)
-    qrows = (queries.select(
-        F.col(id_col), F.col(vec_col),
-        ivf_probe_cells(F.col(vec_col), nprobe=nprobe, cells=cells,
-                        centroids=centroids).alias("_probes"))
-        .limit(max_queries + 1).collect())
+    qrows = (queries.select(F.col(id_col), F.col(vec_col))
+             .limit(max_queries + 1).collect())
     if len(qrows) > max_queries:
         raise ValueError(
             f"query set exceeds max_queries={max_queries}: the "
@@ -1556,9 +1581,16 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Qf = np.array([r[1] for r in qrows], dtype=np.float64)
     Qq, q_scale = _int8_quantize_np(Qf)
+    # probe sets computed driver-side with the SAME kernel the
+    # ivf_probe_cells pandas_udf runs (_probe_cells_np — bit-identical
+    # assignment and tie-breaking): the query rows are already
+    # collected, so a worker round-trip would add ~1 s of udf overhead
+    # for milliseconds of math on a contract-capped set
+    C_np = np.array(centroids, dtype=np.float64)
+    probe_rows = _probe_cells_np(Qf, C_np, min(nprobe, cells))
     allowed = np.zeros((cells, len(qrows)), dtype=bool)
-    for j, r in enumerate(qrows):
-        for c in r[2]:
+    for j in range(len(qrows)):
+        for c in probe_rows[j]:
             allowed[c, j] = True
     bc = spark.sparkContext.broadcast((q_ids, Qq, q_scale, allowed))
     r_cut = k * rescore
@@ -1566,12 +1598,39 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
 
     if index_path is not None:
         # the at-rest form: open ONLY the probed cells' partitions of
-        # the int8 index — the isin on the partition column resolves as
-        # PartitionFilters at planning time (unprobed directories are
-        # never listed), and the bytes under them are the 4x-smaller
-        # codes, not the float vectors
-        probed = sorted({c for r in qrows for c in r[2]})
-        qc = (spark.read.parquet(index_path)
+        # the int8 index. Listing is pruned BEFORE planning: passing
+        # the whole directory to spark.read would have the file index
+        # walk every cell=* subdir just to discover partitions (~3 s
+        # at 1.4k dirs, paid whether or not the isin prunes them), so
+        # the probed subdirs are selected with ONE listStatus of the
+        # base dir and handed to the reader explicitly (basePath keeps
+        # the cell partition column). The bytes under them are the
+        # quantized codes — measured 3.2x smaller at rest than the
+        # float corpus parquet (snappy+parquet encoding of the int
+        # codes) — and the isin stays as a plan-level PartitionFilter
+        # guard (plan-asserted in tests).
+        probed = sorted({int(c) for row in probe_rows for c in row})
+        # ONE globStatus round-trip resolves which probed cells exist
+        # (k-means cells can be empty; a listStatus of the whole base
+        # dir would cost one py4j hop PER entry — measured 0.6 s at
+        # 1.4k dirs); the result is iterated for probed matches only
+        jvm = spark._jvm
+        base = jvm.org.apache.hadoop.fs.Path(index_path)
+        fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+        pat = jvm.org.apache.hadoop.fs.Path(
+            index_path + "/cell={" + ",".join(str(c) for c in probed)
+            + "}")
+        paths = [st.getPath().toString() for st in fs.globStatus(pat)]
+        if not paths:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, sim_q6 long")
+        # schema passed explicitly: the store's shape is fixed by
+        # write_ivf_int8_index, and inference would read a footer +
+        # merge before the first task launches
+        qc = (spark.read.option("basePath", index_path)
+              .schema("neighbor_id long, scale double, q array<int>, "
+                      "cell int")
+              .parquet(*paths)
               .where(F.col("cell").isin(probed))
               .select(F.col("neighbor_id"),
                       F.col("cell"),
