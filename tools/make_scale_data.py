@@ -66,6 +66,18 @@ def main() -> None:
                          "e.g. --tables documents for a dedup-only "
                          "third-decade spot check without paying the "
                          "full lineitem replication on disk")
+    ap.add_argument("--off", type=int, default=OFF,
+                    help="per-replica key offset; when chaining (src is "
+                         "itself a derived corpus) pass a value larger "
+                         "than the src's max key so replicas never "
+                         "collide")
+    ap.add_argument("--flip-salt", type=int, default=0,
+                    help="salts the embedding sign-flip pattern; when "
+                         "chaining from a derived corpus, replica i's "
+                         "default pattern equals the src's replica-i "
+                         "pattern and the double flip would resurrect "
+                         "exact duplicates of the base vectors — any "
+                         "nonzero salt decorrelates the two derivations")
     args = ap.parse_args()
 
     import glob
@@ -110,7 +122,7 @@ def main() -> None:
         for i in range(args.replicas):
             df = base
             for k in keys:
-                df = df.withColumn(k, F.col(k) + F.lit(i * OFF))
+                df = df.withColumn(k, F.col(k) + F.lit(i * args.off))
             if i > 0 and t == "customer":
                 # same reason as documents.text below: verbatim-copied
                 # name STRINGS put all 10 replicas in the same fuzzy-
@@ -144,7 +156,10 @@ def main() -> None:
                     F.transform(
                         "embedding",
                         lambda x, j: (x * F.when(
-                            F.pmod(F.xxhash64(F.lit(i) * 1000 + j), 2) == 0,
+                            F.pmod(F.xxhash64(
+                                F.lit(i * 1000
+                                      + args.flip_salt * 1_000_003)
+                                + j), 2) == 0,
                             F.lit(1.0)).otherwise(F.lit(-1.0))
                         ).cast("float")))
             parts.append(df)
