@@ -293,6 +293,35 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key_cols: list[str],
 #: metadata-sized; a corpus-sized key set is a reprocessing job
 PURGE_MAX_KEYS = 100_000
 
+#: key-count threshold between the literal IN predicate (pushes into
+#: the parquet scan — right for a handful of keys) and a broadcast
+#: semi/anti join (a literal In expression grows one Catalyst branch
+#: PER KEY: a ~14k-key purge measured 35 s of mostly plan/codegen at
+#: sf0.1 vs ~4 s through the join form, and a 100k-key In would be
+#: worse — while a broadcast hash set is O(1) per probed row)
+PURGE_ISIN_MAX = 64
+
+
+def _purge_key_frames(spark, tbl: DataFrame, keys: list, key_col: str):
+    """(touched-rows frame, kept-predicate applier) for one purge:
+    below :data:`PURGE_ISIN_MAX` both are literal IN predicates;
+    above, the keys become a 1-column broadcast frame probed via
+    left_semi / left_anti joins. NULL ``key_col`` rows are never
+    purged on either path (no compliance request names NULL; the anti
+    join keeps them naturally, the predicate path keeps them
+    explicitly)."""
+    if len(keys) <= PURGE_ISIN_MAX:
+        pred = F.col(key_col).isin(keys)
+        return (lambda df: df.where(pred),
+                lambda df: df.where(F.col(key_col).isNull() | ~pred))
+    from pyspark.sql.types import StructField, StructType
+
+    kdf = spark.createDataFrame(
+        [(k,) for k in keys],
+        StructType([StructField(key_col, tbl.schema[key_col].dataType)]))
+    return (lambda df: df.join(F.broadcast(kdf), key_col, "left_semi"),
+            lambda df: df.join(F.broadcast(kdf), key_col, "left_anti"))
+
 
 def purge_keys(spark, path: str, keys, key_col: str,
                partition_cols: list[str],
@@ -313,8 +342,12 @@ def purge_keys(spark, path: str, keys, key_col: str,
     silently survive.
 
     ``keys`` is driver-side and contract-capped (compliance requests
-    are metadata-sized lists of ids); at 100 TB the IN predicate pushes
-    into the scan. Use :func:`purge_keys_everywhere` to propagate one
+    are metadata-sized lists of ids); a handful of keys rides the scan
+    as a pushed IN predicate, larger requests as a broadcast
+    semi/anti join (:func:`_purge_key_frames` — a literal In grows one
+    Catalyst branch per key and measured 35 s of plan/codegen at ~14k
+    keys where the join form takes ~4 s). Use
+    :func:`purge_keys_everywhere` to propagate one
     request across a corpus AND its derived stores — forgetting a
     document must also forget its fingerprints.
     """
@@ -329,13 +362,13 @@ def purge_keys(spark, path: str, keys, key_col: str,
     from ..sources.readers import overwrite_partitions_dynamic
 
     tbl = spark.read.parquet(path)
+    hit, keep = _purge_key_frames(spark, tbl, keys, key_col)
     touched = [tuple(r) for r in
-               tbl.where(F.col(key_col).isin(keys))
-               .select(*partition_cols).distinct().collect()]
+               hit(tbl).select(*partition_cols).distinct().collect()]
     if not touched:
         return 0
     scoped = tbl.where(_partition_predicate(touched, partition_cols))
-    kept = scoped.where(~F.col(key_col).isin(keys))
+    kept = keep(scoped)
     # execute everything that reads the current files BEFORE the
     # overwrite replaces them (the apply_changes_partitioned pattern)
     n_before = scoped.count()

@@ -570,3 +570,37 @@ def test_purge_keys_everywhere_fans_out_over_derived_stores(spark,
     assert spark.read.parquet(index) \
         .where(F.col("doc").isin([7, 8])).count() == 0
     assert spark.read.parquet(other).count() == 10
+
+
+def test_purge_keys_join_path_equals_isin_path(spark, tmp_path):
+    """Above PURGE_ISIN_MAX the purge probes a broadcast key frame
+    (semi/anti joins) instead of a literal In — a ~14k-key In measured
+    35 s of plan/codegen where the join form takes ~4 s. Both paths
+    must remove exactly the same rows (incl. an emptied partition),
+    and NULL-key rows are never purged on either."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.merge import (
+        PURGE_ISIN_MAX,
+        purge_keys,
+    )
+
+    rows = [(i, i % 5, float(i)) for i in range(500)] + [(None, 1, -1.0)]
+    keys = [i for i in range(500) if i % 5 == 4 or i % 7 == 0]
+    assert len(keys) > PURGE_ISIN_MAX
+    outs = {}
+    for label, kk in (("isin", keys[:PURGE_ISIN_MAX]),
+                      ("join", keys)):
+        path = str(tmp_path / label)
+        spark.createDataFrame(rows, "k long, part long, v double") \
+            .write.partitionBy("part").parquet(path)
+        removed = purge_keys(spark, path, kk, "k", ["part"])
+        back = {(r.k, r.part) for r in spark.read.parquet(path).collect()}
+        assert removed == len(kk)
+        assert all(k not in {b[0] for b in back} for k in kk)
+        assert (None, 1) in back        # NULL key survives both paths
+        outs[label] = back
+    # the full-key join run empties part=4 entirely: directory gone
+    import os
+    assert not os.path.isdir(str(tmp_path / "join" / "part=4"))
+    assert {b for b in outs["join"] if b[1] == 4} == set()
