@@ -258,3 +258,33 @@ def test_ivf_int8_indexed_equals_inmemory_and_prunes(spark, emb, tmp_path):
         F.input_file_name().alias("f")).distinct().collect()}
     assert scanned and all(
         any(f"cell={c}/" in f for c in probed) for f in scanned)
+
+
+def test_int8_ann_ids_above_2_53_exact(spark, emb):
+    """Ids ride the quantized kernels in parallel int64 arrays (round
+    12): ids in the hash60 range that a float64 round-trip would
+    corrupt (>= 2^53, where doubles lose integer exactness) must come
+    back bit-exact from both the flat and the composed scan."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_int8_topk,
+        ann_ivf_int8_topk,
+        ivf_train_centroids,
+    )
+
+    off = (1 << 60) + 1   # odd offset: float64 rounds it to 2^60
+    big = emb.withColumn("vec_id", F.col("vec_id") + F.lit(off))
+    q = big.where(F.col("vec_id") < off + 5)
+    cents = ivf_train_centroids(big)
+    n_vecs = emb.count()
+    for got in (ann_int8_topk(big, q, k=5).collect(),
+                ann_ivf_int8_topk(big, q, k=5,
+                                  centroids=cents).collect()):
+        assert len(got) == 25
+        for r in got:
+            # exact int64 ids: the odd +1 in the offset survives (a
+            # float64 round-trip would collapse off+i to 2^60 + even)
+            assert (r.query_id - off) in range(5)
+            assert 0 <= (r.neighbor_id - off) < n_vecs
+            assert r.neighbor_id != r.query_id
