@@ -1339,8 +1339,21 @@ def _int8_scan_kernel(bc, r_cut: int):
 
         for pdf in batches:
             nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
-            if "c_q" in pdf.columns:
-                # prequantized store: (scale, q) read straight off disk
+            if "c_qb" in pdf.columns:
+                # binary-packed store (write_ivf_int8_index): one
+                # frombuffer decodes the whole batch — the array<int>
+                # form's np.stack over per-row list values measured
+                # 0.46 s of a 0.68 s scan at 255k rows, and Arrow
+                # ships 4 bytes/dim where this ships 1
+                cs = pdf["c_scale"].to_numpy(dtype=np.float64)
+                buf = b"".join(pdf["c_qb"])
+                if not buf:
+                    continue
+                Cq = np.frombuffer(buf, dtype=np.int8) \
+                    .reshape(len(pdf), -1).astype(np.int64)
+            elif "c_q" in pdf.columns:
+                # prequantized array<int> store (quantize_int8's
+                # column form at rest)
                 cs = pdf["c_scale"].to_numpy(dtype=np.float64)
                 Cq = np.stack(pdf["c_q"].values).astype(np.int64)
             else:
@@ -1628,14 +1641,14 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         # write_ivf_int8_index, and inference would read a footer +
         # merge before the first task launches
         qc = (spark.read.option("basePath", index_path)
-              .schema("neighbor_id long, scale double, q array<int>, "
+              .schema("neighbor_id long, scale double, qb binary, "
                       "cell int")
               .parquet(*paths)
               .where(F.col("cell").isin(probed))
               .select(F.col("neighbor_id"),
                       F.col("cell"),
                       F.col("scale").alias("c_scale"),
-                      F.col("q").alias("c_q")))
+                      F.col("qb").alias("c_qb")))
     else:
         qc = corpus.select(F.col(id_col).alias("neighbor_id"),
                            F.col(vec_col).alias("c_vec"),
@@ -1764,7 +1777,11 @@ def write_ivf_int8_index(corpus: DataFrame, path: str,
     Quantization runs as a struct-returning pandas_udf over
     :func:`_int8_quantize_np` — never quantize_int8's column form,
     whose HOF tree is interpreted (CodegenFallback) and ~1000x slower
-    at index-build scale (SCALE_ANN.json). Cell assignment is the
+    at index-build scale (SCALE_ANN.json). Codes are PACKED as a
+    binary column (1 byte/dim — the true 4x under float32, at rest
+    and across the Arrow boundary; an array<int> column ships 4
+    bytes/dim and its per-row list decode measured 0.46 s of a 0.68 s
+    scan); the kernel decodes a whole batch with one frombuffer. Cell assignment is the
     family's masked-exact-rescored BLAS :func:`ivf_cell`.
 
     Like :func:`write_ivf_index`: re-centering is a full rewrite
@@ -1777,13 +1794,16 @@ def write_ivf_int8_index(corpus: DataFrame, path: str,
                                         id_col=id_col)
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("struct<scale: double, q: array<int>>")
+    @pandas_udf("struct<scale: double, qb: binary>")
     def _qz(v: pd.Series) -> pd.DataFrame:
         if len(v) == 0:
-            return pd.DataFrame({"scale": [], "q": []})
+            return pd.DataFrame({"scale": [], "qb": []})
         Cq, cs = _int8_quantize_np(np.stack(v.values).astype(np.float64))
+        # codes are in [-127, 127] by construction: 1 byte/dim at rest
+        # AND across the Arrow boundary (array<int> would ship 4x)
         return pd.DataFrame(
-            {"scale": cs, "q": [r.astype(np.int32) for r in Cq]})
+            {"scale": cs, "qb": [r.astype(np.int8).tobytes()
+                                 for r in Cq]})
 
     out = (corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -1792,7 +1812,7 @@ def write_ivf_int8_index(corpus: DataFrame, path: str,
         _qz(F.col(vec_col)).alias("_sq"))
         .select("neighbor_id", "cell",
                 F.col("_sq.scale").alias("scale"),
-                F.col("_sq.q").alias("q")))
+                F.col("_sq.qb").alias("qb")))
     (out.repartition(cells, "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(path))
     _write_centroids(corpus.sparkSession, path, centroids)
