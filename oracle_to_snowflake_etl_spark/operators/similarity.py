@@ -1283,6 +1283,16 @@ def quantize_int8(vec: Column, out_scale: str = "scale",
 #: near-dup problem (semantic_dedup), not a broadcast-scan problem
 ANN_INT8_MAX_QUERIES = 4096
 
+#: average-slice-size gate between the per-cell gathered GEMM and the
+#: full GEMM + probe mask in the IVF-pruned int8 scan: gather when the
+#: batch averages at least this many rows per distinct cell. Measured
+#: (tools/ann_mixed_bench.py, SCALE.md round-13 table): on
+#: cell-contiguous at-rest batches the argsort is a near-no-op and the
+#: gather wins at every observed slice size >= ~64; on random-mixed
+#: in-memory batches (a few rows per cell) thousands of tiny
+#: sub-matmuls lose to one BLAS GEMM + mask.
+ANN_GATHER_MIN_ROWS_PER_CELL = 64
+
 
 def _int8_quantize_np(Cf: "np.ndarray") -> tuple["np.ndarray", "np.ndarray"]:
     """quantize_int8's floor((x*127)/max|x| + 0.5) double math as ONE
@@ -1345,6 +1355,17 @@ def _int8_scan_kernel(bc, r_cut: int):
                 # form's np.stack over per-row list values measured
                 # 0.46 s of a 0.68 s scan at 255k rows, and Arrow
                 # ships 4 bytes/dim where this ships 1
+                if pdf["c_qb"].isna().any():
+                    # a write_ivf_int8_index store never produces NULL
+                    # codes; a hand-edited or partially-written store
+                    # must fail loudly, not with b"".join's opaque
+                    # TypeError (nor, worse, a silent row-count/reshape
+                    # mismatch)
+                    raise ValueError(
+                        "int8 index store has NULL qb rows: the packed "
+                        "code column is NOT NULL by construction "
+                        "(write_ivf_int8_index) — the store is corrupt "
+                        "or was written by something else.")
                 cs = pdf["c_scale"].to_numpy(dtype=np.float64)
                 buf = b"".join(pdf["c_qb"])
                 if not buf:
@@ -1367,32 +1388,48 @@ def _int8_scan_kernel(bc, r_cut: int):
                 emit(nid, approx, np.arange(ids_b.shape[0]))
             else:
                 cell = pdf["cell"].to_numpy(dtype=np.int64)
-                cell_u = np.unique(cell)
-                if cell_u.shape[0] <= 16:
-                    # cell-homogeneous batch (the write_ivf_int8_index
-                    # partitionBy(cell) layout): gather rows AND query
-                    # columns per cell before the matmul — flops are
+                # ONE stable sort groups the batch by cell (at-rest
+                # write_ivf_int8_index batches are already
+                # cell-contiguous, so this is a near-no-op pass); slice
+                # boundaries replace the old per-cell boolean masks,
+                # whose cost was O(rows x distinct cells)
+                order = np.argsort(cell, kind="stable")
+                cell_s = cell[order]
+                bnd = np.flatnonzero(cell_s[1:] != cell_s[:-1]) + 1
+                n_cells = bnd.shape[0] + 1
+                if (cell_s.shape[0]
+                        >= ANN_GATHER_MIN_ROWS_PER_CELL * n_cells):
+                    # cell-grouped batch (the partitionBy(cell) layout,
+                    # even when file packing stacks MANY small cells
+                    # into one task): gather rows AND query columns per
+                    # cell before the matmul — flops are
                     # sum_cells |cell| x |probing queries|, the
-                    # composed operator's claimed cut
-                    for c in cell_u:
-                        qsel = np.flatnonzero(allow_b[c])
+                    # composed operator's claimed cut. Engaged by
+                    # average slice size, not distinct-cell count: the
+                    # measured crossover is ~64 rows/cell
+                    # (tools/ann_mixed_bench.py, SCALE.md)
+                    starts = np.concatenate(([0], bnd))
+                    ends = np.concatenate((bnd, [cell_s.shape[0]]))
+                    Cq_s, nid_s, cs_s = Cq[order], nid[order], cs[order]
+                    for s, e in zip(starts, ends):
+                        qsel = np.flatnonzero(allow_b[cell_s[s]])
                         if qsel.size == 0:
                             continue
-                        rmask = cell == c
-                        nid_sub = nid[rmask]
-                        dots = Cq[rmask] @ Qq_b[qsel].T
+                        nid_sub = nid_s[s:e]
+                        dots = Cq_s[s:e] @ Qq_b[qsel].T
                         approx = (dots.astype(np.float64)
-                                  * cs[rmask][:, None]) * qs_b[None, qsel]
+                                  * cs_s[s:e, None]) * qs_b[None, qsel]
                         approx[nid_sub[:, None]
                                == ids_b[qsel][None, :]] = -np.inf
                         emit(nid_sub, approx, qsel)
                 else:
-                    # cell-MIXED batch (self-contained in-memory form):
-                    # hundreds of per-cell sub-matmuls lose to one BLAS
-                    # GEMM + row mask (measured 27.6 s vs 2.8 s at 2M
-                    # rows x 1.4k cells) — same admitted candidates
-                    # either way; the flops cut belongs to the at-rest
-                    # layout, whose batches take the branch above
+                    # cell-MIXED batch (self-contained in-memory form:
+                    # a few rows per distinct cell): thousands of tiny
+                    # per-cell sub-matmuls lose to one BLAS GEMM + row
+                    # mask (measured 27.6 s vs 2.8 s at 2M rows x 1.4k
+                    # cells for the mask-loop form; the slice form's
+                    # crossover is measured in SCALE.md) — same
+                    # admitted candidates either way
                     dots = Cq @ Qq_b.T
                     approx = (dots.astype(np.float64)
                               * cs[:, None]) * qs_b[None, :]
@@ -1569,10 +1606,12 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     vectors — the contract-capped driver-side set), so tie-breaking and
     assignment degeneracies mirror :func:`ivf_topk` and the DuckDB
     oracle exactly. ``centroids=None`` loads the matrix the index was
-    WRITTEN with when ``index_path`` is given (probing a cell layout
-    with foreign geometry silently probes the wrong cells — pass
-    ``centroids`` explicitly only to skip the one-time metadata read),
-    else trains on the corpus (:func:`ivf_train_centroids`).
+    WRITTEN with when ``index_path`` is given, else trains on the
+    corpus (:func:`ivf_train_centroids`); explicitly-passed centroids
+    against a stored index are VALIDATED against its ``_meta`` stamp
+    (one 1-row read — foreign geometry would silently probe the wrong
+    cells), and the probe-mask size always derives from the resolved
+    matrix, never the ``cells`` argument.
     """
     spark = corpus.sparkSession
     if centroids is None:
@@ -1581,6 +1620,27 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         else:
             centroids = ivf_train_centroids(corpus, cells=cells,
                                             vec_col=vec_col, id_col=id_col)
+    elif index_path is not None:
+        # explicitly-passed centroids against a stored index: one
+        # 1-row sidecar read validates the geometry — a foreign matrix
+        # would silently probe the WRONG cells (the exact failure the
+        # _meta stamp exists to make impossible). Pre-stamp stores
+        # (meta None) keep the documented pass-matching-geometry
+        # contract.
+        meta = read_ivf_index_meta(spark, index_path)
+        if (meta is not None
+                and meta["centroid_md5"] != centroid_md5(centroids)):
+            raise ValueError(
+                f"centroids passed to ann_ivf_int8_topk do not match "
+                f"the geometry the index at {index_path} was written "
+                f"with (stored md5 {meta['centroid_md5']}, passed "
+                f"{centroid_md5(centroids)}): probing a cell layout "
+                f"with foreign geometry probes the wrong cells. Pass "
+                f"centroids=None to load the stored matrix.")
+    # the probe mask is sized by the GEOMETRY, never the `cells`
+    # argument: an index built at cells=sqrt(N) queried with the
+    # default would otherwise IndexError (or worse, mask wrong)
+    cells = len(centroids)
     qrows = (queries.select(F.col(id_col), F.col(vec_col))
              .limit(max_queries + 1).collect())
     if len(qrows) > max_queries:
@@ -1756,6 +1816,47 @@ def _write_centroids(spark, path: str, centroids: tuple) -> None:
     cent_rows = [(c, list(row)) for c, row in enumerate(centroids)]
     (spark.createDataFrame(cent_rows, "cell int, w array<double>")
      .coalesce(1).write.mode("overwrite").parquet(path + "/_centroids"))
+    _write_index_meta(spark, path, centroids)
+
+
+def centroid_md5(centroids) -> str:
+    """Geometry fingerprint of a centroid matrix (float-normalized, so
+    numpy rows and python tuples of the same values agree) — the
+    streaming semantic index's ``_meta`` stamp idea, shared by the
+    serving-index writers/readers and the append path: a 32-char
+    compare replaces an element-wise matrix equality check."""
+    import hashlib
+
+    return hashlib.md5(
+        repr(tuple(tuple(float(x) for x in row)
+                   for row in centroids)).encode()).hexdigest()
+
+
+def _write_index_meta(spark, path: str, centroids) -> None:
+    """Stamp an index directory with its geometry (``_meta`` parquet
+    sidecar: cells, dims, centroid md5). The stamp is what makes
+    foreign-geometry access FAIL FAST: appends quantize new rows with
+    the stored matrix or raise (:func:`append_ivf_int8_index`), and an
+    explicitly-passed probe matrix is validated against it
+    (:func:`ann_ivf_int8_topk`) instead of silently probing the wrong
+    cells."""
+    rows = [(len(centroids), len(centroids[0]), centroid_md5(centroids))]
+    (spark.createDataFrame(
+        rows, "cells int, dims int, centroid_md5 string")
+     .coalesce(1).write.mode("overwrite").parquet(path + "/_meta"))
+
+
+def read_ivf_index_meta(spark, index_path: str) -> dict | None:
+    """The geometry stamp of an index directory, or None for a
+    pre-round-13 store without one (readable, just unguarded)."""
+    try:
+        rows = spark.read.parquet(index_path + "/_meta").collect()
+    except Exception:
+        return None
+    if len(rows) != 1:
+        return None
+    return {"cells": rows[0].cells, "dims": rows[0].dims,
+            "centroid_md5": rows[0].centroid_md5}
 
 
 def write_ivf_int8_index(corpus: DataFrame, path: str,
@@ -1843,6 +1944,7 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
     metadata read when the snapshot is already in hand."""
     if centroids is None:
         centroids = read_ivf_centroids(spark, index_path)
+    cells = len(centroids)  # geometry over argument, as above
     qx = (queries.select(F.col(id_col).alias("query_id"),
                          F.col(vec_col).alias("q_vec"),
                          ivf_probe_cells(F.col(vec_col), nprobe,

@@ -245,11 +245,38 @@ def _duck_ivf_int8_sql() -> str:
     """
 
 
-#: per-(process, sf_dir) at-rest index memo — the registry callable may
-#: run many times in one session (bench best-of-3, correctness replays);
-#: the corpus parquet under one sf_dir never changes within a session
-#: and the geometry is the pinned IVF_SNAPSHOT, so one build serves all
-_IVF_INT8_INDEX_CACHE: dict[str, str] = {}
+#: per-(process, corpus-fingerprint) at-rest index memo — the registry
+#: callable may run many times in one session (bench best-of-3,
+#: correctness replays) and the geometry is the pinned IVF_SNAPSHOT, so
+#: one build serves all. Keyed on (sf_dir, embeddings-parquet mtime)
+#: rather than path alone: a corpus REGENERATED mid-process gets a
+#: fresh index instead of stale cells (ADVICE r12). Temp dirs are
+#: registered for atexit removal — no process-lifetime /tmp leak.
+_IVF_INT8_INDEX_CACHE: dict[tuple[str, float], str] = {}
+_IVF_INT8_INDEX_TMPDIRS: list[str] = []
+
+
+def _ivf_index_cache_key(sf_dir: str) -> tuple[str, float]:
+    import os
+
+    emb = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        mtime = os.path.getmtime(emb)
+    except OSError:
+        mtime = -1.0
+    return (sf_dir, mtime)
+
+
+def _cleanup_ivf_index_tmpdirs() -> None:
+    import shutil
+
+    for d in _IVF_INT8_INDEX_TMPDIRS:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+import atexit  # noqa: E402
+
+atexit.register(_cleanup_ivf_index_tmpdirs)
 
 
 @register("ann_ivf_int8_topk", _duck_ivf_int8_sql())
@@ -285,11 +312,14 @@ def q_ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # repeated calls bench.py / best-of-N timing makes measure the
     # PRUNED SCAN, not a per-call rebuild (t_index_build is measured
     # separately in SCALE_ANN.json)
-    path = _IVF_INT8_INDEX_CACHE.get(sf_dir)
+    key = _ivf_index_cache_key(sf_dir)
+    path = _IVF_INT8_INDEX_CACHE.get(key)
     if path is None:
-        path = tempfile.mkdtemp(prefix="ivf_int8_idx_") + "/index"
+        tmp = tempfile.mkdtemp(prefix="ivf_int8_idx_")
+        _IVF_INT8_INDEX_TMPDIRS.append(tmp)
+        path = tmp + "/index"
         write_ivf_int8_index(emb, path, centroids=IVF_SNAPSHOT)
-        _IVF_INT8_INDEX_CACHE[sf_dir] = path
+        _IVF_INT8_INDEX_CACHE[key] = path
     return ann_ivf_int8_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
                              k=TOP_K, rescore=3, centroids=IVF_SNAPSHOT,
                              index_path=path)

@@ -1570,14 +1570,19 @@ from ..functions.hashing import duck_hash60_sql, hash60  # noqa: E402
 @register(
     "purge_propagation",
     f"""
-    WITH corpus AS (
+    WITH params AS (
+      SELECT GREATEST(1, CAST(ceil(COUNT(*) / {500_000}.0) AS BIGINT)) AS m
+      FROM orders),
+    sampled AS (
+      SELECT o.* FROM orders o, params p WHERE o.o_orderkey % p.m = 0),
+    corpus AS (
       SELECT o_orderkey AS key, CAST(year(o_orderdate) AS BIGINT) AS part,
              o_custkey AS val
-      FROM orders),
+      FROM sampled),
     fp AS (
       SELECT o_orderkey AS key, o_orderkey % 8 AS part,
              {duck_hash60_sql("CAST(o_orderkey AS VARCHAR)", "fp|")} AS val
-      FROM orders),
+      FROM sampled),
     doomed AS (SELECT key FROM corpus WHERE part = 2001 OR key % 97 = 0)
     SELECT 'corpus' AS store, key, part, val FROM corpus
     WHERE key NOT IN (SELECT key FROM doomed)
@@ -1602,12 +1607,21 @@ def q_purge_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     would silently survive — and show up here as extra rows against
     the oracle. The key list is request-sized (contract-capped at
     PURGE_MAX_KEYS; ~1/97 of keys plus one partial year), and purge
-    cost is ∝ the affected partitions' data, never table size."""
+    cost is ∝ the affected partitions' data, never table size.
+
+    The stores are built from a DETERMINISTIC key-modulus sample whose
+    modulus scales with row count (m = ceil(n / 500k), identity at the
+    test scale factors) so the doomed set — ~1/10 of the store (the
+    partial year dominates) — stays under the PURGE_MAX_KEYS contract
+    at ANY sf instead of raising around sf~6.5 (ADVICE r12); the
+    oracle computes the same m from the same COUNT(*)."""
     import tempfile
 
     from ..operators.merge import purge_keys_everywhere
 
     orders = load_table(spark, sf_dir, "orders")
+    m = max(1, -(-orders.count() // 500_000))
+    orders = orders.where(F.col("o_orderkey") % m == 0)
     corpus = orders.select(
         F.col("o_orderkey").alias("key"),
         F.year("o_orderdate").cast("long").alias("part"),

@@ -905,9 +905,17 @@ def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
                     # broadcast into the overlap filter. An empty batch
                     # aggregates to an empty array<int> -> prunes seen
                     # to empty (no array<null> literal, ADVICE r11).
-                    tc = batch.select(F.array_distinct(F.flatten(
-                        F.collect_list(cells_arr(F.col("embedding")))))
-                        .alias("_tc"))
+                    # Distinct-BEFORE-gather (ADVICE r12): explode +
+                    # collect_set partial-aggregates per task, so no
+                    # single row ever holds O(batch_rows x nprobe) ints
+                    # — every intermediate and the final array are
+                    # bounded by the CELL COUNT, not the batch size
+                    # (collect_list-then-flatten built the unbounded
+                    # row first and deduped after).
+                    tc = (batch
+                          .select(F.explode(
+                              cells_arr(F.col("embedding"))).alias("_c"))
+                          .agg(F.collect_set("_c").alias("_tc")))
                     seen = (seen.crossJoin(F.broadcast(tc))
                             .where(F.arrays_overlap(F.col("_cells"),
                                                     F.col("_tc")))
