@@ -325,21 +325,28 @@ def _purge_key_frames(spark, tbl: DataFrame, keys: list, key_col: str):
 
 def purge_keys(spark, path: str, keys, key_col: str,
                partition_cols: list[str],
-               max_keys: int = PURGE_MAX_KEYS) -> int:
+               max_keys: int = PURGE_MAX_KEYS,
+               partition_of=None) -> int:
     """Compliance delete (right-to-be-forgotten) on one partitioned
     parquet store: remove every row whose ``key_col`` is in ``keys``,
     rewriting ONLY the partitions that contain at least one such row.
     Returns the number of rows removed.
 
-    Cost contract (the partition-scoped-mutation family's): ∝ the
-    affected partitions' data, never table size — locating them is one
-    pruned scan with an IN filter, the rewrite is dynamic partition
-    overwrite, and untouched partitions' files are never opened for
-    write (byte-identical on disk, pytest-pinned). A partition fully
-    EMPTIED by the purge is removed through the FileSystem API — the
-    apply_changes_partitioned edge: dynamic overwrite never rewrites a
-    directory it has no rows for, so without this the purged data would
-    silently survive.
+    Cost contract, split honestly (the two steps scale differently):
+    the REWRITE is ∝ the affected partitions' data, never table size —
+    dynamic partition overwrite; untouched partitions' files are never
+    opened for write (byte-identical on disk, pytest-pinned). LOCATING
+    the affected partitions is one column-pruned, filter-pushed scan —
+    O(table I/O) in general; when the partition key is DERIVABLE from
+    the purge key, pass ``partition_of`` (key -> partition-value tuple,
+    e.g. ``lambda k: (k % 8,)`` for a bucket-hashed store) and the
+    candidate partitions are computed arithmetically from the capped
+    key list, so the locate scan reads ONLY those partitions and the
+    WHOLE purge is ∝ affected partitions (derived == scanned result,
+    pytest-pinned). A partition fully EMPTIED by the purge is removed
+    through the FileSystem API — the apply_changes_partitioned edge:
+    dynamic overwrite never rewrites a directory it has no rows for,
+    so without this the purged data would silently survive.
 
     ``keys`` is driver-side and contract-capped (compliance requests
     are metadata-sized lists of ids); a handful of keys rides the scan
@@ -362,6 +369,15 @@ def purge_keys(spark, path: str, keys, key_col: str,
     from ..sources.readers import overwrite_partitions_dynamic
 
     tbl = spark.read.parquet(path)
+    if partition_of is not None:
+        # derived-partition shortcut: the candidate set comes from the
+        # (contract-capped) key list, zero scan; the hit/locate pass
+        # below then reads ONLY these partitions (partition pruning),
+        # never the table — keys absent from the store simply find no
+        # rows, so the result is identical to the scanned path
+        cand = sorted({(t if isinstance(t, tuple) else (t,))
+                       for t in (partition_of(k) for k in keys)})
+        tbl = tbl.where(_partition_predicate(cand, partition_cols))
     hit, keep = _purge_key_frames(spark, tbl, keys, key_col)
     touched = [tuple(r) for r in
                hit(tbl).select(*partition_cols).distinct().collect()]
@@ -395,15 +411,18 @@ def purge_keys_everywhere(spark, stores: list[dict], keys,
     stored MinHash signature, ahash fingerprint, shingle index row, or
     cell-assigned embedding of a forgotten document is still data ABOUT
     the document. Each store dict names {path, key_col, partition_cols}
-    (key columns differ per store: the corpus keys on doc_id, a dedup
-    signature index on doc, a media index on media_id — same id space,
-    different column names). Returns {path: rows_removed}; stores with
-    no trace report 0 rather than erroring, so one request fans out
-    over a heterogeneous store list idempotently (re-running a purge is
-    a no-op)."""
+    plus an optional ``partition_of`` (key -> partition tuple: the
+    derived-partition locate shortcut of :func:`purge_keys` for
+    bucket-hashed stores). Key columns differ per store: the corpus
+    keys on doc_id, a dedup signature index on doc, a media index on
+    media_id — same id space, different column names. Returns
+    {path: rows_removed}; stores with no trace report 0 rather than
+    erroring, so one request fans out over a heterogeneous store list
+    idempotently (re-running a purge is a no-op)."""
     out: dict[str, int] = {}
     for st in stores:
         out[st["path"]] = purge_keys(
             spark, st["path"], keys, st["key_col"],
-            st["partition_cols"], max_keys=max_keys)
+            st["partition_cols"], max_keys=max_keys,
+            partition_of=st.get("partition_of"))
     return out

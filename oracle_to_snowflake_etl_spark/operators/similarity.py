@@ -1330,6 +1330,11 @@ def _int8_scan_kernel(bc, r_cut: int):
         payload = bc.value
         ids_b, Qq_b, qs_b = payload[0], payload[1], payload[2]
         allow_b = payload[3] if len(payload) > 3 else None
+        # optional gather-gate override rides the broadcast (the bench
+        # tool forces each branch to measure the crossover; a module
+        # global would not survive the worker-process re-import)
+        gmin = (payload[4] if len(payload) > 4
+                else ANN_GATHER_MIN_ROWS_PER_CELL)
         bq: list[np.ndarray] = []   # int64 query ids
         bn: list[np.ndarray] = []   # int64 neighbor ids (parallel)
         bs: list[np.ndarray] = []   # float64 approx scores (parallel)
@@ -1397,8 +1402,7 @@ def _int8_scan_kernel(bc, r_cut: int):
                 cell_s = cell[order]
                 bnd = np.flatnonzero(cell_s[1:] != cell_s[:-1]) + 1
                 n_cells = bnd.shape[0] + 1
-                if (cell_s.shape[0]
-                        >= ANN_GATHER_MIN_ROWS_PER_CELL * n_cells):
+                if cell_s.shape[0] >= gmin * n_cells:
                     # cell-grouped batch (the partitionBy(cell) layout,
                     # even when file packing stacks MANY small cells
                     # into one task): gather rows AND query columns per
@@ -1573,7 +1577,9 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       centroids: tuple | None = None,
                       vec_col: str = "embedding", id_col: str = "vec_id",
                       max_queries: int = ANN_INT8_MAX_QUERIES,
-                      index_path: str | None = None) -> DataFrame:
+                      index_path: str | None = None,
+                      gather_min_rows_per_cell: int | None = None
+                      ) -> DataFrame:
     """The composed 100 TB ANN path: IVF cell PRUNING on top of the
     INT8 quantized scan — each corpus vector is scored for a query only
     if its (single-assign) cell is among the query's ``nprobe`` probed
@@ -1665,7 +1671,12 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     for j in range(len(qrows)):
         for c in probe_rows[j]:
             allowed[c, j] = True
-    bc = spark.sparkContext.broadcast((q_ids, Qq, q_scale, allowed))
+    payload = (q_ids, Qq, q_scale, allowed)
+    if gather_min_rows_per_cell is not None:
+        # measurement override for the gather/full-GEMM gate
+        # (tools/ann_mixed_bench.py); same candidates either branch
+        payload = payload + (gather_min_rows_per_cell,)
+    bc = spark.sparkContext.broadcast(payload)
     r_cut = k * rescore
     scan = _int8_scan_kernel(bc, r_cut)
 
@@ -1893,6 +1904,18 @@ def write_ivf_int8_index(corpus: DataFrame, path: str,
     if centroids is None:
         centroids = ivf_train_centroids(corpus, cells, vec_col=vec_col,
                                         id_col=id_col)
+    out = _int8_index_rows(corpus, centroids, vec_col, id_col)
+    (out.repartition(len(centroids), "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(path))
+    _write_centroids(corpus.sparkSession, path, centroids)
+
+
+def _int8_index_rows(corpus: DataFrame, centroids: tuple,
+                     vec_col: str, id_col: str) -> DataFrame:
+    """The (neighbor_id, cell, scale, qb) frame of the at-rest int8
+    index — one Arrow pass shared by :func:`write_ivf_int8_index` and
+    :func:`append_ivf_int8_index`, so base rows and appended rows are
+    quantized and cell-assigned by EXACTLY the same kernels."""
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("struct<scale: double, qb: binary>")
@@ -1906,17 +1929,110 @@ def write_ivf_int8_index(corpus: DataFrame, path: str,
             {"scale": cs, "qb": [r.astype(np.int8).tobytes()
                                  for r in Cq]})
 
-    out = (corpus.select(
+    return (corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        ivf_cell(F.col(vec_col), cells,
+        ivf_cell(F.col(vec_col), len(centroids),
                  centroids=centroids).alias("cell"),
         _qz(F.col(vec_col)).alias("_sq"))
         .select("neighbor_id", "cell",
                 F.col("_sq.scale").alias("scale"),
                 F.col("_sq.qb").alias("qb")))
-    (out.repartition(cells, "cell")
-        .write.mode("overwrite").partitionBy("cell").parquet(path))
-    _write_centroids(corpus.sparkSession, path, centroids)
+
+
+def append_ivf_int8_index(batch: DataFrame, path: str,
+                          vec_col: str = "embedding",
+                          id_col: str = "vec_id",
+                          centroids: tuple | None = None) -> int:
+    """Grow a :func:`write_ivf_int8_index` store WITHOUT the O(index)
+    rebuild (VERDICT r12 Missing #1): the batch is quantized and
+    cell-assigned under the STORED geometry and its packed rows are
+    appended into their ``cell=`` partitions — cost ∝ batch, never
+    ∝ index (measured in SCALE_ANN_APPEND.json: append wall flat while
+    the index grows), and readers keep working mid-append (existing
+    files are never touched; parquet appends are new part files).
+
+    The geometry is non-negotiable: rows assigned under any other
+    matrix would land in the wrong cells and silently vanish from
+    probed scans. ``centroids=None`` loads the stored matrix;
+    explicitly-passed centroids are md5-checked against the ``_meta``
+    stamp (the streaming semantic index's guard, streaming/jobs.py) and
+    a mismatch RAISES. A store without ``_centroids`` is not an index.
+
+    Appends accumulate small files (one+ per touched cell per batch) —
+    run :func:`compact_ivf_int8_index` on whatever cadence keeps
+    per-cell file counts bounded, exactly like streaming sinks.
+    Returns the number of rows appended."""
+    spark = batch.sparkSession
+    stored = read_ivf_centroids(spark, path)
+    if centroids is not None:
+        meta = read_ivf_index_meta(spark, path)
+        stamp = (meta["centroid_md5"] if meta is not None
+                 else centroid_md5(stored))
+        if centroid_md5(centroids) != stamp:
+            raise ValueError(
+                f"append_ivf_int8_index: centroids do not match the "
+                f"geometry the index at {path} was written with "
+                f"(stored md5 {stamp}, passed "
+                f"{centroid_md5(centroids)}): rows assigned under a "
+                f"foreign matrix land in the wrong cells and vanish "
+                f"from probed scans. Pass centroids=None to use the "
+                f"stored matrix, or version a new index directory per "
+                f"centroid snapshot (write_ivf_index convention).")
+    out = _int8_index_rows(batch, stored, vec_col, id_col)
+    # repartition on cell so each touched cell gets ONE new file per
+    # append (not one per upstream task); untouched cells get none
+    out = out.repartition(F.col("cell")).persist()
+    n = out.count()
+    (out.write.mode("append").partitionBy("cell").parquet(path))
+    out.unpersist()
+    return n
+
+
+def compact_ivf_int8_index(spark, path: str,
+                           max_files_per_cell: int = 4) -> int:
+    """Per-cell small-file compaction of a :func:`write_ivf_int8_index`
+    store: every ``cell=`` directory that has accumulated more than
+    ``max_files_per_cell`` part files (repeated
+    :func:`append_ivf_int8_index` batches) is read back and rewritten
+    as one file via dynamic partition overwrite — cells under the
+    threshold are NEVER opened or rewritten (byte-identical on disk,
+    pytest-pinned), so compaction cost is ∝ the fragmented cells' data.
+    The ``_centroids``/``_meta`` sidecars are untouched. Returns the
+    number of cells compacted.
+
+    This is :func:`sources.readers.compact_parquet` specialized to the
+    partitioned index layout: the generic form rewrites the WHOLE
+    directory (and would destroy the partition structure the probed
+    scan's pruning depends on)."""
+    from ..sources.readers import overwrite_partitions_dynamic
+
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    frag = []
+    for st in fs.listStatus(base):
+        name = st.getPath().getName()
+        if not (st.isDirectory() and name.startswith("cell=")):
+            continue
+        n_files = sum(1 for f in fs.listStatus(st.getPath())
+                      if f.getPath().getName().startswith("part-"))
+        if n_files > max_files_per_cell:
+            frag.append(int(name.split("=", 1)[1]))
+    if not frag:
+        return 0
+    dirs = [f"{path}/cell={c}" for c in sorted(frag)]
+    df = (spark.read.option("basePath", path)
+          .schema("neighbor_id long, scale double, qb binary, cell int")
+          .parquet(*dirs)
+          .where(F.col("cell").isin(frag)))
+    # force the read to finish before the overwrite replaces the files
+    # (the apply_changes_partitioned pattern): dynamic overwrite reads
+    # and writes the same directories otherwise
+    df = df.persist()
+    df.count()
+    overwrite_partitions_dynamic(df, path, ["cell"])
+    df.unpersist()
+    return len(frag)
 
 
 def read_ivf_centroids(spark, index_path: str) -> tuple:

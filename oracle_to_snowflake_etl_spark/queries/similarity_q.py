@@ -167,13 +167,16 @@ def _duck_ivf_sql() -> str:
     """
 
 
-def _duck_ivf_int8_sql() -> str:
+def _duck_ivf_int8_sql(corpus_where: str = "") -> str:
     """DuckDB oracle for the composed IVF + int8 path: the pinned
     snapshot's single-assign corpus cells and nprobe query probes (the
     _duck_ivf_sql fragments), the emb_quantize_int8 quantization, an
     approx (double)qdot * c_scale * q_scale first-pass rank within the
     probed cells, then the family's exact cos_q6 rescore of the top
-    3k candidates."""
+    3k candidates. ``corpus_where`` (a ``WHERE t.vec_id ...`` clause)
+    restricts the CANDIDATE side only — the purge-variant oracle
+    excludes forgotten ids from the index exactly where the engine's
+    purge removed their packed rows."""
     cs = IVF_SNAPSHOT
     c_lit = "[" + ", ".join(
         "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
@@ -210,6 +213,7 @@ def _duck_ivf_int8_sql() -> str:
             FROM (SELECT vec_id, embedding, {sims} AS sims
                   FROM embeddings, cents)) t
       JOIN z ON z.vec_id = t.vec_id
+      {corpus_where}
     ),
     qsims AS (
       SELECT e.vec_id AS query_id, e.embedding AS q_vec, {sims} AS sims,
@@ -252,11 +256,12 @@ def _duck_ivf_int8_sql() -> str:
 #: rather than path alone: a corpus REGENERATED mid-process gets a
 #: fresh index instead of stale cells (ADVICE r12). Temp dirs are
 #: registered for atexit removal — no process-lifetime /tmp leak.
-_IVF_INT8_INDEX_CACHE: dict[tuple[str, float], str] = {}
+_IVF_INT8_INDEX_CACHE: dict[tuple[str, float, str], str] = {}
 _IVF_INT8_INDEX_TMPDIRS: list[str] = []
 
 
-def _ivf_index_cache_key(sf_dir: str) -> tuple[str, float]:
+def _ivf_index_cache_key(sf_dir: str,
+                         variant: str = "") -> tuple[str, float, str]:
     import os
 
     emb = os.path.join(sf_dir, "embeddings.parquet")
@@ -264,7 +269,7 @@ def _ivf_index_cache_key(sf_dir: str) -> tuple[str, float]:
         mtime = os.path.getmtime(emb)
     except OSError:
         mtime = -1.0
-    return (sf_dir, mtime)
+    return (sf_dir, mtime, variant)
 
 
 def _cleanup_ivf_index_tmpdirs() -> None:
@@ -320,6 +325,86 @@ def q_ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         path = tmp + "/index"
         write_ivf_int8_index(emb, path, centroids=IVF_SNAPSHOT)
         _IVF_INT8_INDEX_CACHE[key] = path
+    return ann_ivf_int8_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
+                             k=TOP_K, rescore=3, centroids=IVF_SNAPSHOT,
+                             index_path=path)
+
+
+@register("ann_ivf_int8_append", _duck_ivf_int8_sql())
+def q_ann_ivf_int8_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index GROWTH without rebuild (operators/similarity.
+    append_ivf_int8_index, VERDICT r12 Missing #1): the at-rest int8
+    index is built over 3/4 of the corpus (vec_id % 4 != 3), the
+    remaining quarter is APPENDED as a batch — quantized and
+    cell-assigned under the STORED _meta geometry, packed rows written
+    into their cell= partitions, cost ∝ batch — then the probed scan
+    runs over the grown store and per-cell compaction
+    (compact_ivf_int8_index) folds the append's small files back in.
+    The oracle is the SAME composed-ANN SQL as ann_ivf_int8_topk over
+    the full corpus: base+appended must be indistinguishable from
+    indexed-at-once, which is exactly the append path's contract
+    (also pinned against the in-memory form in tests/test_recall.py).
+    """
+    import tempfile
+
+    from ..operators.similarity import (
+        ann_ivf_int8_topk,
+        append_ivf_int8_index,
+        compact_ivf_int8_index,
+        write_ivf_int8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _ivf_index_cache_key(sf_dir, "append")
+    path = _IVF_INT8_INDEX_CACHE.get(key)
+    if path is None:
+        tmp = tempfile.mkdtemp(prefix="ivf_int8_app_")
+        _IVF_INT8_INDEX_TMPDIRS.append(tmp)
+        path = tmp + "/index"
+        write_ivf_int8_index(emb.where(F.col("vec_id") % 4 != 3), path,
+                             centroids=IVF_SNAPSHOT)
+        append_ivf_int8_index(emb.where(F.col("vec_id") % 4 == 3), path)
+        compact_ivf_int8_index(spark, path, max_files_per_cell=1)
+        _IVF_INT8_INDEX_CACHE[key] = path
+    return ann_ivf_int8_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
+                             k=TOP_K, rescore=3, centroids=IVF_SNAPSHOT,
+                             index_path=path)
+
+
+@register("purge_ann_index",
+          _duck_ivf_int8_sql("WHERE t.vec_id % 17 <> 11"))
+def q_purge_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compliance purge of a DERIVED ANN index store (VERDICT r12
+    Missing #2): the binary-packed int8 rows of a forgotten document
+    are data ABOUT it (operators/merge.py purge_keys_everywhere's own
+    contract), so one forget request (vec_id % 17 == 11 — ~N/17 keys,
+    above PURGE_ISIN_MAX, exercising the broadcast semi/anti path) is
+    applied to a write_ivf_int8_index store keyed on neighbor_id and
+    partitioned by cell. The probed scan then runs over the purged
+    store; the oracle is the composed-ANN SQL with the purged ids
+    excluded from the CANDIDATE side only — forgotten vectors must
+    never surface as neighbors, while the store's _centroids/_meta
+    sidecars and untouched cell partitions survive byte-identical
+    (pytest-pinned in tests/test_maintenance.py)."""
+    import tempfile
+
+    from ..operators.merge import purge_keys
+    from ..operators.similarity import (
+        ann_ivf_int8_topk,
+        write_ivf_int8_index,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # a purge MUTATES the store, so this query builds its own (the
+    # purge_propagation pattern), never the shared cached index
+    tmp = tempfile.mkdtemp(prefix="ivf_int8_purge_")
+    _IVF_INT8_INDEX_TMPDIRS.append(tmp)
+    path = tmp + "/index"
+    write_ivf_int8_index(emb, path, centroids=IVF_SNAPSHOT)
+    keys = [r.vec_id for r in
+            emb.where(F.col("vec_id") % 17 == 11)
+            .select("vec_id").collect()]
+    purge_keys(spark, path, keys, "neighbor_id", ["cell"])
     return ann_ivf_int8_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
                              k=TOP_K, rescore=3, centroids=IVF_SNAPSHOT,
                              index_path=path)

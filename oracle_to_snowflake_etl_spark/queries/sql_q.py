@@ -1639,8 +1639,15 @@ def q_purge_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
                          | (F.col("key") % 97 == 0))
             .select("key").collect()]
     purge_keys_everywhere(spark, [
+        # corpus partitions on YEAR — not derivable from the key, so
+        # the locate step is the (column-pruned, pushed) scan
         {"path": cpath, "key_col": "key", "partition_cols": ["part"]},
-        {"path": fpath, "key_col": "doc", "partition_cols": ["bucket"]},
+        # the fp store's bucket IS key % 8: the derived-partition
+        # shortcut computes touched buckets arithmetically and the
+        # locate scan reads only those partitions (purge_keys
+        # docstring's split cost contract)
+        {"path": fpath, "key_col": "doc", "partition_cols": ["bucket"],
+         "partition_of": lambda k: (k % 8,)},
     ], keys)
     c2 = spark.read.parquet(cpath).select(
         F.lit("corpus").alias("store"), F.col("key"),

@@ -604,3 +604,145 @@ def test_purge_keys_join_path_equals_isin_path(spark, tmp_path):
     import os
     assert not os.path.isdir(str(tmp_path / "join" / "part=4"))
     assert {b for b in outs["join"] if b[1] == 4} == set()
+
+
+def test_purge_keys_derived_partitions_equal_scanned(spark, tmp_path):
+    """partition_of (the derived-partition locate shortcut): when the
+    partition key is a function of the purge key (bucket = k % 5), the
+    arithmetic candidate set must yield EXACTLY the scanned path's
+    result — same rows removed, same emptied-directory handling, keys
+    absent from the store finding nothing — while the locate scan reads
+    only the derived partitions."""
+    import os
+
+    from oracle_to_snowflake_etl_spark.operators.merge import purge_keys
+
+    rows = [(i, i % 5, float(i)) for i in range(300)]
+    # victims: all of bucket 2, a few of bucket 4, one absent key
+    keys = [k for k in range(300) if k % 5 == 2] + [4, 9, 14, 10_000]
+    outs = {}
+    for label, pof in (("scanned", None), ("derived", lambda k: (k % 5,))):
+        path = str(tmp_path / label)
+        spark.createDataFrame(rows, "k long, bucket long, v double") \
+            .write.partitionBy("bucket").parquet(path)
+        removed = purge_keys(spark, path, keys, "k", ["bucket"],
+                             partition_of=pof)
+        back = {tuple(r) for r in spark.read.parquet(path).collect()}
+        outs[label] = (removed, back)
+        assert not os.path.isdir(str(tmp_path / label / "bucket=2"))
+    assert outs["derived"] == outs["scanned"]
+    assert outs["derived"][0] == 60 + 3  # absent key removed nothing
+
+
+def test_compact_ivf_int8_index_folds_appends(spark, tmp_path):
+    """compact_ivf_int8_index: repeated appends fragment cell
+    directories; compaction folds only the fragmented cells back to
+    one file each, leaves under-threshold cells byte-identical, keeps
+    the _centroids/_meta sidecars, and changes NO query result."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_ivf_int8_topk,
+        append_ivf_int8_index,
+        compact_ivf_int8_index,
+        ivf_train_centroids,
+        write_ivf_int8_index,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_train_centroids(emb, cells=8)
+    path = str(tmp_path / "idx")
+    write_ivf_int8_index(emb.where(F.col("vec_id") % 3 == 0), path,
+                         centroids=cents)
+    append_ivf_int8_index(emb.where(F.col("vec_id") % 3 == 1), path)
+    append_ivf_int8_index(emb.where(F.col("vec_id") % 3 == 2), path)
+
+    def files_of(cell):
+        d = os.path.join(path, f"cell={cell}")
+        return {f for f in os.listdir(d) if f.startswith("part-")}
+
+    cells = [int(d.split("=")[1]) for d in os.listdir(path)
+             if d.startswith("cell=")]
+    before = {c: files_of(c) for c in cells}
+    assert any(len(v) > 1 for v in before.values())  # fragmented
+
+    q = emb.where(F.col("vec_id") < 5)
+    res_before = {tuple(r) for r in ann_ivf_int8_topk(
+        emb, q, k=10, centroids=cents, index_path=path).collect()}
+
+    n = compact_ivf_int8_index(spark, path, max_files_per_cell=1)
+    assert n == sum(1 for v in before.values() if len(v) > 1)
+    after = {c: files_of(c) for c in cells}
+    for c in cells:  # fragmented cells folded, others untouched
+        if len(before[c]) > 1:
+            assert len(after[c]) == 1
+        else:
+            assert after[c] == before[c]
+    assert os.path.isdir(os.path.join(path, "_centroids"))
+    assert os.path.isdir(os.path.join(path, "_meta"))
+    res_after = {tuple(r) for r in ann_ivf_int8_topk(
+        emb, q, k=10, centroids=cents, index_path=path).collect()}
+    assert res_after == res_before
+    # idempotent: nothing left over threshold
+    assert compact_ivf_int8_index(spark, path, max_files_per_cell=1) == 0
+
+
+def test_purge_ann_index_store(spark, tmp_path):
+    """Purging a write_ivf_int8_index store (the derived-store case the
+    purge contract names: packed codes of a forgotten document are data
+    ABOUT it): purged ids vanish from the indexed scan, the result
+    equals the in-memory scan over the corpus minus the purged rows,
+    untouched cell partitions stay byte-identical, and the
+    _centroids/_meta sidecars survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.merge import purge_keys
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_ivf_int8_topk,
+        ivf_train_centroids,
+        read_ivf_centroids,
+        write_ivf_int8_index,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_train_centroids(emb, cells=8)
+    path = str(tmp_path / "idx")
+    write_ivf_int8_index(emb, path, centroids=cents)
+
+    # victims: every id assigned to ONE cell (so that directory is
+    # rewritten or emptied) — read assignments from the index itself
+    asg = spark.read.parquet(path).select("neighbor_id", "cell").collect()
+    by_cell: dict[int, list[int]] = {}
+    for r in asg:
+        by_cell.setdefault(r.cell, []).append(r.neighbor_id)
+    victim_cell = min(c for c, ids in by_cell.items() if len(ids) >= 3)
+    victims = [i for i in by_cell[victim_cell] if i >= 5]
+
+    def files_of(cell):
+        d = os.path.join(path, f"cell={cell}")
+        return {f for f in os.listdir(d) if f.startswith("part-")}
+
+    before = {c: files_of(c) for c in by_cell}
+    removed = purge_keys(spark, path, victims, "neighbor_id", ["cell"])
+    assert removed == len(victims)
+    for c in by_cell:
+        if c != victim_cell:
+            assert files_of(c) == before[c]
+    assert os.path.isdir(os.path.join(path, "_centroids"))
+    assert os.path.isdir(os.path.join(path, "_meta"))
+    assert read_ivf_centroids(spark, path) == cents
+
+    q = emb.where(F.col("vec_id") < 5)
+    idx = {tuple(r) for r in ann_ivf_int8_topk(
+        emb, q, k=10, centroids=cents, index_path=path).collect()}
+    assert not {t[1] for t in idx} & set(victims)
+    mem = {tuple(r) for r in ann_ivf_int8_topk(
+        emb.where(~F.col("vec_id").isin(victims)), q, k=10,
+        centroids=cents).collect()}
+    assert idx == mem and idx

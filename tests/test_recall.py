@@ -288,3 +288,61 @@ def test_int8_ann_ids_above_2_53_exact(spark, emb):
             assert (r.query_id - off) in range(5)
             assert 0 <= (r.neighbor_id - off) < n_vecs
             assert r.neighbor_id != r.query_id
+
+
+def test_ivf_int8_append_equals_index_at_once(spark, emb, tmp_path):
+    """append_ivf_int8_index: a store grown base+batch must be
+    indistinguishable from one indexed at once — same probed-scan rows
+    as the in-memory form over the union — because appended rows are
+    quantized and cell-assigned by the same kernels under the STORED
+    geometry. A foreign centroid matrix must raise, not mis-assign."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_ivf_int8_topk,
+        append_ivf_int8_index,
+        write_ivf_int8_index,
+    )
+
+    cents = ivf_train_centroids(emb)
+    path = str(tmp_path / "grown")
+    base = emb.where(F.col("vec_id") % 4 != 3)
+    batch = emb.where(F.col("vec_id") % 4 == 3)
+    write_ivf_int8_index(base, path, centroids=cents)
+    n = append_ivf_int8_index(batch, path)
+    assert n == batch.count()
+
+    q = emb.where(F.col("vec_id") < 20)
+    mem = {tuple(r) for r in
+           ann_ivf_int8_topk(emb, q, k=10, centroids=cents).collect()}
+    idx = {tuple(r) for r in ann_ivf_int8_topk(
+        emb, q, k=10, centroids=cents, index_path=path).collect()}
+    assert idx == mem and len(idx) == 20 * 10
+
+    foreign = tuple(tuple(x + 0.5 for x in row) for row in cents)
+    with pytest.raises(ValueError, match="foreign matrix"):
+        append_ivf_int8_index(batch, path, centroids=foreign)
+
+
+def test_int8_indexed_scan_null_qb_raises(spark, emb, tmp_path):
+    """A store with a NULL packed-code row (hand-edited / partial
+    write) must fail with the kernel's explicit corrupt-store error,
+    not b''.join's opaque TypeError."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        _write_centroids,
+        ann_ivf_int8_topk,
+    )
+
+    cents = ivf_train_centroids(emb)
+    path = str(tmp_path / "broken")
+    rows = [(1, 0.5, bytes(64), 0), (2, 0.5, None, 0)]
+    (spark.createDataFrame(
+        rows, "neighbor_id long, scale double, qb binary, cell int")
+     .write.partitionBy("cell").parquet(path))
+    _write_centroids(spark, path, cents)
+    q = emb.where(F.col("vec_id") < 2)
+    with pytest.raises(Exception, match="NULL qb"):
+        ann_ivf_int8_topk(emb, q, k=10, centroids=cents,
+                          index_path=path).collect()
