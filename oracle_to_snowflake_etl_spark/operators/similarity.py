@@ -1701,17 +1701,7 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         # codes) — and the isin stays as a plan-level PartitionFilter
         # guard (plan-asserted in tests).
         probed = sorted({int(c) for row in probe_rows for c in row})
-        # ONE globStatus round-trip resolves which probed cells exist
-        # (k-means cells can be empty; a listStatus of the whole base
-        # dir would cost one py4j hop PER entry — measured 0.6 s at
-        # 1.4k dirs); the result is iterated for probed matches only
-        jvm = spark._jvm
-        base = jvm.org.apache.hadoop.fs.Path(index_path)
-        fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
-        pat = jvm.org.apache.hadoop.fs.Path(
-            index_path + "/cell={" + ",".join(str(c) for c in probed)
-            + "}")
-        paths = [st.getPath().toString() for st in fs.globStatus(pat)]
+        paths = _probed_cell_dirs(spark, index_path, probed)
         if not paths:
             return spark.createDataFrame(
                 [], "query_id long, neighbor_id long, sim_q6 long")
@@ -1736,6 +1726,24 @@ def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         scan, schema="query_id long, neighbor_id long, approx double")
     return _int8_cut_and_rescore(part_top, corpus, queries, k, r_cut,
                                  vec_col, id_col)
+
+
+def _probed_cell_dirs(spark, index_path: str, probed: list[int]) -> list[str]:
+    """The probed cells' EXISTING ``cell=`` directories of a
+    partitioned index, resolved with ONE globStatus round-trip —
+    shared by the indexed scans (:func:`ann_ivf_int8_topk`,
+    :func:`ivf_topk_indexed`). Passing the whole directory to
+    spark.read has the file index walk every ``cell=*`` subdir just to
+    discover partitions (~3 s at 1.4k dirs, paid whether or not the
+    isin prunes them), and a listStatus of the base dir costs one py4j
+    hop PER entry (measured 0.6 s at 1.4k dirs); the single glob
+    resolves only probed matches (k-means cells can be empty)."""
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    pat = jvm.org.apache.hadoop.fs.Path(
+        index_path + "/cell={" + ",".join(str(c) for c in probed) + "}")
+    return [st.getPath().toString() for st in fs.globStatus(pat)]
 
 
 def emb_cell_sample(df: DataFrame, fraction: float,
@@ -2075,7 +2083,16 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
                                          centroids=centroids).alias("cells"))
           .select("query_id", "q_vec", F.explode("cells").alias("cell")))
     probed = sorted({r.cell for r in qx.select("cell").distinct().collect()})
-    c = spark.read.parquet(index_path).where(F.col("cell").isin(probed))
+    # probed dirs resolved by ONE globStatus and handed to the reader
+    # explicitly (the int8 form's discovery fix — the file index would
+    # otherwise walk every cell=* dir before pruning); the isin stays
+    # as the plan-level PartitionFilter guard (plan-asserted)
+    dirs = _probed_cell_dirs(spark, index_path, probed)
+    if not dirs:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim_q6 long")
+    c = (spark.read.option("basePath", index_path).parquet(*dirs)
+         .where(F.col("cell").isin(probed)))
     scored = (
         c.join(F.broadcast(qx), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
