@@ -1741,9 +1741,19 @@ def _probed_cell_dirs(spark, index_path: str, probed: list[int]) -> list[str]:
     jvm = spark._jvm
     base = jvm.org.apache.hadoop.fs.Path(index_path)
     fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
-    pat = jvm.org.apache.hadoop.fs.Path(
-        index_path + "/cell={" + ",".join(str(c) for c in probed) + "}")
-    return [st.getPath().toString() for st in fs.globStatus(pat)]
+    cells_glob = "/cell={" + ",".join(str(c) for c in probed) + "}"
+    pat = jvm.org.apache.hadoop.fs.Path(index_path + cells_glob)
+    out = [st.getPath().toString() for st in fs.globStatus(pat)]
+    if not out:
+        # streamed layout (streaming/jobs.maintain_ann_index_stream):
+        # batch=<id>/cell=<c> — the batch level is the exactly-once
+        # replay unit; the extra `batch` partition column appends to
+        # the reader schema and is dropped by the scan's select. One
+        # more glob round-trip, only when the flat layout is absent.
+        pat2 = jvm.org.apache.hadoop.fs.Path(
+            index_path + "/batch=*" + cells_glob)
+        out = [st.getPath().toString() for st in fs.globStatus(pat2)]
+    return out
 
 
 def emb_cell_sample(df: DataFrame, fraction: float,

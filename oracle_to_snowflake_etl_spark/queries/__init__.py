@@ -175,9 +175,12 @@ PRIORITY = [
     # slots; both rotated-out queries are long-stable and
     # pytest-covered)
     # (round-13: ev_gapfill_hourly + funnel_view_click_purchase rotate
-    # BACK in per VERDICT r12 ask #7 — rotated out in r12, cycling)
-    "w_running_spend", "ev_sessions", "ev_gapfill_hourly",
-    "funnel_view_click_purchase",
+    # BACK in per VERDICT r12 ask #7 — rotated out in r12, cycling;
+    # w_running_spend to full-local — long-stable running-sum window,
+    # its slot carries stream_ann_index_maintain, the round-13
+    # streaming serving-index fold)
+    "ev_sessions", "ev_gapfill_hourly",
+    "funnel_view_click_purchase", "stream_ann_index_maintain",
     # TPC-H representative (full 22-query suite keeps full-local oracle
     # coverage in registration order below)
     "tpch_q1_pricing",

@@ -295,3 +295,57 @@ def q_stream_mv_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return view.select(
         "event_type", "n",
         F.col("vs").cast("double").alias("value_sum"))
+
+
+from .similarity_q import (  # noqa: E402
+    _IVF_INT8_INDEX_CACHE,
+    _IVF_INT8_INDEX_TMPDIRS,
+    _duck_ivf_int8_sql,
+    _ivf_index_cache_key,
+)
+from .similarity_q import N_QUERIES as _ANN_N_QUERIES  # noqa: E402
+from .similarity_q import TOP_K as _ANN_TOP_K  # noqa: E402
+from .similarity_q import IVF_SNAPSHOT as _IVF_SNAPSHOT  # noqa: E402
+
+
+@register("stream_ann_index_maintain", _duck_ivf_int8_sql())
+def q_stream_ann_index_maintain(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    """Streaming SERVING-INDEX maintenance end to end
+    (streaming/jobs.maintain_ann_index_stream): the embeddings corpus
+    arrives as two file drops through the foreachBatch loop, each
+    quantized + cell-assigned under the pinned snapshot and folded
+    into the batch=/cell= at-rest store (exactly-once via dynamic
+    (batch, cell) overwrite — a replayed batch rewrites its own
+    subdirectories), then the probed scan SERVES the composed ANN
+    query from the streamed store. Oracle: the same composed-ANN SQL
+    as ann_ivf_int8_topk over the full corpus — a stream-built index
+    must be indistinguishable from one indexed at once (the
+    fold-equals-rebuild contract on the serving path; replay
+    idempotence + foreign-geometry guard pytest-pinned in
+    tests/test_streaming.py)."""
+    import tempfile
+
+    from ..operators.similarity import ann_ivf_int8_topk
+    from ..streaming.jobs import maintain_ann_index_stream
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _ivf_index_cache_key(sf_dir, "streamed")
+    path = _IVF_INT8_INDEX_CACHE.get(key)
+    if path is None:
+        work = tempfile.mkdtemp(prefix="stream_ann_idx_")
+        _IVF_INT8_INDEX_TMPDIRS.append(work)
+        src, path, ckp = f"{work}/src", f"{work}/index", f"{work}/ckp"
+        for half in (emb.where(F.col("vec_id") % 2 == 0),
+                     emb.where(F.col("vec_id") % 2 == 1)):
+            half.coalesce(1).write.mode("append").parquet(src)
+        stream = (spark.readStream.schema(emb.schema)
+                  .option("maxFilesPerTrigger", 1).parquet(src))
+        q = maintain_ann_index_stream(stream, path, ckp,
+                                      centroids=_IVF_SNAPSHOT)
+        q.awaitTermination(300)
+        _IVF_INT8_INDEX_CACHE[key] = path
+    return ann_ivf_int8_topk(emb,
+                             emb.where(F.col("vec_id") < _ANN_N_QUERIES),
+                             k=_ANN_TOP_K, rescore=3,
+                             centroids=_IVF_SNAPSHOT, index_path=path)

@@ -967,6 +967,90 @@ def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
     )
 
 
+def maintain_ann_index_stream(stream: DataFrame, index_path: str,
+                              checkpoint: str, centroids: tuple,
+                              vec_col: str = "embedding",
+                              id_col: str = "vec_id") -> StreamingQuery:
+    """Continuously maintain the AT-REST serving ANN index from an
+    embedding stream — the serving twin of the dedup-index loops: each
+    micro-batch is quantized and cell-assigned under the PINNED
+    geometry by exactly the kernels `write_ivf_int8_index` /
+    `append_ivf_int8_index` use (operators/similarity._int8_index_rows)
+    and written ``partitionBy(batch, cell)``, so
+    `ann_ivf_int8_topk(index_path=…)` serves queries from the growing
+    store with the same probed-directory pruning (the reader's glob
+    covers both layouts; the ``batch`` partition column appends to the
+    scan schema and is dropped by the select).
+
+    Exactly-once without markers, the repo's overwrite-subdirectory
+    convention: the write is a DYNAMIC partition overwrite of
+    (batch, cell), so an at-least-once replay rewrites exactly its own
+    ``batch=<id>`` subdirectories and never duplicates rows — replay
+    idempotence is pytest-pinned.
+
+    ``centroids`` is REQUIRED and non-negotiable (the
+    ingest_embeddings_stream rule): per-batch training would assign
+    different cells across batches, scattering one vector's neighbors
+    over foreign directories. The geometry is stamped (``_centroids`` +
+    ``_meta``) with the first batch; resuming with a different matrix
+    RAISES on the md5 compare instead of silently corrupting the
+    layout. Batch appends fragment the store one file per (batch,
+    touched cell); fold the retired stream into a flat
+    `write_ivf_int8_index` layout (or run `compact_ivf_int8_index` on
+    a flat store) once its checkpoint is decommissioned — compacting
+    LIVE streamed batches would break the replay contract above.
+
+    100 TB shape per batch: one Arrow quantize/assign pass over the
+    batch (map-only, 1 byte/dim emitted), one hash shuffle on cell to
+    get one file per touched cell, zero reads of the existing index —
+    cost ∝ batch, never ∝ index (the append contract,
+    SCALE_ANN_APPEND.json)."""
+    from ..operators.similarity import (
+        _int8_index_rows,
+        _write_centroids,
+        centroid_md5,
+        read_ivf_index_meta,
+    )
+
+    if centroids is None:
+        raise ValueError(
+            "maintain_ann_index_stream requires a pinned centroid "
+            "snapshot (ivf_train_centroids): per-batch training "
+            "re-assigns cells across batches and corrupts the cell "
+            "layout the probed scan prunes by.")
+    spark = stream.sparkSession
+    md5 = centroid_md5(centroids)
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        meta = read_ivf_index_meta(spark, index_path)
+        if meta is not None and meta["centroid_md5"] != md5:
+            raise ValueError(
+                f"ANN index at {index_path} was stamped with centroid "
+                f"md5 {meta['centroid_md5']} but this stream folds "
+                f"with {md5}: version a new index directory per "
+                f"centroid snapshot (write_ivf_index convention) "
+                f"instead of resuming it.")
+        rows = (_int8_index_rows(batch, centroids, vec_col, id_col)
+                .withColumn("batch", F.lit(int(batch_id))))
+        (rows.repartition(F.col("cell"))
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("batch", "cell").parquet(index_path))
+        if meta is None:
+            # stamp once, after the first data write (a crash between
+            # the two heals on replay: the batch dir is rewritten and
+            # the stamp retried)
+            _write_centroids(spark, index_path, centroids)
+
+    return (
+        stream.writeStream
+        .foreachBatch(fold)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def _read_parquet_or_none(spark: SparkSession, path: str):
     """Read a parquet dir that may not exist yet (first micro-batch of
     an ingest loop) — the shared guard of the streaming ingest jobs."""

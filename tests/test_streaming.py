@@ -593,3 +593,69 @@ def test_streaming_embedding_ingest_prunes_by_stored_probe_cells(
     kept2 = spark.read.parquet(acc)
     assert {r.vec_id for r in kept2.select("vec_id").collect()} == accepted
     assert kept2.count() == kept.count()
+
+
+def test_maintain_ann_index_stream_serves_and_replays(spark, tmp_path):
+    """maintain_ann_index_stream: embedding drops folded through the
+    foreachBatch loop build a batch=/cell= store that the probed scan
+    (ann_ivf_int8_topk index_path form) serves EXACTLY like the
+    in-memory form over the full corpus; a no-new-data re-run changes
+    nothing (overwrite-subdirectory exactly-once); resuming with a
+    foreign centroid matrix raises on the _meta md5."""
+    import os
+    import time as _t
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_ivf_int8_topk,
+        ivf_train_centroids,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        maintain_ann_index_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_train_centroids(emb, cells=8)
+    src = tmp_path / "ann_src"
+    src.mkdir()
+    now = _t.time()
+    seen: set = set()
+    for i, half in enumerate((emb.where(F.col("vec_id") % 2 == 0),
+                              emb.where(F.col("vec_id") % 2 == 1))):
+        half.coalesce(1).write.mode("append").parquet(str(src))
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                os.utime(src / f, (now + i * 10, now + i * 10))
+                seen.add(f)
+    idx = str(tmp_path / "ann_idx")
+    ckp = str(tmp_path / "ann_ckp")
+    schema = spark.read.parquet(str(src)).schema
+
+    def run(centroids=cents, checkpoint=ckp):
+        stream = (spark.readStream.schema(schema)
+                  .option("maxFilesPerTrigger", 1).parquet(str(src)))
+        q = maintain_ann_index_stream(stream, idx, checkpoint, centroids)
+        q.awaitTermination(180)
+
+    run()
+    assert os.path.isdir(os.path.join(idx, "_centroids"))
+    assert os.path.isdir(os.path.join(idx, "_meta"))
+
+    q5 = emb.where(F.col("vec_id") < 5)
+    mem = {tuple(r) for r in
+           ann_ivf_int8_topk(emb, q5, k=10, centroids=cents).collect()}
+    idx_res = {tuple(r) for r in ann_ivf_int8_topk(
+        emb, q5, k=10, centroids=cents, index_path=idx).collect()}
+    assert idx_res == mem and len(idx_res) == 5 * 10
+
+    run()  # replay with no new data: nothing changes
+    idx_res2 = {tuple(r) for r in ann_ivf_int8_topk(
+        emb, q5, k=10, centroids=cents, index_path=idx).collect()}
+    assert idx_res2 == idx_res
+
+    foreign = tuple(tuple(x + 0.25 for x in row) for row in cents)
+    with _pt.raises(Exception, match="centroid md5|version a new"):
+        run(centroids=foreign, checkpoint=str(tmp_path / "ann_ckp2"))
