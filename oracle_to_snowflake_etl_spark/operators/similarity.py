@@ -745,7 +745,11 @@ def auto_cells(df: DataFrame) -> int:
     same way). Measured across three decades in SCALE.md (round 8):
     re-training √N cells per decade holds the per-decade wall ratio at
     ×8.7/×24.4 against the ×31.6 design slope, with the hot-cell pair
-    count growing exactly ×10/decade (balanced). One COUNT job
+    count growing exactly ×10/decade (balanced). Confirmed empirically
+    at 5M (round 13, SCALE_SEMANTIC_CELLS.json): raising cells to
+    ~N^0.55–0.6 left the wall flat-to-marginal while threshold-pair
+    recall fell ~∝ 1/cells^0.6 — the dial is the optimum of its own
+    cost model, so √N is the documented envelope. One COUNT job
     (metadata-sized); floor of 16 keeps toy corpora from degenerate
     2-3-cell geometries."""
     import math

@@ -986,7 +986,11 @@ def maintain_ann_index_stream(stream: DataFrame, index_path: str,
     convention: the write is a DYNAMIC partition overwrite of
     (batch, cell), so an at-least-once replay rewrites exactly its own
     ``batch=<id>`` subdirectories and never duplicates rows — replay
-    idempotence is pytest-pinned.
+    idempotence is pytest-pinned. A compliance purge applies to the
+    streamed layout unchanged — ``purge_keys(..., key_col=
+    "neighbor_id", partition_cols=["batch", "cell"])`` — the forget
+    contract (operators/merge.py) covers this derived store exactly
+    like the flat one.
 
     ``centroids`` is REQUIRED and non-negotiable (the
     ingest_embeddings_stream rule): per-batch training would assign
