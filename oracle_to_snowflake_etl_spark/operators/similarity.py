@@ -762,7 +762,10 @@ def _resolve_cells(df: DataFrame, cells, centroids) -> int:
     "auto" = :func:`auto_cells` on the corpus; any other string is an
     error (same totality discipline as dedup.scale_safe); a pinned
     ``centroids`` matrix already fixes the geometry, so combining it
-    with "auto" is a contradiction worth failing loudly on."""
+    with "auto" is a contradiction worth failing loudly on, and with
+    an int the MATRIX wins (the geometry-over-argument rule of the
+    indexed ANN entrances — a count that disagrees with the matrix
+    would size probe masks and partition plans wrong)."""
     if isinstance(cells, str):
         if cells != "auto":
             raise ValueError(
@@ -773,6 +776,8 @@ def _resolve_cells(df: DataFrame, cells, centroids) -> int:
                 "matrix — the matrix already fixes the cell geometry "
                 "(pass cells=len(centroids) or drop one of the two).")
         return auto_cells(df)
+    if centroids is not None:
+        return len(centroids)
     return cells
 
 
@@ -2041,6 +2046,15 @@ def compact_ivf_int8_index(spark, path: str,
     frag = []
     for st in fs.listStatus(base):
         name = st.getPath().getName()
+        if st.isDirectory() and name.startswith("batch="):
+            raise ValueError(
+                f"index at {path} is a STREAMED batch=/cell= store "
+                f"(streaming/jobs.maintain_ann_index_stream): "
+                f"compacting live streamed batches would break its "
+                f"replay contract (a replayed batch overwrites its own "
+                f"batch=<id> subdirs). Fold the retired stream into a "
+                f"flat write_ivf_int8_index layout once its checkpoint "
+                f"is decommissioned, then compact that.")
         if not (st.isDirectory() and name.startswith("cell=")):
             continue
         n_files = sum(1 for f in fs.listStatus(st.getPath())

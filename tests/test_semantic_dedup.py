@@ -392,3 +392,17 @@ def test_streaming_ingest_empty_batch_stamp_and_no_driver_collect(
     with pytest.raises(StreamingQueryException, match="geometry"):
         q2.awaitTermination(180)
         raise AssertionError("mismatched-geometry resume did not fail")
+
+
+def test_resolve_cells_matrix_wins_over_int(spark, emb):
+    """A pinned centroid matrix IS the geometry: an int cells argument
+    that disagrees is overridden by len(centroids) (the indexed ANN
+    entrances' geometry-over-argument rule), so probe masks and cell
+    plans can never be sized off a stale count."""
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        _resolve_cells,
+    )
+
+    cents = ivf_train_centroids(emb, cells=8)
+    assert _resolve_cells(emb, 999, cents) == len(cents) == 8
+    assert _resolve_cells(emb, 32, None) == 32

@@ -659,3 +659,12 @@ def test_maintain_ann_index_stream_serves_and_replays(spark, tmp_path):
     foreign = tuple(tuple(x + 0.25 for x in row) for row in cents)
     with _pt.raises(Exception, match="centroid md5|version a new"):
         run(centroids=foreign, checkpoint=str(tmp_path / "ann_ckp2"))
+
+    # compacting a LIVE streamed store breaks the replay contract —
+    # must refuse with direction, not silently no-op
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        compact_ivf_int8_index,
+    )
+
+    with _pt.raises(ValueError, match="STREAMED"):
+        compact_ivf_int8_index(spark, idx)
