@@ -1859,8 +1859,13 @@ def _write_centroids(spark, path: str, centroids: tuple) -> None:
     the data scan, like ``_metadata``): whichever geometry assigned the
     cells travels with them, so a probe/index mismatch is impossible."""
     cent_rows = [(c, list(row)) for c, row in enumerate(centroids)]
+    # repartition(1), NOT coalesce(1): coalescing a driver-local
+    # relation into the write measured a flat ~4.5 s per write (it
+    # forfeits the local fast path), where the 1-partition shuffle is
+    # ~0.4 s — 2 sidecars per index build made this the DOMINANT index
+    # cost at small corpora (round-13 profile of purge_ann_index)
     (spark.createDataFrame(cent_rows, "cell int, w array<double>")
-     .coalesce(1).write.mode("overwrite").parquet(path + "/_centroids"))
+     .repartition(1).write.mode("overwrite").parquet(path + "/_centroids"))
     _write_index_meta(spark, path, centroids)
 
 
@@ -1888,7 +1893,8 @@ def _write_index_meta(spark, path: str, centroids) -> None:
     rows = [(len(centroids), len(centroids[0]), centroid_md5(centroids))]
     (spark.createDataFrame(
         rows, "cells int, dims int, centroid_md5 string")
-     .coalesce(1).write.mode("overwrite").parquet(path + "/_meta"))
+     .repartition(1)  # not coalesce(1) — see _write_centroids
+     .write.mode("overwrite").parquet(path + "/_meta"))
 
 
 def read_ivf_index_meta(spark, index_path: str) -> dict | None:

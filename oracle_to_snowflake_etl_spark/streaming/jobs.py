@@ -955,7 +955,7 @@ def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
             # never written over foreign-geometry rows
             spark.createDataFrame(
                 [geom], "cells int, nprobe int, centroid_md5 string") \
-                .coalesce(1).write.mode("overwrite") \
+                .repartition(1).write.mode("overwrite") \
                 .parquet(index_path + "/_meta")
 
     return (
