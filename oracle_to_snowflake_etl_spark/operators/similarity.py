@@ -2003,6 +2003,19 @@ def append_ivf_int8_index(batch: DataFrame, path: str,
     per-cell file counts bounded, exactly like streaming sinks.
     Returns the number of rows appended."""
     spark = batch.sparkSession
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    for st in fs.listStatus(base):
+        if (st.isDirectory()
+                and st.getPath().getName().startswith("batch=")):
+            raise ValueError(
+                f"index at {path} is a STREAMED batch=/cell= store "
+                f"(streaming/jobs.maintain_ann_index_stream): batch "
+                f"appends into it would mix partition layouts under "
+                f"one root and break the reader. Keep feeding it "
+                f"through the stream, or fold the retired stream into "
+                f"a flat write_ivf_int8_index layout first.")
     stored = read_ivf_centroids(spark, path)
     if centroids is not None:
         meta = read_ivf_index_meta(spark, path)

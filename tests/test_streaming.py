@@ -660,11 +660,15 @@ def test_maintain_ann_index_stream_serves_and_replays(spark, tmp_path):
     with _pt.raises(Exception, match="centroid md5|version a new"):
         run(centroids=foreign, checkpoint=str(tmp_path / "ann_ckp2"))
 
-    # compacting a LIVE streamed store breaks the replay contract —
-    # must refuse with direction, not silently no-op
+    # compacting or batch-appending into a LIVE streamed store breaks
+    # its replay contract / mixes layouts — both must refuse with
+    # direction, not silently no-op or corrupt
     from oracle_to_snowflake_etl_spark.operators.similarity import (
+        append_ivf_int8_index,
         compact_ivf_int8_index,
     )
 
     with _pt.raises(ValueError, match="STREAMED"):
         compact_ivf_int8_index(spark, idx)
+    with _pt.raises(ValueError, match="STREAMED"):
+        append_ivf_int8_index(emb.limit(3), idx)
