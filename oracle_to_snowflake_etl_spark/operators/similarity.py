@@ -2015,7 +2015,7 @@ def append_ivf_int8_index(batch: DataFrame, path: str,
                 f"appends into it would mix partition layouts under "
                 f"one root and break the reader. Keep feeding it "
                 f"through the stream, or fold the retired stream into "
-                f"a flat write_ivf_int8_index layout first.")
+                f"a flat layout first (flatten_streamed_ann_index).")
     stored = read_ivf_centroids(spark, path)
     if centroids is not None:
         meta = read_ivf_index_meta(spark, path)
@@ -2038,6 +2038,40 @@ def append_ivf_int8_index(batch: DataFrame, path: str,
     n = out.count()
     (out.write.mode("append").partitionBy("cell").parquet(path))
     out.unpersist()
+    return n
+
+
+def flatten_streamed_ann_index(spark, src_path: str,
+                               dst_path: str) -> int:
+    """Fold a RETIRED streamed index (streaming/jobs.
+    maintain_ann_index_stream's ``batch=/cell=`` layout) into the flat
+    ``cell=`` layout of :func:`write_ivf_int8_index` — the lifecycle
+    step the streamed store's guards point at: once its checkpoint is
+    decommissioned, flattening (1) drops the per-batch fragmentation
+    in one pass (one file per cell, like a compaction), and (2) makes
+    the store appendable/compactable again (both refuse live streamed
+    stores, whose replay contract a rewrite would break).
+
+    Writes to ``dst_path`` (never in place: a crash mid-fold must not
+    leave the source half-rewritten; the source is removed by the
+    caller once the new store serves). The geometry sidecars travel:
+    the stored ``_centroids`` matrix is re-stamped into the
+    destination, so probed scans and future appends keep the exact
+    cell geometry the rows were assigned under. Returns the row count
+    folded. Cost: one column-pruned read of the packed rows + one
+    shuffle on cell — ∝ index, paid once at stream retirement."""
+    cents = read_ivf_centroids(spark, src_path)
+    rows = (spark.read.option("basePath", src_path)
+            .schema("neighbor_id long, scale double, qb binary, "
+                    "cell int")
+            .parquet(src_path)
+            .select("neighbor_id", "cell", "scale", "qb"))
+    rows = rows.persist()
+    n = rows.count()
+    (rows.repartition(len(cents), "cell")
+         .write.mode("overwrite").partitionBy("cell").parquet(dst_path))
+    rows.unpersist()
+    _write_centroids(spark, dst_path, cents)
     return n
 
 
@@ -2072,8 +2106,8 @@ def compact_ivf_int8_index(spark, path: str,
                 f"compacting live streamed batches would break its "
                 f"replay contract (a replayed batch overwrites its own "
                 f"batch=<id> subdirs). Fold the retired stream into a "
-                f"flat write_ivf_int8_index layout once its checkpoint "
-                f"is decommissioned, then compact that.")
+                f"flat layout once its checkpoint is decommissioned "
+                f"(flatten_streamed_ann_index), then compact that.")
         if not (st.isDirectory() and name.startswith("cell=")):
             continue
         n_files = sum(1 for f in fs.listStatus(st.getPath())

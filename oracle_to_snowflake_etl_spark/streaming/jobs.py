@@ -999,10 +999,12 @@ def maintain_ann_index_stream(stream: DataFrame, index_path: str,
     ``_meta``) with the first batch; resuming with a different matrix
     RAISES on the md5 compare instead of silently corrupting the
     layout. Batch appends fragment the store one file per (batch,
-    touched cell); fold the retired stream into a flat
-    `write_ivf_int8_index` layout (or run `compact_ivf_int8_index` on
-    a flat store) once its checkpoint is decommissioned — compacting
-    LIVE streamed batches would break the replay contract above.
+    touched cell); fold the retired stream into a flat layout once its
+    checkpoint is decommissioned (operators/similarity.
+    flatten_streamed_ann_index — one pass, one file per cell, the
+    result re-appendable/compactable) — compacting or batch-appending
+    into LIVE streamed batches would break the replay contract above
+    (both refuse).
 
     100 TB shape per batch: one Arrow quantize/assign pass over the
     batch (map-only, 1 byte/dim emitted), one hash shuffle on cell to

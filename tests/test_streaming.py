@@ -672,3 +672,22 @@ def test_maintain_ann_index_stream_serves_and_replays(spark, tmp_path):
         compact_ivf_int8_index(spark, idx)
     with _pt.raises(ValueError, match="STREAMED"):
         append_ivf_int8_index(emb.limit(3), idx)
+
+    # retirement: flatten -> identical results, one file per cell,
+    # geometry travels, and the flat store is appendable/compactable
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        flatten_streamed_ann_index,
+        read_ivf_centroids,
+    )
+
+    flat = str(tmp_path / "ann_flat")
+    n = flatten_streamed_ann_index(spark, idx, flat)
+    assert n == emb.count()
+    assert read_ivf_centroids(spark, flat) == cents
+    flat_res = {tuple(r) for r in ann_ivf_int8_topk(
+        emb, q5, k=10, centroids=cents, index_path=flat).collect()}
+    assert flat_res == idx_res
+    assert compact_ivf_int8_index(spark, flat, max_files_per_cell=1) == 0
+    append_ivf_int8_index(
+        emb.limit(2).withColumn("vec_id", F.col("vec_id") + 10_000),
+        flat)  # flat store accepts appends again
