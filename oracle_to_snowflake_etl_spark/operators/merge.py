@@ -343,7 +343,11 @@ def purge_keys(spark, path: str, keys, key_col: str,
     candidate partitions are computed arithmetically from the capped
     key list, so the locate scan reads ONLY those partitions and the
     WHOLE purge is ∝ affected partitions (derived == scanned result,
-    pytest-pinned). A partition fully EMPTIED by the purge is removed
+    pytest-pinned). ``partition_of`` MUST be the same mapping that
+    assigned partitions at write time: a wrong mapping silently leaves
+    keys outside the candidate partitions unpurged — when in doubt,
+    omit it (the scanned path is always correct, just O(table) to
+    locate). A partition fully EMPTIED by the purge is removed
     through the FileSystem API — the apply_changes_partitioned edge:
     dynamic overwrite never rewrites a directory it has no rows for,
     so without this the purged data would silently survive.

@@ -726,3 +726,45 @@ def test_pit_join_matches_bruteforce(spark, chg, facts):
                 hit = v
         want.add((i, hit))
     assert got == want
+
+
+@given(st.lists(st.tuples(st.lists(st.integers(-8, 8), min_size=4,
+                                   max_size=4),
+                          st.booleans()),
+                min_size=3, max_size=16))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=list(HealthCheck))
+def test_append_index_equals_index_at_once(spark, rows):
+    """Grown base+appended int8 index == indexed-at-once, for ANY
+    split of ANY vector set under a pinned geometry — including
+    all-zero vectors (scale=0 rows), duplicate vectors, an empty base
+    and an empty batch. The probed scan over the grown store must
+    return exactly the in-memory form's rows over the union."""
+    import tempfile
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_ivf_int8_topk,
+        append_ivf_int8_index,
+        write_ivf_int8_index,
+    )
+
+    # fixed tiny geometry: 4 cells in 4 dims — training on arbitrary
+    # (possibly empty/degenerate) bases is not what this property pins
+    cents = ((1.0, 0.1, 0.0, 0.0), (0.0, 1.0, 0.1, 0.0),
+             (0.0, 0.0, 1.0, 0.1), (0.1, 0.0, 0.0, 1.0))
+    data = [(i, [float(x) for x in vec]) for i, (vec, _) in enumerate(rows)]
+    df = spark.createDataFrame(data, "vec_id long, embedding array<double>")
+    base_ids = [i for i, (_, b) in enumerate(rows) if b]
+    batch_ids = [i for i, (_, b) in enumerate(rows) if not b]
+    path = tempfile.mkdtemp(prefix="prop_app_") + "/index"
+    write_ivf_int8_index(df.where(F.col("vec_id").isin(base_ids or [-1])),
+                         path, centroids=cents)
+    append_ivf_int8_index(
+        df.where(F.col("vec_id").isin(batch_ids or [-1])), path)
+    q = df.where(F.col("vec_id") < 2)
+    mem = {tuple(r) for r in ann_ivf_int8_topk(
+        df, q, k=3, nprobe=2, centroids=cents).collect()}
+    idx = {tuple(r) for r in ann_ivf_int8_topk(
+        df, q, k=3, nprobe=2, centroids=cents,
+        index_path=path).collect()}
+    assert idx == mem
