@@ -1747,6 +1747,9 @@ def _probed_cell_dirs(spark, index_path: str, probed: list[int]) -> list[str]:
     isin prunes them), and a listStatus of the base dir costs one py4j
     hop PER entry (measured 0.6 s at 1.4k dirs); the single glob
     resolves only probed matches (k-means cells can be empty)."""
+    if not probed:
+        # an empty query set probes nothing (hadoop's {} glob throws)
+        return []
     jvm = spark._jvm
     base = jvm.org.apache.hadoop.fs.Path(index_path)
     fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
