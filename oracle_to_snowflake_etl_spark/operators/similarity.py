@@ -1902,11 +1902,22 @@ def _write_index_meta(spark, path: str, centroids) -> None:
 
 def read_ivf_index_meta(spark, index_path: str) -> dict | None:
     """The geometry stamp of an index directory, or None for a
-    pre-round-13 store without one (readable, just unguarded)."""
+    pre-round-13 store without one (readable, just unguarded).
+
+    Only a MISSING ``_meta`` path degrades to None (the pre-stamp
+    store is a legitimate state); a transiently unreadable or corrupt
+    sidecar propagates loudly — swallowing it would silently disable
+    the foreign-geometry guard in ann_ivf_int8_topk /
+    append_ivf_int8_index, the exact wrong-cells failure the stamp
+    exists to prevent (ADVICE r13)."""
+    from pyspark.errors import AnalysisException
+
     try:
         rows = spark.read.parquet(index_path + "/_meta").collect()
-    except Exception:
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e):
+            return None
+        raise
     if len(rows) != 1:
         return None
     return {"cells": rows[0].cells, "dims": rows[0].dims,
@@ -2009,6 +2020,13 @@ def append_ivf_int8_index(batch: DataFrame, path: str,
     jvm = spark._jvm
     base = jvm.org.apache.hadoop.fs.Path(path)
     fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        # the contract error the docstring promises, not a raw Java
+        # FileNotFoundException out of listStatus (ADVICE r13)
+        raise ValueError(
+            f"append_ivf_int8_index: no index at {path} — a store "
+            f"without _centroids is not an index. Build one first "
+            f"(write_ivf_int8_index).")
     for st in fs.listStatus(base):
         if (st.isDirectory()
                 and st.getPath().getName().startswith("batch=")):

@@ -371,21 +371,39 @@ def q_ann_ivf_int8_append(spark: SparkSession, sf_dir: str) -> DataFrame:
                              index_path=path)
 
 
+#: doomed-set modulus for the ANN purge oracles, row-count-derived so
+#: the key list stays under merge.PURGE_MAX_KEYS at ANY sf (the
+#: purge_propagation pattern, ADVICE r13: a fixed %17 passes ~N/17
+#: keys and would raise once embeddings exceeds ~1.7M rows). Both
+#: engines compute m from the same COUNT(*).
+_PURGE_ANN_MOD_SQL = ("(17 * GREATEST(1, CAST(ceil((SELECT COUNT(*) "
+                      "FROM embeddings) / 1700000.0) AS BIGINT)))")
+
+
+def _purge_ann_modulus(n: int) -> int:
+    """Spark-side twin of :data:`_PURGE_ANN_MOD_SQL`: 17 at the test
+    scale factors (identity with the pre-ADVICE behavior), widening so
+    n / modulus never exceeds the PURGE_MAX_KEYS contract."""
+    return 17 * max(1, -(-n // 1_700_000))
+
+
 @register("purge_ann_index",
-          _duck_ivf_int8_sql("WHERE t.vec_id % 17 <> 11"))
+          _duck_ivf_int8_sql(
+              f"WHERE t.vec_id % {_PURGE_ANN_MOD_SQL} <> 11"))
 def q_purge_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Compliance purge of a DERIVED ANN index store (VERDICT r12
     Missing #2): the binary-packed int8 rows of a forgotten document
     are data ABOUT it (operators/merge.py purge_keys_everywhere's own
-    contract), so one forget request (vec_id % 17 == 11 — ~N/17 keys,
-    above PURGE_ISIN_MAX, exercising the broadcast semi/anti path) is
-    applied to a write_ivf_int8_index store keyed on neighbor_id and
-    partitioned by cell. The probed scan then runs over the purged
-    store; the oracle is the composed-ANN SQL with the purged ids
-    excluded from the CANDIDATE side only — forgotten vectors must
-    never surface as neighbors, while the store's _centroids/_meta
-    sidecars and untouched cell partitions survive byte-identical
-    (pytest-pinned in tests/test_maintenance.py)."""
+    contract), so one forget request (vec_id % m == 11 with a
+    row-count-derived m — ~N/m keys, above PURGE_ISIN_MAX so the
+    broadcast semi/anti path is exercised, under PURGE_MAX_KEYS at any
+    sf) is applied to a write_ivf_int8_index store keyed on
+    neighbor_id and partitioned by cell. The probed scan then runs
+    over the purged store; the oracle is the composed-ANN SQL with the
+    purged ids excluded from the CANDIDATE side only — forgotten
+    vectors must never surface as neighbors, while the store's
+    _centroids/_meta sidecars and untouched cell partitions survive
+    byte-identical (pytest-pinned in tests/test_maintenance.py)."""
     import tempfile
 
     from ..operators.merge import purge_keys
@@ -401,8 +419,9 @@ def q_purge_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     _IVF_INT8_INDEX_TMPDIRS.append(tmp)
     path = tmp + "/index"
     write_ivf_int8_index(emb, path, centroids=IVF_SNAPSHOT)
+    mod = _purge_ann_modulus(emb.count())
     keys = [r.vec_id for r in
-            emb.where(F.col("vec_id") % 17 == 11)
+            emb.where(F.col("vec_id") % mod == 11)
             .select("vec_id").collect()]
     purge_keys(spark, path, keys, "neighbor_id", ["cell"])
     return ann_ivf_int8_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),

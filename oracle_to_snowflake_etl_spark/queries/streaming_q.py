@@ -34,6 +34,20 @@ from . import register
 _DECU = DEC.upper()
 
 
+def _await_or_raise(q, timeout: int) -> None:
+    """awaitTermination that treats a TIMEOUT as the failure it is:
+    the boolean return is easy to ignore, and ignoring it after an
+    index/view-building stream means a HALF-BUILT store gets read (or
+    worse, cached and replayed) with no diagnostic pointing at the
+    timeout (ADVICE r13). Raises after stopping the query."""
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(
+            f"streaming query {q.name or q.id} did not finish within "
+            f"{timeout}s: refusing to read (or cache) its half-built "
+            f"output.")
+
+
 @register(
     "stream_tumbling_5m",
     f"""
@@ -290,7 +304,7 @@ def q_stream_mv_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = read_events_stream(spark, sf_dir).select("event_type", "value")
     q = maintain_agg_view_stream(stream, tgt, ckp,
                                  ["event_type"], {"vs": "value"})
-    q.awaitTermination(300)
+    _await_or_raise(q, 300)
     view = spark.read.parquet(tgt)
     return view.select(
         "event_type", "n",
@@ -343,7 +357,10 @@ def q_stream_ann_index_maintain(spark: SparkSession,
                   .option("maxFilesPerTrigger", 1).parquet(src))
         q = maintain_ann_index_stream(stream, path, ckp,
                                       centroids=_IVF_SNAPSHOT)
-        q.awaitTermination(300)
+        # a timeout here must NOT cache the half-built path: every
+        # later replay in the process would serve an incomplete store
+        # with no diagnostic pointing at the timeout (ADVICE r13)
+        _await_or_raise(q, 300)
         _IVF_INT8_INDEX_CACHE[key] = path
     return ann_ivf_int8_topk(emb,
                              emb.where(F.col("vec_id") < _ANN_N_QUERIES),
