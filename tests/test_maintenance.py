@@ -746,3 +746,95 @@ def test_purge_ann_index_store(spark, tmp_path):
         emb.where(~F.col("vec_id").isin(victims)), q, k=10,
         centroids=cents).collect()}
     assert idx == mem and idx
+
+
+def test_purge_ann_index_keys_streamed_store(spark, tmp_path):
+    """purge_ann_index_keys on a LIVE streamed batch=/cell= store
+    (VERDICT r13 Missing #1): purged neighbor_ids vanish from the
+    probed scan, untouched (batch, cell) dirs stay byte-identical, a
+    batch directory the purge fully empties is REMOVED (leaf cell dirs
+    by purge_keys, the childless batch parent by the wrapper), the
+    geometry sidecars survive, re-run is a no-op, and the layout
+    detector tells flat from streamed."""
+    import os
+    import time as _t
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_index_partition_cols,
+        ann_ivf_int8_topk,
+        ivf_train_centroids,
+        purge_ann_index_keys,
+        read_ivf_centroids,
+        write_ivf_int8_index,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        maintain_ann_index_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_train_centroids(emb, cells=8)
+    src = tmp_path / "src"
+    src.mkdir()
+    now = _t.time()
+    seen: set = set()
+    # batch 0 = even ids, batch 1 = odd ids (two file drops)
+    for i, half in enumerate((emb.where(F.col("vec_id") % 2 == 0),
+                              emb.where(F.col("vec_id") % 2 == 1))):
+        half.coalesce(1).write.mode("append").parquet(str(src))
+        for f in os.listdir(src):
+            if f.endswith(".parquet") and f not in seen:
+                os.utime(src / f, (now + i * 10, now + i * 10))
+                seen.add(f)
+    idx = str(tmp_path / "idx")
+    stream = (spark.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(str(src)))
+    q = maintain_ann_index_stream(stream, idx, str(tmp_path / "ckp"),
+                                  cents)
+    assert q.awaitTermination(180)
+
+    assert ann_index_partition_cols(spark, idx) == ["batch", "cell"]
+
+    # victims: EVERY odd id (empties batch=1 entirely) plus two even
+    # ids (partial rewrite inside batch=0)
+    all_ids = [r.vec_id for r in emb.select("vec_id").collect()]
+    evens = sorted(i for i in all_ids if i % 2 == 0)
+    victims = [i for i in all_ids if i % 2 == 1] + evens[-2:]
+    store = spark.read.parquet(idx)
+    touched = {(r.batch, r.cell) for r in
+               store.where(F.col("neighbor_id").isin(evens[-2:]))
+               .select("batch", "cell").collect()}
+
+    def files_of(batch, cell):
+        d = os.path.join(idx, f"batch={batch}", f"cell={cell}")
+        return {f for f in os.listdir(d) if f.startswith("part-")}
+
+    b0_cells = sorted({r.cell for r in store.where(F.col("batch") == 0)
+                       .select("cell").distinct().collect()})
+    before = {c: files_of(0, c) for c in b0_cells}
+
+    removed = purge_ann_index_keys(spark, idx, victims)
+    assert removed == len(victims)
+    assert not os.path.isdir(os.path.join(idx, "batch=1"))  # emptied
+    for c in b0_cells:
+        if (0, c) not in touched:
+            assert files_of(0, c) == before[c]
+    assert os.path.isdir(os.path.join(idx, "_centroids"))
+    assert os.path.isdir(os.path.join(idx, "_meta"))
+    assert read_ivf_centroids(spark, idx) == cents
+
+    qs = emb.where(~F.col("vec_id").isin(victims)) \
+        .where(F.col("vec_id") < 20)
+    got = {tuple(r) for r in ann_ivf_int8_topk(
+        emb, qs, k=10, centroids=cents, index_path=idx).collect()}
+    assert got and not {t[1] for t in got} & set(victims)
+    mem = {tuple(r) for r in ann_ivf_int8_topk(
+        emb.where(~F.col("vec_id").isin(victims)), qs, k=10,
+        centroids=cents).collect()}
+    assert got == mem
+    assert purge_ann_index_keys(spark, idx, victims) == 0  # idempotent
+
+    flat = str(tmp_path / "flat")
+    write_ivf_int8_index(emb, flat, centroids=cents)
+    assert ann_index_partition_cols(spark, flat) == ["cell"]
+    assert purge_ann_index_keys(spark, flat, victims) == len(victims)
