@@ -89,10 +89,18 @@ PRIORITY = [
     # removal under the driver's hard signal, VERDICT r11 ask #2;
     # round-13: purge_ann_index — the forget request applied to the
     # DERIVED binary-packed ANN index store)
+    # (round-14 rotation, VERDICT r13 ask #7: purge_ann_index_streamed
+    # — the in-place purge on the LIVE streamed batch=/cell= store,
+    # Missing #1 — and cdc_snapshot_diff (rotate-back) join; the
+    # round-13 mutation/index trio and purge_propagation stay per the
+    # verdict. Rotated to full-local: range_join_promo +
+    # pit_join_purchases (temporal family keeps asof + scd2; both
+    # long-stable since r3/r6) and salted_join_nation (skew family
+    # keeps skew_report_custkey; salting is pytest plan-asserted).)
     "merge_upsert_orders", "purge_propagation", "purge_ann_index",
-    "asof_click_attribution", "range_join_promo",
-    "scd2_user_status", "pit_join_purchases",
-    "salted_join_nation",
+    "purge_ann_index_streamed", "cdc_snapshot_diff",
+    "asof_click_attribution",
+    "scd2_user_status",
     "pagerank_supplier_orders", "fuzzy_name_pairs",
     # Dedup family (dedup_simhash rotated to full-local in round 5;
     # dedup_exact rotated to full-local in round 6 — its slot carries
@@ -135,8 +143,15 @@ PRIORITY = [
     # driver slots; its slot carries mm_audio_neardup_incr, the newest
     # stored-index incremental through the shared Jaccard core —
     # VERDICT r10 ask #7)
+    # (round-14: mv_join_refresh — join-view incremental maintenance,
+    # VERDICT r13 Missing #4 — joins the MV family; text_lang_id
+    # rotates BACK in per ask #7 (out since r11, cycling); their
+    # slots come from text_winnow_fp (winnowing guarantee is
+    # property-pinned; text keeps four driver slots) and
+    # stat_trend_daily_revenue (long-stable exact-sum OLS, full-local
+    # + pytest since r5).)
     "text_quality_features", "mm_audio_neardup_incr",
-    "mv_incremental_refresh",
+    "mv_incremental_refresh", "mv_join_refresh", "text_lang_id",
     # (text_corpus_quantiles + pii_redact_contacts rotated to full-local
     # in round 5; their slots carry the r4 skew-diagnosis + exact-sum
     # stats family)
@@ -148,7 +163,7 @@ PRIORITY = [
     # five driver slots)
     # (round-13: text_repeated_spans rotates BACK in per VERDICT r12
     # ask #7 — long-unexercised entries keep cycling through the gate)
-    "text_winnow_fp", "skew_report_custkey", "text_decontaminate",
+    "skew_report_custkey", "text_decontaminate",
     "text_repeated_spans",
     "mm_image_png_roundtrip", "text_bm25_topk", "corpus_prep_pipeline",
     # Multimodal (mm_byte_stats stays full-local-checked; its slot
@@ -164,7 +179,7 @@ PRIORITY = [
     # exercised inside mm_ingest_pipeline's gate; its slot carries the
     # composed INCREMENTAL multimodal ingest, VERDICT r9 ask #3)
     "mm_ingest_incremental", "ingest_batch_pipeline",
-    "stat_trend_daily_revenue", "mm_ingest_pipeline",
+    "mm_ingest_pipeline",
     # Windows / event-time (w_range_1h_value stays full-local-checked;
     # its slot carries the mergeable-sketch family instead)
     # (ev_tumbling_5m rotated to full-local in round 5 — the event-time
@@ -179,7 +194,8 @@ PRIORITY = [
     # w_running_spend to full-local — long-stable running-sum window,
     # its slot carries stream_ann_index_maintain, the round-13
     # streaming serving-index fold)
-    "ev_sessions", "ev_gapfill_hourly",
+    # (round-14: ev_ohlc_hourly rotates BACK in per ask #7)
+    "ev_sessions", "ev_gapfill_hourly", "ev_ohlc_hourly",
     "funnel_view_click_purchase", "stream_ann_index_maintain",
     # TPC-H representative (full 22-query suite keeps full-local oracle
     # coverage in registration order below)

@@ -352,3 +352,64 @@ def test_cms_absent_item_returns_zero_not_vanishes(spark):
     # 3 items in a 4x64 table: the unseen token's 4 cells are almost
     # surely not all occupied -> exact 0 (and never > 3 regardless)
     assert got["never-seen-token-xyz"] == 0
+
+
+def test_join_view_refresh_equals_from_scratch_and_no_drift(spark,
+                                                            sf_dir):
+    """Join-view IVM (incremental_join_agg_refresh, VERDICT r13 #4):
+    fold = rebuild bitwise over the final fact state; groups untouched
+    by a fold keep bitwise-identical rows (no drift across repeated
+    folds); a delta row with no dim match contributes nothing (the
+    inner-join FK contract); a group folded to count 0 drops."""
+    from oracle_to_snowflake_etl_spark.operators.mv import (
+        build_join_agg_view,
+        incremental_join_agg_refresh,
+    )
+
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey",
+        "o_orderdate", "o_orderpriority", "o_totalprice")
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nationkey"))
+    keys = ["nationkey", "o_orderpriority"]
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    mv0 = build_join_agg_view(fact.where(F.col("o_orderdate") < cutoff),
+                              dim, ["c_custkey"], keys, SUMS)
+    ins = fact.where(F.col("o_orderdate") >= cutoff) \
+              .withColumn("op", F.lit("I"))
+    folded = incremental_join_agg_refresh(mv0, ins, dim, ["c_custkey"],
+                                          keys, SUMS)
+    scratch = build_join_agg_view(fact, dim, ["c_custkey"], keys, SUMS)
+    assert _rows(folded) == _rows(scratch)
+
+    # no drift: a fold touching ONLY nation 0's groups leaves every
+    # other group's row bitwise-identical, across two successive folds
+    nat0 = dim.where(F.col("nationkey") == 0)
+    delta = fact.join(nat0.select("c_custkey"), "c_custkey", "left_semi") \
+                .limit(50).withColumn("op", F.lit("I"))
+    one = incremental_join_agg_refresh(scratch, delta, dim,
+                                       ["c_custkey"], keys, SUMS)
+    two = incremental_join_agg_refresh(one, delta, dim,
+                                       ["c_custkey"], keys, SUMS)
+    base_other = [t for t in _rows(scratch) if t[1] != 0]
+    assert [t for t in _rows(one) if t[1] != 0] == base_other
+    assert [t for t in _rows(two) if t[1] != 0] == base_other
+
+    # FK contract: a delta keyed to a nonexistent customer is a no-op
+    orphan = spark.createDataFrame(
+        [(-999, 1, "1-URGENT", 10.0, "I")],
+        "c_custkey long, o_orderkey long, o_orderpriority string, "
+        "o_totalprice double, op string")
+    assert _rows(incremental_join_agg_refresh(
+        scratch, orphan, dim, ["c_custkey"], keys, SUMS)) == _rows(scratch)
+
+    # delete-to-zero drops the group: delete EVERY fact row of one
+    # (nation, priority) group
+    g = fact.join(F.broadcast(nat0), "c_custkey") \
+            .where(F.col("o_orderpriority") == "1-URGENT")
+    dels = g.select("c_custkey", "o_orderkey", "o_orderpriority",
+                    "o_totalprice").withColumn("op", F.lit("D"))
+    after = incremental_join_agg_refresh(scratch, dels, dim,
+                                         ["c_custkey"], keys, SUMS)
+    assert not [t for t in _rows(after)
+                if t[1] == 0 and t[2] == "1-URGENT"]
