@@ -133,16 +133,17 @@ def incremental_join_agg_refresh(mv: DataFrame, changes: DataFrame,
     - ``dim`` is STATIC across the fold (the slowly-changing star-
       schema case). A dim UPDATE relabels history — every fact row
       that joined the old dim row belongs to a different group now —
-      which no fact-side changelog can express; handle it as the
-      classic IVM literature does: re-aggregate the affected groups
-      (:func:`delta_scoped_recompute`) or rebuild. The pytest pins the
-      supported fold; this caveat is why there is no ``dim_changes``
-      parameter pretending otherwise.
+      which no fact-side changelog can express; fold dim changes
+      through their own signed delta instead
+      (:func:`incremental_join_agg_refresh_dim`), or re-aggregate the
+      affected groups (:func:`delta_scoped_recompute`) / rebuild.
     - The join is INNER: a delta row with no dim match contributes
       nothing, exactly as the view build would have dropped it (the
       FK-integrity assumption). A late-arriving dim row therefore does
-      NOT retro-activate earlier orphaned deltas — replay those deltas
-      once the dim lands, or enforce FK order upstream.
+      NOT retro-activate earlier orphaned deltas here — fold the dim
+      arrival as an 'I' dim-change
+      (:func:`incremental_join_agg_refresh_dim`), which re-labels its
+      facts' history in one pass.
     - 'D' rows carry before-image measures AND the original join key
       (the standard CDC contract, operators/merge.apply_changes).
 
@@ -153,6 +154,44 @@ def incremental_join_agg_refresh(mv: DataFrame, changes: DataFrame,
     d = F.broadcast(dim) if broadcast_dim else dim
     return incremental_agg_refresh(mv, changes.join(d, on, "inner"),
                                    key_cols, sum_cols, op_col)
+
+
+def incremental_join_agg_refresh_dim(mv: DataFrame, dim_changes: DataFrame,
+                                     fact: DataFrame, on: list[str],
+                                     key_cols: list[str],
+                                     sum_cols: dict[str, str],
+                                     op_col: str = "op") -> DataFrame:
+    """Fold a DIM-side changelog into a join-aggregate view — the edge
+    :func:`incremental_join_agg_refresh` documents as out of scope for
+    fact changelogs, closed with the classic signed dim-update delta
+    instead of a group recompute: every fact row joined to a changed
+    dim key contributes one retraction under the OLD dim row ('D',
+    before-image) and one addition under the NEW one ('I'), and the
+    signed union+hash-agg fold applies unchanged. One dim-change row
+    pair therefore re-labels ALL its facts' history in
+    O(|facts of changed keys| + |touched groups|) — the fact table is
+    scanned once through a key-semi join that prunes at plan time when
+    the fact is partitioned/bucketed on the join key, never fully
+    re-aggregated.
+
+    ``dim_changes``: dim rows carrying the join key(s) ``on``, the
+    group-key columns, and ``op_col`` — 'D' with the before-image
+    (retract), anything else insert. The three dim events compose from
+    it naturally: an UPDATE is the usual D+I pair; a pure INSERT
+    ('I' only) retro-activates facts that were FK-orphans at fold time
+    (the late-arriving-dim remedy the fact-side docstring points
+    here); a pure DELETE ('D' only) retracts its facts' contributions
+    (groups reaching count 0 drop).
+
+    The dim-change set is delta-sized by contract (broadcast into both
+    joins); a corpus-sized dim rewrite is a view rebuild, not a fold —
+    the same honesty split as merge.PURGE_MAX_KEYS. Fold equals
+    rebuild bitwise (DECIMAL partials): pytest-pinned and
+    oracle-checked end to end (``mv_join_dim_refresh``)."""
+    keys = dim_changes.select(*on).distinct()
+    scoped = fact.join(F.broadcast(keys), on, "left_semi")
+    delta = scoped.join(F.broadcast(dim_changes), on, "inner")
+    return incremental_agg_refresh(mv, delta, key_cols, sum_cols, op_col)
 
 
 def delta_scoped_recompute(fact: DataFrame, touched_keys: DataFrame,

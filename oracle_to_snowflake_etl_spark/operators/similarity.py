@@ -1234,7 +1234,9 @@ def semantic_dedup_incremental(new_df: DataFrame, corpus: DataFrame,
                                id_col: str = "vec_id",
                                cells: int = IVF_CELLS,
                                centroids: tuple | None = None,
-                               nprobe: int = SEMDEDUP_NPROBE) -> DataFrame:
+                               nprobe: int = SEMDEDUP_NPROBE,
+                               max_cell_pairs: int | None = None
+                               ) -> DataFrame:
     """Incremental :func:`semantic_dedup`: survivors among ``new_df``
     against an already-INGESTED ``corpus`` — a new row is dropped if a
     same-cell near-dup (quantized cosine >= threshold) exists in the
@@ -1266,7 +1268,20 @@ def semantic_dedup_incremental(new_df: DataFrame, corpus: DataFrame,
     SAME value the full runs use — the no-drift contract holds per
     (centroids, nprobe) setting, since both sides' pair visibility is
     "shares any probe cell"; both defaults are ``SEMDEDUP_NPROBE``
-    so default-to-default stays drift-free)."""
+    so default-to-default stays drift-free).
+
+    ``max_cell_pairs``: fail-fast workload budget, the batch form's
+    guard adapted to THIS form's cost shape — per cell the asymmetric
+    GEMM does |new_in_cell| × |cell members| work, so that product is
+    what the metadata-sized pre-check bounds (two hash-agg histograms,
+    never the pair stage itself). Fail-fast ONLY: there is no
+    ``on_hot_cell="subdivide"`` here on purpose — the no-drift
+    contract pins pair visibility to the (centroids, nprobe) geometry
+    shared with the batch runs, and subdividing one batch's cells
+    unilaterally would change which corpus pairs this batch can see.
+    The named remedies keep the contract: re-train finer PINNED
+    centroids (a new index generation on both sides) or raise the
+    budget."""
     if centroids is None:
         centroids = ivf_train_centroids(corpus.unionByName(new_df),
                                         vec_col=vec_col, id_col=id_col)
@@ -1287,6 +1302,28 @@ def semantic_dedup_incremental(new_df: DataFrame, corpus: DataFrame,
         F.lit(0).cast("long").alias("_sd_id"),  # placeholder, never read
         F.col(vec_col).alias("_sd_vec"),
         F.lit(False).alias("_sd_new"))
+    if max_cell_pairs is not None:
+        n = F.count(F.lit(1))
+        hot = (new_a.groupBy("_sd_cell").agg(n.alias("n_new"))
+               .join(corpus_a.unionByName(new_a)
+                     .groupBy("_sd_cell").agg(n.alias("n_all")),
+                     "_sd_cell")
+               .withColumn("pairs",
+                           (F.col("n_new") * F.col("n_all"))
+                           .cast("long"))
+               .where(F.col("pairs") > max_cell_pairs)
+               .orderBy(F.desc("pairs"), F.asc("_sd_cell"))
+               .limit(5).collect())
+        if hot:
+            detail = ", ".join(
+                f"cell {r['_sd_cell']}: new={r['n_new']} "
+                f"all={r['n_all']} pairs={r['pairs']}" for r in hot)
+            raise ValueError(
+                f"semantic_dedup_incremental cell workload over budget "
+                f"(max_cell_pairs={max_cell_pairs}): {detail}. Re-train "
+                f"finer PINNED centroids (both sides — the no-drift "
+                f"contract) or raise the budget; per-batch subdivision "
+                f"is deliberately unsupported here.")
     # corpus rows dominate every new row; within the batch, lower id
     # dominates — same min-id rule as the batch form, applied inside
     # the per-cell GEMM kernel (asymmetric: |new| x |cell|, never

@@ -1062,6 +1062,57 @@ def q_mv_join_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sum_price_dec").cast("double").alias("sum_price"))
 
 
+@register(
+    "mv_join_dim_refresh",
+    f"""
+    SELECT CASE WHEN c.c_custkey % 7 = 3
+                THEN CAST(c.c_nationkey AS BIGINT) + 100
+                ELSE CAST(c.c_nationkey AS BIGINT) END AS nationkey,
+           o.o_orderpriority,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(o.o_totalprice AS {_DECU})) AS DOUBLE)
+               AS sum_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1, 2
+    """)
+def q_mv_join_dim_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIM-side incremental maintenance of a join-aggregate view
+    (operators/mv.py incremental_join_agg_refresh_dim): the
+    (nation, priority) revenue view is built over ALL facts with the
+    original customer dim, then every 7th customer "moves nation"
+    (nationkey + 100) and the move is folded as the classic signed
+    dim-update delta — each affected fact contributes one 'D' partial
+    under the old nation and one 'I' under the new, through ONE
+    key-semi-scoped fact scan; no group is re-aggregated. The oracle
+    is the from-scratch join + GROUP BY under the UPDATED dim —
+    fold-equals-rebuild for dimension churn, the edge fact-side IVM
+    cannot express."""
+    from ..operators.mv import (
+        build_join_agg_view,
+        incremental_join_agg_refresh_dim,
+    )
+
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey",
+        "o_orderpriority", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nationkey"))
+    keys = ["nationkey", "o_orderpriority"]
+    sums = {"sum_price_dec": "o_totalprice"}
+    mv0 = build_join_agg_view(fact, cust, ["c_custkey"], keys, sums)
+    movers = cust.where(F.col("c_custkey") % 7 == 3)
+    changes = (movers.withColumn("op", F.lit("D"))
+               .unionByName(movers.withColumn(
+                   "nationkey", F.col("nationkey") + 100)
+                   .withColumn("op", F.lit("I"))))
+    refreshed = incremental_join_agg_refresh_dim(
+        mv0, changes, fact, ["c_custkey"], keys, sums)
+    return refreshed.select(
+        "nationkey", "o_orderpriority", "n",
+        F.col("sum_price_dec").cast("double").alias("sum_price"))
+
+
 # ---- HyperLogLog register sketch: m=256 buckets over 60-bit md5
 # hashes. Both engines build the IDENTICAL register table (same hash,
 # same bucket split, same first-one rank), so the whole sketch — not

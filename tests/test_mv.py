@@ -413,3 +413,61 @@ def test_join_view_refresh_equals_from_scratch_and_no_drift(spark,
                                          ["c_custkey"], keys, SUMS)
     assert not [t for t in _rows(after)
                 if t[1] == 0 and t[2] == "1-URGENT"]
+
+
+def test_join_view_dim_update_fold_equals_rebuild(spark, sf_dir):
+    """Dim-side join-view IVM (incremental_join_agg_refresh_dim): a
+    dim UPDATE folded as the signed D+I delta equals the from-scratch
+    build under the new dim, bitwise; a dim INSERT retro-activates
+    former FK-orphan facts; a dim DELETE retracts its facts (group to
+    zero drops); groups of unchanged dim keys never drift."""
+    from oracle_to_snowflake_etl_spark.operators.mv import (
+        build_join_agg_view,
+        incremental_join_agg_refresh_dim,
+    )
+
+    fact = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey",
+        "o_orderpriority", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", F.col("c_nationkey").cast("long").alias("nationkey"))
+    keys = ["nationkey", "o_orderpriority"]
+
+    # UPDATE: one customer moves to a fresh nation id
+    mover = cust.orderBy("c_custkey").limit(1)
+    mv0 = build_join_agg_view(fact, cust, ["c_custkey"], keys, SUMS)
+    changes = (mover.withColumn("op", F.lit("D"))
+               .unionByName(mover.withColumn("nationkey", F.lit(777))
+                            .withColumn("op", F.lit("I"))))
+    folded = incremental_join_agg_refresh_dim(
+        mv0, changes, fact, ["c_custkey"], keys, SUMS)
+    new_dim = (cust.join(mover.select("c_custkey"), "c_custkey",
+                         "left_anti")
+               .unionByName(mover.withColumn("nationkey", F.lit(777))))
+    scratch = build_join_agg_view(fact, new_dim, ["c_custkey"],
+                                  keys, SUMS)
+    assert _rows(folded) == _rows(scratch)
+    mk = mover.collect()[0]
+    # unchanged dim keys' groups: identical rows outside the mover's
+    # old and new nations
+    moved = {mk.nationkey, 777}
+    assert ([t for t in _rows(folded) if t[1] not in moved]
+            == [t for t in _rows(mv0) if t[1] not in moved])
+
+    # INSERT retro-activates orphans: build with the mover MISSING,
+    # then fold its arrival
+    without = cust.join(mover.select("c_custkey"), "c_custkey",
+                        "left_anti")
+    mv_orphan = build_join_agg_view(fact, without, ["c_custkey"],
+                                    keys, SUMS)
+    arrived = incremental_join_agg_refresh_dim(
+        mv_orphan, mover.withColumn("op", F.lit("I")), fact,
+        ["c_custkey"], keys, SUMS)
+    assert _rows(arrived) == _rows(mv0)
+
+    # DELETE retracts: folding the mover's removal returns the
+    # without-view
+    gone = incremental_join_agg_refresh_dim(
+        mv0, mover.withColumn("op", F.lit("D")), fact,
+        ["c_custkey"], keys, SUMS)
+    assert _rows(gone) == _rows(mv_orphan)

@@ -464,3 +464,46 @@ def test_on_hot_cell_subdivide_completes_and_matches_unbudgeted(spark):
     with _pt.raises(ValueError, match="cannot be split"):
         semantic_dedup(df2, max_cell_pairs=500,
                        on_hot_cell="subdivide", **kw)
+
+
+def test_incremental_budget_guard_fail_fast(spark):
+    """semantic_dedup_incremental(max_cell_pairs=...): the asymmetric
+    |new| x |cell| workload is pre-checked from metadata-sized
+    histograms — over budget raises naming the cell and the honest
+    remedies (no subdivide here: geometry is pinned by the no-drift
+    contract); under budget the result is identical to the unguarded
+    call."""
+    import numpy as np
+    import pytest as _pt
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        semantic_dedup_incremental,
+    )
+
+    rng = np.random.default_rng(11)
+    d = 64
+    cents = tuple(tuple(1.0 if j == i else 0.0 for j in range(d))
+                  for i in range(4))
+
+    def mk(ids, spread):
+        base = np.zeros(d)
+        base[0] = 1.0
+        rows = []
+        for i in ids:
+            v = base + spread * rng.standard_normal(d)
+            rows.append((i, [float(x) for x in v / np.linalg.norm(v)]))
+        return spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>")
+
+    corpus = mk(range(100), 0.05)          # 100 rows in cell 0
+    new = mk(range(1000, 1040), 0.05)      # 40 new rows, same cell
+    kw = dict(threshold_q6=998_000, cells=4, centroids=cents, nprobe=2)
+    free = {r.vec_id for r in
+            semantic_dedup_incremental(new, corpus, **kw).collect()}
+    guarded = {r.vec_id for r in
+               semantic_dedup_incremental(
+                   new, corpus, max_cell_pairs=100_000, **kw).collect()}
+    assert guarded == free  # the guard reads, never filters
+    with _pt.raises(ValueError, match="per-batch subdivision"):
+        semantic_dedup_incremental(new, corpus, max_cell_pairs=1_000,
+                                   **kw)
