@@ -1935,6 +1935,454 @@ def _int8_cut_and_rescore(part_top: DataFrame, corpus: DataFrame,
             .select("query_id", "neighbor_id", "sim_q6"))
 
 
+#: product-quantization geometry: PQ_M subspaces of dims/PQ_M elements,
+#: PQ_K codewords per subspace -> PQ_M bytes per vector at rest (8 B at
+#: the 64-dim default: 8x under the int8 codes, 32x under float32 —
+#: the FAISS IVFPQ storage point, expressed Spark-first)
+PQ_M = 8
+PQ_K = 16
+
+
+def pq_train_codebooks(corpus: DataFrame, m: int = PQ_M, k: int = PQ_K,
+                       dims: int = DEFAULT_DIMS,
+                       sample: int = 4096, iters: int = 10,
+                       vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> tuple:
+    """Deterministic per-subspace L2 k-means codebooks for product
+    quantization (Jégou, Douze, Schmid 2011, TPAMI — 'Product
+    quantization for nearest neighbor search'): the vector is split
+    into ``m`` contiguous subspaces and each learns its own ``k``
+    centroids, so a code of m small integers (m bytes at k<=256)
+    reconstructs the vector as the concatenation of its per-subspace
+    codewords. Determinism follows the house k-means recipe
+    (:func:`ivf_train_centroids`): lowest-hash sample of ``sample``
+    vectors, per-subspace first-k-DISTINCT member seeding (L2 space —
+    the md5 unit-sphere matrix is meaningless off the sphere), exactly
+    ``iters`` Lloyd's rounds, empty cells keep their centroid. Same
+    corpus -> byte-identical codebooks, which is what lets the DuckDB
+    oracle embed the training output as a literal
+    (tools/train_pq_snapshot.py, the IVF_SNAPSHOT convention).
+
+    Returns ``tuple[m]`` of ``tuple[k]`` of ``tuple[dims//m]``."""
+    from ..functions.hashing import hash60
+
+    if dims % m:
+        raise ValueError(f"dims={dims} not divisible by m={m}")
+    s = (corpus.select(F.col(vec_col).alias("v"),
+                       hash60(F.col(id_col).cast("string")).alias("_h"))
+         .orderBy("_h", F.col("v")[0])
+         .limit(sample))
+    X = np.stack([r.v for r in s.collect()]).astype(np.float64)
+    ds = dims // m
+    books = []
+    for j in range(m):
+        Xj = X[:, j * ds:(j + 1) * ds]
+        _, first = np.unique(Xj.round(12), axis=0, return_index=True)
+        seeds = Xj[np.sort(first)[:k]]
+        C = np.zeros((k, ds), dtype=np.float64)
+        C[:len(seeds)] = seeds
+        for _ in range(iters):
+            d2 = ((Xj[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                mem = Xj[a == c]
+                if len(mem):
+                    C[c] = mem.mean(axis=0)
+        books.append(tuple(tuple(float(x) for x in row) for row in C))
+    return tuple(books)
+
+
+def _pq_encode_np(X: "np.ndarray", CB: tuple) -> "np.ndarray":
+    """(n, m) int64 PQ codes with the EXACT arithmetic of the DuckDB
+    oracle: per subspace, squared L2 to every codeword via the
+    sequential cumsum fold (mirroring list_reduce's left fold), argmin
+    with first-min ties (mirroring list_position-of-list_min)."""
+    n, dims = X.shape
+    m = len(CB)
+    ds = dims // m
+    codes = np.empty((n, m), dtype=np.int64)
+    for j in range(m):
+        C = np.asarray(CB[j], dtype=np.float64)
+        diff = X[:, None, j * ds:(j + 1) * ds] - C[None, :, :]
+        d2 = np.cumsum(diff * diff, axis=2)[:, :, -1]
+        codes[:, j] = np.argmin(d2, axis=1)
+    return codes
+
+
+def _pq_lut_np(Q: "np.ndarray", CB: tuple) -> "np.ndarray":
+    """(nq, m, k) float64 ADC lookup tables — LUT[q, j, c] =
+    dot(q_subspace_j, codeword_c) via the same sequential fold the
+    oracle's inner list_reduce performs."""
+    nq, dims = Q.shape
+    m = len(CB)
+    ds = dims // m
+    k = len(CB[0])
+    lut = np.empty((nq, m, k), dtype=np.float64)
+    for j in range(m):
+        C = np.asarray(CB[j], dtype=np.float64)
+        prod = Q[:, None, j * ds:(j + 1) * ds] * C[None, :, :]
+        lut[:, j, :] = np.cumsum(prod, axis=2)[:, :, -1]
+    return lut
+
+
+def ann_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                rescore: int = 3, codebooks: tuple | None = None,
+                vec_col: str = "embedding", id_col: str = "vec_id",
+                max_queries: int = ANN_INT8_MAX_QUERIES) -> DataFrame:
+    """Product-quantization ANN top-k via asymmetric distance
+    computation (ADC): the scan term reads PQ codes — ``PQ_M`` bytes
+    per vector, 8x smaller than the int8 store, 32x smaller than
+    float32 — scores every (query, vector) pair as a sum of m table
+    lookups (no per-pair arithmetic beyond m adds), and exact-rescores
+    only ``k * rescore`` float candidates per query. Same output
+    contract as :func:`brute_force_topk` / :func:`ann_int8_topk`:
+    (query_id, neighbor_id, sim_q6), self-matches excluded, total
+    order (score DESC, neighbor_id ASC).
+
+    Why this exists at 100 TB: the int8 path's scan term is
+    dims bytes/vector; PQ cuts it to m bytes/vector (64 -> 8 at the
+    default geometry) — the difference between a 6.4 TB and an 0.8 TB
+    scan per full pass over a 100-billion-vector corpus — at the price
+    of a coarser first-pass ranking (recall is bought back by the
+    exact rescore widening, the ``rescore`` dial; measured floor
+    pinned in tests/test_recall.py). This is FAISS's IVFPQ storage
+    point re-hosted on the repo's Arrow-scan + window-cut machinery;
+    compose with IVF cells exactly like :func:`ann_int8_topk`
+    (store codes partitionBy(cell)) when probing should also prune
+    the scan.
+
+    Cross-engine determinism (the family contract): codes are
+    assigned by the oracle's own sequential-fold L2 with first-min
+    ties (:func:`_pq_encode_np`); the ADC score folds the m lookup
+    terms LEFT TO RIGHT from 0.0 (:func:`_pq_scan_kernel`) exactly as
+    the oracle's list_reduce; ties break on neighbor_id; the rescore
+    is the family's sequential-fold cos_q6. ``codebooks=None`` trains
+    on the corpus (:func:`pq_train_codebooks`, deterministic);
+    differential mirrors pass the committed snapshot
+    (operators/pq_snapshot.py)."""
+    qrows = (queries.select(F.col(id_col), F.col(vec_col))
+             .limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}: the "
+            f"broadcast ADC path is for bounded query batches.")
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim_q6 long")
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus, vec_col=vec_col,
+                                       id_col=id_col)
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Qf = np.array([r[1] for r in qrows], dtype=np.float64)
+    lut = _pq_lut_np(Qf, codebooks)
+    bc = corpus.sparkSession.sparkContext.broadcast(
+        (q_ids, lut, codebooks))
+    r_cut = k * rescore
+    scan = _pq_scan_kernel(bc, r_cut)
+    qc = corpus.select(F.col(id_col).alias("neighbor_id"),
+                       F.col(vec_col).alias("c_vec"))
+    part_top = qc.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, approx double")
+    return _int8_cut_and_rescore(part_top, corpus, queries, k, r_cut,
+                                 vec_col, id_col)
+
+
+def _pq_scan_kernel(bc, r_cut: int):
+    """Arrow scan kernel of :func:`ann_pq_topk`: encode the batch
+    under the broadcast codebooks (in production the codes are the
+    at-rest store and this step is a read), gather each query's ADC
+    score as a LEFT FOLD of m LUT lookups (term order mirrors the
+    oracle's list_reduce), mask self-matches, emit the per-partition
+    top ``r_cut`` per query under (approx DESC, neighbor ASC) — the
+    distributive-top-k cut shared with :func:`_int8_scan_kernel`."""
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        q_ids, lut, CB = bc.value
+        m = len(CB)
+        bq: list[np.ndarray] = []
+        bn: list[np.ndarray] = []
+        bs: list[np.ndarray] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            X = np.stack(pdf["c_vec"].values).astype(np.float64)
+            codes = _pq_encode_np(X, CB)
+            # approx[q, row]: left fold over j from 0.0 — exact mirror
+            # of list_reduce(list_prepend(0.0, terms), +)
+            S = np.zeros((q_ids.shape[0], nid.shape[0]),
+                         dtype=np.float64)
+            for j in range(m):
+                S += lut[:, j, codes[:, j]]
+            S[q_ids[:, None] == nid[None, :]] = -np.inf
+            cut = min(r_cut, nid.shape[0])
+            for qi in range(q_ids.shape[0]):
+                col = S[qi]
+                order = np.lexsort((nid, -col))[:cut]
+                keep = np.isfinite(col[order])
+                order = order[keep]
+                bq.append(np.full(order.shape[0], q_ids[qi],
+                                  dtype=np.int64))
+                bn.append(nid[order])
+                bs.append(col[order])
+        if not bq:
+            return
+        yield pd.DataFrame({
+            "query_id": np.concatenate(bq),
+            "neighbor_id": np.concatenate(bn),
+            "approx": np.concatenate(bs)})
+
+    return scan
+
+
+def codebook_md5(codebooks: tuple) -> str:
+    """Geometry fingerprint of a PQ codebook set — the
+    :func:`centroid_md5` convention applied to the second geometry an
+    IVFPQ store carries: rows encoded under foreign codebooks decode
+    to the wrong reconstructions just as silently as rows assigned
+    under foreign centroids land in the wrong cells."""
+    import hashlib
+
+    return hashlib.md5(
+        repr(tuple(tuple(tuple(float(x) for x in row) for row in book)
+                   for book in codebooks)).encode()).hexdigest()
+
+
+def _write_codebooks(spark, path: str, codebooks: tuple) -> None:
+    """Persist the PQ codebooks INTO an index directory
+    (``_codebooks`` parquet sidecar, the ``_centroids`` convention):
+    whichever codebooks encoded the rows travel with them."""
+    rows = [(j, c, list(w)) for j, book in enumerate(codebooks)
+            for c, w in enumerate(book)]
+    (spark.createDataFrame(rows, "sub int, code int, w array<double>")
+     .repartition(1)  # not coalesce(1) — see _write_centroids
+     .write.mode("overwrite").parquet(path + "/_codebooks"))
+
+
+def read_pq_codebooks(spark, index_path: str) -> tuple:
+    """The codebooks a :func:`write_pq_index` store was encoded with,
+    from its ``_codebooks`` sidecar."""
+    rows = spark.read.parquet(index_path + "/_codebooks") \
+        .orderBy("sub", "code").collect()
+    books: dict[int, list] = {}
+    for r in rows:
+        books.setdefault(r.sub, []).append(tuple(r.w))
+    return tuple(tuple(books[j]) for j in sorted(books))
+
+
+def write_pq_index(corpus: DataFrame, path: str,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   cells: int = IVF_CELLS,
+                   centroids: tuple | None = None,
+                   codebooks: tuple | None = None) -> None:
+    """Materialize the IVFPQ index AT REST: PQ codes (``PQ_M`` bytes
+    per vector — 8x under the int8 store, 32x under float32) written
+    ``partitionBy(cell)``, so :func:`ann_ivf_pq_topk` gets BOTH wins
+    as plan-real facts: probing opens only probed directories
+    (partition pruning via the shared one-glob resolution) and the
+    bytes under them are the m-byte codes. Float vectors do NOT live
+    in this index — the rescore reads them from the primary table for
+    candidates only. Both geometries travel with the store
+    (``_centroids`` + ``_meta`` for the cells, ``_codebooks`` for the
+    quantizer); a probe or decode under foreign geometry is the same
+    silent-wrong-neighbors failure the int8 family's stamps exist to
+    prevent, so the readers load the stored matrices by default and
+    explicitly-passed ones are md5-checked."""
+    spark = corpus.sparkSession
+    if centroids is None:
+        centroids = ivf_train_centroids(corpus, cells, vec_col=vec_col,
+                                        id_col=id_col)
+    if codebooks is None:
+        codebooks = pq_train_codebooks(corpus, vec_col=vec_col,
+                                       id_col=id_col)
+    from pyspark.sql.functions import pandas_udf
+
+    cb = codebooks
+
+    @pandas_udf("binary")
+    def _enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        codes = _pq_encode_np(np.stack(v.values).astype(np.float64), cb)
+        return pd.Series([r.astype(np.uint8).tobytes() for r in codes])
+
+    out = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_cell(F.col(vec_col), len(centroids),
+                 centroids=centroids).alias("cell"),
+        _enc(F.col(vec_col)).alias("pqb"))
+    (out.repartition(len(centroids), "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(path))
+    _write_centroids(spark, path, centroids)
+    _write_codebooks(spark, path, codebooks)
+
+
+def ann_ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                    nprobe: int = IVF_NPROBE, rescore: int = 3,
+                    cells: int = IVF_CELLS,
+                    centroids: tuple | None = None,
+                    codebooks: tuple | None = None,
+                    vec_col: str = "embedding", id_col: str = "vec_id",
+                    max_queries: int = ANN_INT8_MAX_QUERIES,
+                    index_path: str | None = None) -> DataFrame:
+    """IVFPQ — the composed FAISS-style 100 TB ANN path with PQ codes
+    as the scan term: a corpus vector is scored for a query only if
+    its (single-assign) cell is among the query's ``nprobe`` probed
+    cells, scoring is the ADC left fold of :func:`ann_pq_topk` (m
+    lookup adds per surviving pair), and floats are touched only to
+    rescore ``k * rescore`` candidates per query. With ``index_path``
+    (a :func:`write_pq_index` store) both wins are plan-real: the
+    probed cells' directories are resolved with ONE glob
+    (:func:`_probed_cell_dirs` — the int8 family's discovery) and the
+    scanned bytes are the m-byte codes, so a full pass over a
+    100-billion-vector corpus reads ~nprobe/cells x 0.8 TB instead of
+    nprobe/cells x 6.4 TB (int8) or 25.6 TB (float32). Recall is the
+    product of the two approximations and is bought back by ``nprobe``
+    and ``rescore`` (both dials measured in tests/test_recall.py).
+
+    Cross-engine determinism: the family contract — probe sets from
+    the stable argsort, codes from the sequential-fold L2 argmin, ADC
+    as the j-ordered left fold, ties on neighbor_id, sequential-fold
+    cos_q6 rescore. ``centroids``/``codebooks`` default to the STORED
+    matrices when ``index_path`` is given (explicit ones are
+    md5-checked against the stamps) and to corpus training otherwise.
+    """
+    qrows = (queries.select(F.col(id_col), F.col(vec_col))
+             .limit(max_queries + 1).collect())
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"query set exceeds max_queries={max_queries}: the "
+            f"broadcast ADC path is for bounded query batches.")
+    spark = corpus.sparkSession
+    if not qrows:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim_q6 long")
+    if index_path is not None:
+        stored_c = read_ivf_centroids(spark, index_path)
+        if centroids is not None and \
+                centroid_md5(centroids) != centroid_md5(stored_c):
+            raise ValueError(
+                f"ann_ivf_pq_topk: centroids do not match the geometry "
+                f"the index at {index_path} was written with — probing "
+                f"a foreign matrix silently probes the wrong cells. "
+                f"Pass centroids=None to use the stored matrix.")
+        centroids = stored_c
+        stored_b = read_pq_codebooks(spark, index_path)
+        if codebooks is not None and \
+                codebook_md5(codebooks) != codebook_md5(stored_b):
+            raise ValueError(
+                f"ann_ivf_pq_topk: codebooks do not match the ones the "
+                f"index at {index_path} was encoded with — decoding "
+                f"under a foreign quantizer silently mis-scores every "
+                f"candidate. Pass codebooks=None to use the stored "
+                f"codebooks.")
+        codebooks = stored_b
+    else:
+        if centroids is None:
+            centroids = ivf_train_centroids(corpus, cells,
+                                            vec_col=vec_col,
+                                            id_col=id_col)
+        if codebooks is None:
+            codebooks = pq_train_codebooks(corpus, vec_col=vec_col,
+                                           id_col=id_col)
+    n_cells = len(centroids)
+    q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Qf = np.array([r[1] for r in qrows], dtype=np.float64)
+    C = np.array(centroids, dtype=np.float64)
+    probe_rows = _probe_cells_np(Qf, C, min(nprobe, n_cells))
+    allowed = np.zeros((n_cells, q_ids.shape[0]), dtype=bool)
+    for qi, row in enumerate(probe_rows):
+        allowed[row, qi] = True
+    lut = _pq_lut_np(Qf, codebooks)
+    bc = spark.sparkContext.broadcast(
+        (q_ids, lut, codebooks, allowed))
+    r_cut = k * rescore
+    scan = _ivf_pq_scan_kernel(bc, r_cut)
+    if index_path is not None:
+        probed = sorted({int(c) for row in probe_rows for c in row})
+        paths = _probed_cell_dirs(spark, index_path, probed)
+        if not paths:
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, sim_q6 long")
+        qc = (spark.read.option("basePath", index_path)
+              .schema("neighbor_id long, pqb binary, cell int")
+              .parquet(*paths)
+              .where(F.col("cell").isin(probed))
+              .select("neighbor_id", "cell", "pqb"))
+    else:
+        qc = corpus.select(F.col(id_col).alias("neighbor_id"),
+                           ivf_cell(F.col(vec_col), n_cells,
+                                    centroids=centroids).alias("cell"),
+                           F.col(vec_col).alias("c_vec"))
+    part_top = qc.mapInPandas(
+        scan, schema="query_id long, neighbor_id long, approx double")
+    return _int8_cut_and_rescore(part_top, corpus, queries, k, r_cut,
+                                 vec_col, id_col)
+
+
+def _ivf_pq_scan_kernel(bc, r_cut: int):
+    """Arrow scan kernel of :func:`ann_ivf_pq_topk`: decode (at-rest
+    ``pqb`` binary — one frombuffer per batch) or encode (in-memory
+    float rows) the PQ codes, fold the ADC score left-to-right over
+    subspaces, mask (cell not probed by query) and self-match pairs to
+    -inf, emit per-partition top ``r_cut`` per query under the total
+    order — :func:`_pq_scan_kernel` with the IVF probe mask of
+    :func:`_int8_scan_kernel`."""
+
+    def scan(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        q_ids, lut, CB, allowed = bc.value
+        m = len(CB)
+        bq: list[np.ndarray] = []
+        bn: list[np.ndarray] = []
+        bs: list[np.ndarray] = []
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            nid = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            cell = pdf["cell"].to_numpy(dtype=np.int64)
+            if "pqb" in pdf.columns:
+                if pdf["pqb"].isna().any():
+                    raise ValueError(
+                        "PQ index store has NULL pqb rows: the packed "
+                        "code column is NOT NULL by construction "
+                        "(write_pq_index) — the store is corrupt or "
+                        "was written by something else.")
+                buf = b"".join(pdf["pqb"])
+                if not buf:
+                    continue
+                codes = np.frombuffer(buf, dtype=np.uint8) \
+                    .reshape(len(pdf), m).astype(np.int64)
+            else:
+                X = np.stack(pdf["c_vec"].values).astype(np.float64)
+                codes = _pq_encode_np(X, CB)
+            S = np.zeros((q_ids.shape[0], nid.shape[0]),
+                         dtype=np.float64)
+            for j in range(m):
+                S += lut[:, j, codes[:, j]]
+            # IVF mask: a pair survives only when the row's cell is
+            # among the query's probes (allowed is cells x nq)
+            S[~allowed[cell].T] = -np.inf
+            S[q_ids[:, None] == nid[None, :]] = -np.inf
+            cut = min(r_cut, nid.shape[0])
+            for qi in range(q_ids.shape[0]):
+                col = S[qi]
+                order = np.lexsort((nid, -col))[:cut]
+                keep = np.isfinite(col[order])
+                order = order[keep]
+                bq.append(np.full(order.shape[0], q_ids[qi],
+                                  dtype=np.int64))
+                bn.append(nid[order])
+                bs.append(col[order])
+        if not bq:
+            return
+        yield pd.DataFrame({
+            "query_id": np.concatenate(bq),
+            "neighbor_id": np.concatenate(bn),
+            "approx": np.concatenate(bs)})
+
+    return scan
+
+
 def ann_ivf_int8_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                       nprobe: int = IVF_NPROBE, rescore: int = 3,
                       cells: int = IVF_CELLS,

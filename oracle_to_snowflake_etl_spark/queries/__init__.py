@@ -134,8 +134,14 @@ PRIORITY = [
     # (round-13: ann_ivf_int8_append — the grown base+appended store
     # must be indistinguishable from indexed-at-once, VERDICT r12
     # Missing #1)
-    "mm_audio_features", "ann_int8_topk", "ann_ivf_int8_topk",
-    "ann_ivf_int8_append", "emb_cell_sample", "ann_srp_neardup",
+    # (round-14 late rotation: ann_ivf_pq_topk — the new at-rest IVFPQ
+    # composition — takes the driver slot of ann_int8_topk (the
+    # floor-bound 2k-corpus toy the r13 verdict itself flagged;
+    # long-stable, full-local + recall-pytested) and
+    # mv_join_dim_refresh takes ann_srp_neardup's (stable since r8,
+    # recall-pytested; SRP keeps ann_srp_incremental full-local).)
+    "mm_audio_features", "ann_ivf_pq_topk", "ann_ivf_int8_topk",
+    "ann_ivf_int8_append", "emb_cell_sample", "mv_join_dim_refresh",
     # Text analysis (text_quality_filter stays full-local-checked; its
     # slot carries the round-4 MV-maintenance family instead)
     # (text_lang_id rotated to full-local in round 11 — floor-class
