@@ -2988,6 +2988,27 @@ def compact_ivf_int8_index(spark, path: str,
     partitioned index layout: the generic form rewrites the WHOLE
     directory (and would destroy the partition structure the probed
     scan's pruning depends on)."""
+    return _compact_cell_store(
+        spark, path, "neighbor_id long, scale double, qb binary, cell int",
+        max_files_per_cell)
+
+
+def compact_pq_index(spark, path: str,
+                     max_files_per_cell: int = 4) -> int:
+    """:func:`compact_ivf_int8_index` for the PQ store layout
+    (:func:`write_pq_index` / :func:`append_pq_index` — same cell
+    partitioning, m-byte ``pqb`` codes instead of int8 rows): cells
+    fragmented past ``max_files_per_cell`` are rewritten as one file,
+    under-threshold cells byte-identical, sidecars untouched."""
+    return _compact_cell_store(
+        spark, path, "neighbor_id long, pqb binary, cell int",
+        max_files_per_cell)
+
+
+def _compact_cell_store(spark, path: str, schema: str,
+                        max_files_per_cell: int) -> int:
+    """Shared per-cell compaction core of the at-rest index family
+    (int8 and PQ layouts differ only in their row schema)."""
     from ..sources.readers import overwrite_partitions_dynamic
 
     jvm = spark._jvm
@@ -3015,7 +3036,7 @@ def compact_ivf_int8_index(spark, path: str,
         return 0
     dirs = [f"{path}/cell={c}" for c in sorted(frag)]
     df = (spark.read.option("basePath", path)
-          .schema("neighbor_id long, scale double, qb binary, cell int")
+          .schema(schema)
           .parquet(*dirs)
           .where(F.col("cell").isin(frag)))
     # force the read to finish before the overwrite replaces the files
@@ -3026,6 +3047,63 @@ def compact_ivf_int8_index(spark, path: str,
     overwrite_partitions_dynamic(df, path, ["cell"])
     df.unpersist()
     return len(frag)
+
+
+def append_pq_index(batch: DataFrame, path: str,
+                    vec_col: str = "embedding",
+                    id_col: str = "vec_id") -> int:
+    """Grow a :func:`write_pq_index` store WITHOUT the O(index)
+    rebuild — :func:`append_ivf_int8_index`'s contract for the PQ
+    layout: the batch is cell-assigned under the STORED ``_centroids``
+    and encoded under the STORED ``_codebooks`` (both geometries are
+    non-negotiable — foreign matrices put rows in wrong cells or
+    mis-score every candidate, and there is no explicit-matrix
+    parameter here on purpose: the store's stamps are the only source
+    of truth for an append), and its packed rows are appended into
+    their ``cell=`` partitions — cost ∝ batch, readers keep working
+    mid-append, one new file per touched cell. Streamed
+    ``batch=/cell=`` layouts refuse (same reader-mixing hazard as the
+    int8 append). Fold small files back with :func:`compact_pq_index`.
+    Returns the number of rows appended."""
+    spark = batch.sparkSession
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(path)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        raise ValueError(
+            f"append_pq_index: no index at {path} — a store without "
+            f"_centroids/_codebooks is not a PQ index. Build one "
+            f"first (write_pq_index).")
+    for st in fs.listStatus(base):
+        if (st.isDirectory()
+                and st.getPath().getName().startswith("batch=")):
+            raise ValueError(
+                f"index at {path} is a STREAMED batch=/cell= store: "
+                f"batch appends into it would mix partition layouts "
+                f"under one root and break the reader.")
+    centroids = read_ivf_centroids(spark, path)
+    codebooks = read_pq_codebooks(spark, path)
+    from pyspark.sql.functions import pandas_udf
+
+    cb = codebooks
+
+    @pandas_udf("binary")
+    def _enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        codes = _pq_encode_np(np.stack(v.values).astype(np.float64), cb)
+        return pd.Series([r.astype(np.uint8).tobytes() for r in codes])
+
+    out = batch.select(
+        F.col(id_col).alias("neighbor_id"),
+        ivf_cell(F.col(vec_col), len(centroids),
+                 centroids=centroids).alias("cell"),
+        _enc(F.col(vec_col)).alias("pqb"))
+    out = out.repartition(F.col("cell")).persist()
+    n = out.count()
+    out.write.mode("append").partitionBy("cell").parquet(path)
+    out.unpersist()
+    return n
 
 
 def read_ivf_centroids(spark, index_path: str) -> tuple:

@@ -436,3 +436,67 @@ def test_ivf_pq_indexed_equals_inmemory_and_guards(spark, emb, tmp_path):
     with _pt.raises(ValueError, match="foreign quantizer"):
         ann_ivf_pq_topk(emb, q, k=10, index_path=idx,
                         codebooks=foreign_b)
+
+
+def test_pq_append_compact_purge_lifecycle(spark, emb, tmp_path):
+    """The PQ store supports the int8 store's full lifecycle: append
+    under the STORED geometries equals indexed-at-once (probed scan
+    identical), compaction folds the append's small files back with
+    under-threshold cells byte-identical, and the layout-agnostic
+    purge removes forgotten neighbor_ids while the sidecars survive."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        append_pq_index,
+        compact_pq_index,
+        ivf_train_centroids,
+        pq_train_codebooks,
+        purge_ann_index_keys,
+        read_ivf_centroids,
+        write_pq_index,
+    )
+
+    cents = ivf_train_centroids(emb)
+    books = pq_train_codebooks(emb)
+    whole = str(tmp_path / "whole")
+    grown = str(tmp_path / "grown")
+    write_pq_index(emb, whole, centroids=cents, codebooks=books)
+    write_pq_index(emb.where(F.col("vec_id") % 4 != 3), grown,
+                   centroids=cents, codebooks=books)
+    n = append_pq_index(emb.where(F.col("vec_id") % 4 == 3), grown)
+    assert n == emb.where(F.col("vec_id") % 4 == 3).count()
+    q = emb.where(F.col("vec_id") < 20)
+    a = sorted(map(tuple, ann_ivf_pq_topk(
+        emb, q, k=10, index_path=whole).collect()))
+    b = sorted(map(tuple, ann_ivf_pq_topk(
+        emb, q, k=10, index_path=grown).collect()))
+    assert a == b and a  # append == index-at-once on the serving path
+
+    def files_of(path, cell):
+        d = os.path.join(path, f"cell={cell}")
+        return {f for f in os.listdir(d) if f.startswith("part-")}
+
+    cells_dirs = sorted(int(d.split("=")[1]) for d in os.listdir(grown)
+                        if d.startswith("cell="))
+    before = {c: files_of(grown, c) for c in cells_dirs}
+    frag = [c for c in cells_dirs if len(before[c]) > 1]
+    assert frag  # the append fragmented at least one cell
+    compacted = compact_pq_index(spark, grown, max_files_per_cell=1)
+    assert compacted == len(frag)
+    for c in cells_dirs:
+        if c not in frag:
+            assert files_of(grown, c) == before[c]  # byte-identical
+    assert b == sorted(map(tuple, ann_ivf_pq_topk(
+        emb, q, k=10, index_path=grown).collect()))
+
+    victims = [r.vec_id for r in
+               emb.where(F.col("vec_id") % 11 == 5)
+               .select("vec_id").collect()]
+    removed = purge_ann_index_keys(spark, grown, victims)
+    assert removed == len(victims)
+    assert read_ivf_centroids(spark, grown) == cents  # sidecars live
+    got = ann_ivf_pq_topk(emb, q, k=10, index_path=grown).collect()
+    assert got and not {r.neighbor_id for r in got} & set(victims)
