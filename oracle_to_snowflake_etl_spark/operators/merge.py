@@ -326,11 +326,16 @@ def _purge_key_frames(spark, tbl: DataFrame, keys: list, key_col: str):
 def purge_keys(spark, path: str, keys, key_col: str,
                partition_cols: list[str],
                max_keys: int = PURGE_MAX_KEYS,
-               partition_of=None) -> int:
+               partition_of=None, detail: bool = False):
     """Compliance delete (right-to-be-forgotten) on one partitioned
     parquet store: remove every row whose ``key_col`` is in ``keys``,
     rewriting ONLY the partitions that contain at least one such row.
-    Returns the number of rows removed.
+    Returns the number of rows removed — or, with ``detail=True``, the
+    tuple ``(removed, touched, emptied)`` where ``touched``/``emptied``
+    are the partition tuples the purge rewrote / fully removed (the
+    scoping a caller with derived per-partition state needs:
+    purge_ann_index_keys cleans up ONLY batch dirs this purge emptied,
+    never a concurrent writer's brand-new ones — ADVICE r14).
 
     Cost contract, split honestly (the two steps scale differently):
     the REWRITE is ∝ the affected partitions' data, never table size —
@@ -369,7 +374,7 @@ def purge_keys(spark, path: str, keys, key_col: str,
             f"corpus-sized deletions are a reprocessing job (anti-join "
             f"rewrite), not a compliance purge.")
     if not keys:
-        return 0
+        return (0, [], []) if detail else 0
     from ..sources.readers import overwrite_partitions_dynamic
 
     tbl = spark.read.parquet(path)
@@ -386,7 +391,7 @@ def purge_keys(spark, path: str, keys, key_col: str,
     touched = [tuple(r) for r in
                hit(tbl).select(*partition_cols).distinct().collect()]
     if not touched:
-        return 0
+        return (0, [], []) if detail else 0
     scoped = tbl.where(_partition_predicate(touched, partition_cols))
     kept = keep(scoped)
     # execute everything that reads the current files BEFORE the
@@ -405,7 +410,8 @@ def purge_keys(spark, path: str, keys, key_col: str,
                            for c, v in zip(partition_cols, t))
             p = jvm.org.apache.hadoop.fs.Path(f"{path}/{seg}")
             p.getFileSystem(hconf).delete(p, True)
-    return n_before - n_kept
+    removed = n_before - n_kept
+    return (removed, touched, emptied) if detail else removed
 
 
 def purge_keys_everywhere(spark, stores: list[dict], keys,

@@ -91,20 +91,33 @@ def hll_estimate(registers: DataFrame,
     """(group_cols..., used, est) estimate rows from a register table
     (one row total without ``group_cols``). The harmonic sum is
     computed as Σ 2^(61-maxr) in exact DECIMAL (absent buckets
-    contribute 2^61), so the only float steps are one cast and two
-    divisions — bit-identical across engines and partitionings."""
+    contribute 2^61), so the only float steps are one cast, two
+    divisions and (in the small range) one log — performed in the
+    same order on both engines.
+
+    Small-range correction (Flajolet et al. 2007 §4): the raw
+    harmonic estimator floors at ~alpha*m for near-empty sketches
+    (empty buckets dominate the sum), so when raw <= 2.5*m and empty
+    buckets remain, the estimate switches to linear counting
+    m*ln(m/V) over the V empty buckets — without it a 14-distinct
+    group estimates ~190 at m=256 (caught by the mv_hll_refresh
+    no-drift test). Mirrored verbatim in every HLL oracle SQL."""
     s = registers.groupBy(*group_cols).agg(
         F.count(F.lit(1)).alias("used"),
         F.sum(F.expr("cast(shiftleft(cast(1 as bigint), "
                      "cast(61 - maxr as int)) as decimal(38,0))"))
          .alias("t_used"))
-    return s.select(
-        *group_cols, "used",
-        (F.lit(HLL_ALPHA_M2) /
-         ((F.col("t_used")
-           + (F.lit(HLL_M) - F.col("used")).cast("decimal(38,0)")
-           * F.lit(HLL_POW).cast("decimal(38,0)")).cast("double")
-          / F.lit(float(HLL_POW)))).alias("est"))
+    raw = (F.lit(HLL_ALPHA_M2) /
+           ((F.col("t_used")
+             + (F.lit(HLL_M) - F.col("used")).cast("decimal(38,0)")
+             * F.lit(HLL_POW).cast("decimal(38,0)")).cast("double")
+            / F.lit(float(HLL_POW))))
+    empties = (F.lit(HLL_M) - F.col("used")).cast("double")
+    est = F.when(
+        (raw <= F.lit(2.5 * HLL_M)) & (F.col("used") < F.lit(HLL_M)),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / empties)
+    ).otherwise(raw)
+    return s.select(*group_cols, "used", est.alias("est"))
 
 
 def count_min_table(items: DataFrame, item_col: str = "tok",

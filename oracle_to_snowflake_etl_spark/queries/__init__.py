@@ -107,9 +107,22 @@ PRIORITY = [
     # dedup_containment_scale, the round-6 top-item scale-safe path,
     # so the hot-key-window fix sits under the driver's hard signal
     # alongside the window-path originals the verdict pinned)
-    "dedup_containment_scale", "dedup_minhash_lsh",
+    # (round-15 rotation, VERDICT r14 ask #7: the three round-15
+    # registrations — ann_ivf_int8_filtered + ann_ivf_pq_filtered
+    # (attribute-filtered ANN, Missing #1, both filter mechanisms)
+    # and mv_hll_refresh (HLL distinct-count MV, Missing #3) — plus
+    # three long-dormant rotate-backs the verdict named
+    # (recursive_key_depth, pivot_priority_status, hist_order_totals).
+    # Rotated to full-local: dedup_containment_scale +
+    # dedup_ngram_jaccard (both stable since r6/r2; containment keeps
+    # its incr slot, ngram keeps the auto decision path),
+    # mm_audio_features (stable since r10; audio keeps
+    # mm_audio_neardup_incr), emb_cell_sample (stable since r12,
+    # pytest-covered), and the two r13 rotate-backs cycling out again
+    # (text_repeated_spans, ev_gapfill_hourly).)
+    "dedup_minhash_lsh",
     "dedup_containment_incr",
-    "dedup_ngram_jaccard", "dedup_clusters",
+    "dedup_clusters",
     # round-8: the auto decision path under the hard driver signal,
     # alongside the pinned window/scale originals; dedup_containment_drop
     # rotated to full-local (containment keeps its scale + incr driver
@@ -140,8 +153,9 @@ PRIORITY = [
     # long-stable, full-local + recall-pytested) and
     # mv_join_dim_refresh takes ann_srp_neardup's (stable since r8,
     # recall-pytested; SRP keeps ann_srp_incremental full-local).)
-    "mm_audio_features", "ann_ivf_pq_topk", "ann_ivf_int8_topk",
-    "ann_ivf_int8_append", "emb_cell_sample", "mv_join_dim_refresh",
+    "ann_ivf_pq_topk", "ann_ivf_int8_topk",
+    "ann_ivf_int8_append", "ann_ivf_int8_filtered",
+    "ann_ivf_pq_filtered", "mv_join_dim_refresh",
     # Text analysis (text_quality_filter stays full-local-checked; its
     # slot carries the round-4 MV-maintenance family instead)
     # (text_lang_id rotated to full-local in round 11 — floor-class
@@ -157,7 +171,8 @@ PRIORITY = [
     # stat_trend_daily_revenue (long-stable exact-sum OLS, full-local
     # + pytest since r5).)
     "text_quality_features", "mm_audio_neardup_incr",
-    "mv_incremental_refresh", "mv_join_refresh", "text_lang_id",
+    "mv_incremental_refresh", "mv_join_refresh", "mv_hll_refresh",
+    "text_lang_id",
     # (text_corpus_quantiles + pii_redact_contacts rotated to full-local
     # in round 5; their slots carry the r4 skew-diagnosis + exact-sum
     # stats family)
@@ -170,7 +185,6 @@ PRIORITY = [
     # (round-13: text_repeated_spans rotates BACK in per VERDICT r12
     # ask #7 — long-unexercised entries keep cycling through the gate)
     "skew_report_custkey", "text_decontaminate",
-    "text_repeated_spans",
     "mm_image_png_roundtrip", "text_bm25_topk", "corpus_prep_pipeline",
     # Multimodal (mm_byte_stats stays full-local-checked; its slot
     # carries the round-4 incremental ingest composition instead)
@@ -201,8 +215,12 @@ PRIORITY = [
     # its slot carries stream_ann_index_maintain, the round-13
     # streaming serving-index fold)
     # (round-14: ev_ohlc_hourly rotates BACK in per ask #7)
-    "ev_sessions", "ev_gapfill_hourly", "ev_ohlc_hourly",
+    "ev_sessions", "ev_ohlc_hourly",
     "funnel_view_click_purchase", "stream_ann_index_maintain",
+    # round-15 rotate-backs (dormant full-local entries cycling under
+    # the hard gate per ask #7: recursive CTE, pivot, width_bucket
+    # histogram)
+    "recursive_key_depth", "pivot_priority_status", "hist_order_totals",
     # TPC-H representative (full 22-query suite keeps full-local oracle
     # coverage in registration order below)
     "tpch_q1_pricing",

@@ -284,6 +284,32 @@ import atexit  # noqa: E402
 atexit.register(_cleanup_ivf_index_tmpdirs)
 
 
+def _shared_int8_index_path(sf_dir: str, emb: DataFrame) -> str:
+    """The per-(process, corpus-fingerprint) at-rest int8 index shared
+    by the indexed ANN queries — build-once-query-many is the index's
+    real usage shape: the store is materialized once per (session,
+    sf_dir) and the repeated calls bench.py / best-of-N timing makes
+    measure the PRUNED SCAN, not a per-call rebuild (t_index_build is
+    measured separately in SCALE_ANN.json). ``label`` travels as a
+    meta column so the same store serves BOTH the unfiltered query
+    (whose explicit scan schema projects it away — plan unchanged)
+    and the attribute-filtered one (whose filter_pred pushes on it)."""
+    import tempfile
+
+    from ..operators.similarity import write_ivf_int8_index
+
+    key = _ivf_index_cache_key(sf_dir)
+    path = _IVF_INT8_INDEX_CACHE.get(key)
+    if path is None:
+        tmp = tempfile.mkdtemp(prefix="ivf_int8_idx_")
+        _IVF_INT8_INDEX_TMPDIRS.append(tmp)
+        path = tmp + "/index"
+        write_ivf_int8_index(emb, path, centroids=IVF_SNAPSHOT,
+                             meta_cols=("label",))
+        _IVF_INT8_INDEX_CACHE[key] = path
+    return path
+
+
 @register("ann_ivf_int8_topk", _duck_ivf_int8_sql())
 def q_ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed 100 TB ANN path (operators/similarity.
@@ -304,30 +330,47 @@ def q_ann_ivf_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     covers the layout the 100 TB pitch is about, not just the
     in-memory kernel (indexed == in-memory is also pinned in
     tests/test_recall.py)."""
-    import tempfile
-
-    from ..operators.similarity import (
-        ann_ivf_int8_topk,
-        write_ivf_int8_index,
-    )
+    from ..operators.similarity import ann_ivf_int8_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # build-once-query-many is the index's real usage shape: the
-    # at-rest store is materialized once per (session, sf_dir) and the
-    # repeated calls bench.py / best-of-N timing makes measure the
-    # PRUNED SCAN, not a per-call rebuild (t_index_build is measured
-    # separately in SCALE_ANN.json)
-    key = _ivf_index_cache_key(sf_dir)
-    path = _IVF_INT8_INDEX_CACHE.get(key)
-    if path is None:
-        tmp = tempfile.mkdtemp(prefix="ivf_int8_idx_")
-        _IVF_INT8_INDEX_TMPDIRS.append(tmp)
-        path = tmp + "/index"
-        write_ivf_int8_index(emb, path, centroids=IVF_SNAPSHOT)
-        _IVF_INT8_INDEX_CACHE[key] = path
+    path = _shared_int8_index_path(sf_dir, emb)
     return ann_ivf_int8_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
                              k=TOP_K, rescore=3, centroids=IVF_SNAPSHOT,
                              index_path=path)
+
+
+#: candidate-side eligibility predicate of the filtered ANN queries —
+#: ~1/3 of the corpus eligible: selective enough that the unfiltered
+#: top-k differs (post-filtering would starve), broad enough that
+#: k eligible neighbors exist per query
+_ANN_FILTER_SQL = "label % 3 = 0"
+
+
+@register("ann_ivf_int8_filtered",
+          _duck_ivf_int8_sql(
+              f"WHERE t.vec_id IN (SELECT vec_id FROM embeddings "
+              f"WHERE {_ANN_FILTER_SQL})"))
+def q_ann_ivf_int8_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-FILTERED ANN top-k over the at-rest int8 index
+    (VERDICT r14 Missing #1 — "top-k neighbors WHERE lang='en'", the
+    most common production vector-search shape): the eligibility
+    predicate (label % 3 = 0, stored in the index as a meta column)
+    pushes into the parquet scan of the probed partitions and rows are
+    dropped BEFORE the per-partition top-R cut, so the k results are
+    the top k among ELIGIBLE rows — pre-filtering the corpus abandons
+    the index, post-filtering k results collapses recall (both
+    anti-patterns pinned in tests/test_recall.py, with recall parity
+    vs brute force over the filtered corpus). The oracle is the
+    composed-ANN SQL with the same predicate on the CANDIDATE side
+    only — query vectors stay unrestricted."""
+    from ..operators.similarity import ann_ivf_int8_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _shared_int8_index_path(sf_dir, emb)
+    return ann_ivf_int8_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
+                             k=TOP_K, rescore=3, centroids=IVF_SNAPSHOT,
+                             index_path=path,
+                             filter_pred=F.expr(_ANN_FILTER_SQL))
 
 
 @register("ann_ivf_int8_append", _duck_ivf_int8_sql())
@@ -966,14 +1009,16 @@ def _duck_pq_sql() -> str:
     """
 
 
-def _duck_ivf_pq_sql() -> str:
+def _duck_ivf_pq_sql(corpus_where: str = "") -> str:
     """DuckDB oracle for the composed IVFPQ path
     (operators/similarity.ann_ivf_pq_topk): the pinned IVF snapshot's
     single-assign corpus cells and nprobe query probes (the
     _duck_ivf_sql fragments), the pinned PQ codebooks' sequential-fold
     code assignment and j-ordered ADC fold (the _duck_pq_sql
     fragments), approx rank within probed cells, exact cos_q6 rescore
-    of the top k*rescore."""
+    of the top k*rescore. ``corpus_where`` restricts the CANDIDATE
+    side only (the _duck_ivf_int8_sql convention — the filtered-ANN
+    oracle)."""
     cs = IVF_SNAPSHOT
     c_lit = "[" + ", ".join(
         "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
@@ -1022,6 +1067,7 @@ def _duck_ivf_pq_sql() -> str:
                    list_position(sims, list_max(sims)) - 1 AS cell
             FROM (SELECT vec_id, embedding, {sims} AS sims
                   FROM embeddings, cents)) t, cb
+      {corpus_where}
     ),
     qsims AS (
       SELECT e.vec_id AS query_id, e.embedding AS q_vec, {sims} AS sims
@@ -1063,11 +1109,22 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle mirrors bitwise; the store is built once per (session,
     corpus fingerprint) like the int8 indexed query — the repeated
     calls measure the PRUNED SCAN, not a rebuild."""
-    import tempfile
-
-    from ..operators.similarity import ann_ivf_pq_topk, write_pq_index
+    from ..operators.similarity import ann_ivf_pq_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
+    path = _shared_pq_index_path(sf_dir, emb)
+    return ann_ivf_pq_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
+                           k=TOP_K, rescore=3, index_path=path)
+
+
+def _shared_pq_index_path(sf_dir: str, emb: DataFrame) -> str:
+    """The shared per-(process, corpus-fingerprint) at-rest PQ store —
+    the _shared_int8_index_path convention for the 8-byte-code
+    layout."""
+    import tempfile
+
+    from ..operators.similarity import write_pq_index
+
     key = _ivf_index_cache_key(sf_dir, "pq")
     path = _IVF_INT8_INDEX_CACHE.get(key)
     if path is None:
@@ -1077,8 +1134,33 @@ def q_ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_pq_index(emb, path, centroids=IVF_SNAPSHOT,
                        codebooks=PQ_SNAPSHOT)
         _IVF_INT8_INDEX_CACHE[key] = path
+    return path
+
+
+@register("ann_ivf_pq_filtered",
+          _duck_ivf_pq_sql(
+              f"WHERE t.vec_id IN (SELECT vec_id FROM embeddings "
+              f"WHERE {_ANN_FILTER_SQL})"))
+def q_ann_ivf_pq_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribute-filtered IVFPQ top-k via the ALLOW-SET form (VERDICT
+    r14 Missing #1's other mechanism — predicate results computed
+    OUTSIDE the index, the FAISS IDSelector shape): the eligible id
+    set (label % 3 = 0) rides the same broadcast as the ADC lookup
+    tables and the kernel drops ineligible rows while they are still
+    8-byte codes — before any ADC fold and before the per-partition
+    top-R cut. Runs against the shared at-rest PQ store; the oracle is
+    the composed-IVFPQ SQL with the predicate on the candidate side.
+    The int8 twin (ann_ivf_int8_filtered) exercises the pushed
+    metadata-predicate form; together they cover both filtered-ANN
+    designs."""
+    from ..operators.similarity import ann_ivf_pq_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    path = _shared_pq_index_path(sf_dir, emb)
     return ann_ivf_pq_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
-                           k=TOP_K, rescore=3, index_path=path)
+                           k=TOP_K, rescore=3, index_path=path,
+                           filter_ids=emb.where(F.expr(_ANN_FILTER_SQL))
+                           .select("vec_id"))
 
 
 @register("ann_pq_topk", _duck_pq_sql())

