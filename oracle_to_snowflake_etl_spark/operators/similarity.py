@@ -2029,7 +2029,8 @@ def pq_train_codebooks(corpus: DataFrame, m: int = PQ_M, k: int = PQ_K,
                        dims: int = DEFAULT_DIMS,
                        sample: int = 4096, iters: int = 10,
                        vec_col: str = "embedding",
-                       id_col: str = "vec_id") -> tuple:
+                       id_col: str = "vec_id",
+                       residual_centroids: tuple | None = None) -> tuple:
     """Deterministic per-subspace L2 k-means codebooks for product
     quantization (Jégou, Douze, Schmid 2011, TPAMI — 'Product
     quantization for nearest neighbor search'): the vector is split
@@ -2045,6 +2046,15 @@ def pq_train_codebooks(corpus: DataFrame, m: int = PQ_M, k: int = PQ_K,
     oracle embed the training output as a literal
     (tools/train_pq_snapshot.py, the IVF_SNAPSHOT convention).
 
+    ``residual_centroids``: train on RESIDUALS x - centroid(cell(x))
+    under the given IVF matrix instead of raw vectors — the actual
+    FAISS IVFPQ construction (Jégou 2011 §IV.B, 'IVFADC'): inside one
+    cell the residual magnitudes are smaller and more isotropic than
+    the raw coordinates, so the same m bytes quantize them with lower
+    distortion. Sample cells are assigned with the index's own
+    assignment kernel, so training and encoding see identical
+    residuals.
+
     Returns ``tuple[m]`` of ``tuple[k]`` of ``tuple[dims//m]``."""
     from ..functions.hashing import hash60
 
@@ -2055,6 +2065,10 @@ def pq_train_codebooks(corpus: DataFrame, m: int = PQ_M, k: int = PQ_K,
          .orderBy("_h", F.col("v")[0])
          .limit(sample))
     X = np.stack([r.v for r in s.collect()]).astype(np.float64)
+    if residual_centroids is not None:
+        C = np.array(residual_centroids, dtype=np.float64)
+        cell = np.argmax(_cell_sims_masked(X, C, top=1), axis=1)
+        X = X - C[cell]
     ds = dims // m
     books = []
     for j in range(m):
@@ -2230,15 +2244,31 @@ def codebook_md5(codebooks: tuple) -> str:
                    for book in codebooks)).encode()).hexdigest()
 
 
-def _write_codebooks(spark, path: str, codebooks: tuple) -> None:
+def _write_codebooks(spark, path: str, codebooks: tuple,
+                     residual: bool = False) -> None:
     """Persist the PQ codebooks INTO an index directory
     (``_codebooks`` parquet sidecar, the ``_centroids`` convention):
-    whichever codebooks encoded the rows travel with them."""
-    rows = [(j, c, list(w)) for j, book in enumerate(codebooks)
+    whichever codebooks encoded the rows travel with them — INCLUDING
+    whether they encode RESIDUALS (x - centroid(cell)) or raw vectors:
+    decoding a residual store as raw (or vice versa) mis-scores every
+    candidate, so the flag is part of the store's geometry stamp and
+    the readers branch on it automatically."""
+    rows = [(j, c, list(w), bool(residual))
+            for j, book in enumerate(codebooks)
             for c, w in enumerate(book)]
-    (spark.createDataFrame(rows, "sub int, code int, w array<double>")
+    (spark.createDataFrame(
+        rows, "sub int, code int, w array<double>, residual boolean")
      .repartition(1)  # not coalesce(1) — see _write_centroids
      .write.mode("overwrite").parquet(path + "/_codebooks"))
+
+
+def read_pq_residual(spark, index_path: str) -> bool:
+    """Whether a PQ store's codes encode residuals — False for
+    pre-flag stores (raw encoding was the only form then)."""
+    df = spark.read.parquet(index_path + "/_codebooks")
+    if "residual" not in df.columns:
+        return False
+    return bool(df.select("residual").first()[0])
 
 
 def read_pq_codebooks(spark, index_path: str) -> tuple:
@@ -2252,12 +2282,52 @@ def read_pq_codebooks(spark, index_path: str) -> tuple:
     return tuple(tuple(books[j]) for j in sorted(books))
 
 
+def _pq_index_rows(corpus: DataFrame, centroids: tuple,
+                   codebooks: tuple, residual: bool,
+                   vec_col: str, id_col: str,
+                   meta_cols: tuple[str, ...] = ()) -> DataFrame:
+    """The (neighbor_id, cell, pqb[, meta...]) frame of the at-rest PQ
+    index — ONE Arrow pass computing cell assignment and codes
+    together, shared by :func:`write_pq_index` and
+    :func:`append_pq_index` so base and appended rows are encoded by
+    exactly the same kernels. With ``residual`` the codes quantize
+    x - centroid(cell) (the IVFADC form) — which is why cell and code
+    must come from one kernel: the residual depends on the
+    assignment."""
+    from pyspark.sql.functions import pandas_udf
+
+    cb = codebooks
+    C_np = np.array(centroids, dtype=np.float64)
+    res = bool(residual)
+
+    @pandas_udf("struct<cell: int, pqb: binary>")
+    def _enc(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"cell": [], "pqb": []})
+        X = np.stack(v.values).astype(np.float64)
+        cell = np.argmax(_cell_sims_masked(X, C_np, top=1), axis=1)
+        codes = _pq_encode_np(X - C_np[cell] if res else X, cb)
+        return pd.DataFrame(
+            {"cell": cell.astype(np.int32),
+             "pqb": [r.astype(np.uint8).tobytes() for r in codes]})
+
+    return (corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        _enc(F.col(vec_col)).alias("_cp"),
+        *[F.col(c) for c in meta_cols])
+        .select("neighbor_id",
+                F.col("_cp.cell").alias("cell"),
+                F.col("_cp.pqb").alias("pqb"),
+                *[F.col(c) for c in meta_cols]))
+
+
 def write_pq_index(corpus: DataFrame, path: str,
                    vec_col: str = "embedding", id_col: str = "vec_id",
                    cells: int = IVF_CELLS,
                    centroids: tuple | None = None,
                    codebooks: tuple | None = None,
-                   meta_cols: tuple[str, ...] = ()) -> None:
+                   meta_cols: tuple[str, ...] = (),
+                   residual: bool = False) -> None:
     """Materialize the IVFPQ index AT REST: PQ codes (``PQ_M`` bytes
     per vector — 8x under the int8 store, 32x under float32) written
     ``partitionBy(cell)``, so :func:`ann_ivf_pq_topk` gets BOTH wins
@@ -2274,35 +2344,32 @@ def write_pq_index(corpus: DataFrame, path: str,
     columns carried into the store for
     ``ann_ivf_pq_topk(filter_pred=...)`` — the
     :func:`write_ivf_int8_index` contract (appends must pass the same
-    list)."""
+    list).
+
+    ``residual``: encode x - centroid(cell) instead of x — FAISS's
+    IVFADC form (:func:`pq_train_codebooks` ``residual_centroids``),
+    which buys recall at the SAME m bytes/vector on clustered corpora
+    (measured in SCALE.md; near-orthogonal random vectors barely
+    cluster, so the gate corpus shows the honest small end of the
+    gain). The flag is stamped into ``_codebooks`` and the probed
+    scan branches on it automatically — with the per-(query, cell)
+    centroid dot added back at scoring time, ADC cost is unchanged
+    (m lookup adds + one broadcast table lookup per pair).
+    ``codebooks=None`` trains on residuals when ``residual`` is set."""
     spark = corpus.sparkSession
     if centroids is None:
         centroids = ivf_train_centroids(corpus, cells, vec_col=vec_col,
                                         id_col=id_col)
     if codebooks is None:
-        codebooks = pq_train_codebooks(corpus, vec_col=vec_col,
-                                       id_col=id_col)
-    from pyspark.sql.functions import pandas_udf
-
-    cb = codebooks
-
-    @pandas_udf("binary")
-    def _enc(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        codes = _pq_encode_np(np.stack(v.values).astype(np.float64), cb)
-        return pd.Series([r.astype(np.uint8).tobytes() for r in codes])
-
-    out = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        ivf_cell(F.col(vec_col), len(centroids),
-                 centroids=centroids).alias("cell"),
-        _enc(F.col(vec_col)).alias("pqb"),
-        *[F.col(c) for c in meta_cols])
+        codebooks = pq_train_codebooks(
+            corpus, vec_col=vec_col, id_col=id_col,
+            residual_centroids=centroids if residual else None)
+    out = _pq_index_rows(corpus, centroids, codebooks, residual,
+                         vec_col, id_col, meta_cols)
     (out.repartition(len(centroids), "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(path))
     _write_centroids(spark, path, centroids)
-    _write_codebooks(spark, path, codebooks)
+    _write_codebooks(spark, path, codebooks, residual=residual)
 
 
 def ann_ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
@@ -2314,7 +2381,8 @@ def ann_ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     max_queries: int = ANN_INT8_MAX_QUERIES,
                     index_path: str | None = None,
                     filter_ids=None,
-                    filter_pred: Column | None = None) -> DataFrame:
+                    filter_pred: Column | None = None,
+                    residual: bool | None = None) -> DataFrame:
     """IVFPQ — the composed FAISS-style 100 TB ANN path with PQ codes
     as the scan term: a corpus vector is scored for a query only if
     its (single-assign) cell is among the query's ``nprobe`` probed
@@ -2343,6 +2411,17 @@ def ann_ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     predicate form needs the attribute stored in the index
     (``write_pq_index(meta_cols=...)``) and pushes into the parquet
     reader of the probed partitions.
+
+    ``residual``: score RESIDUAL-encoded codes (IVFADC —
+    :func:`write_pq_index` ``residual=True``): approx(q, x) =
+    dot(q, centroid(cell)) + Σ_j LUT[j, code_j] over the residual
+    codebooks, with the per-(query, cell) centroid dots precomputed
+    driver-side (nq x cells doubles, riding the broadcast — zero
+    extra shuffle) in the family's sequential-fold order so the
+    DuckDB oracle mirrors bitwise. With ``index_path`` the STORED
+    flag decides (None = auto; an explicit conflicting value raises
+    — decoding residual codes as raw mis-scores every pair);
+    in-memory defaults to raw.
     """
     qrows = (queries.select(F.col(id_col), F.col(vec_col))
              .limit(max_queries + 1).collect())
@@ -2374,14 +2453,25 @@ def ann_ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 f"candidate. Pass codebooks=None to use the stored "
                 f"codebooks.")
         codebooks = stored_b
+        stored_res = read_pq_residual(spark, index_path)
+        if residual is not None and bool(residual) != stored_res:
+            raise ValueError(
+                f"ann_ivf_pq_topk: residual={residual} conflicts with "
+                f"the encoding stamped into the index at {index_path} "
+                f"(residual={stored_res}) — decoding under the wrong "
+                f"form silently mis-scores every candidate. Pass "
+                f"residual=None to use the stored flag.")
+        residual = stored_res
     else:
+        residual = bool(residual)
         if centroids is None:
             centroids = ivf_train_centroids(corpus, cells,
                                             vec_col=vec_col,
                                             id_col=id_col)
         if codebooks is None:
-            codebooks = pq_train_codebooks(corpus, vec_col=vec_col,
-                                           id_col=id_col)
+            codebooks = pq_train_codebooks(
+                corpus, vec_col=vec_col, id_col=id_col,
+                residual_centroids=centroids if residual else None)
     n_cells = len(centroids)
     q_ids = np.array([r[0] for r in qrows], dtype=np.int64)
     Qf = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -2391,10 +2481,17 @@ def ann_ivf_pq_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     for qi, row in enumerate(probe_rows):
         allowed[row, qi] = True
     lut = _pq_lut_np(Qf, codebooks)
-    payload = (q_ids, lut, codebooks, allowed)
     sel = _resolve_filter_ids(filter_ids, id_col)
-    if sel is not None:
-        payload = payload + (sel,)
+    qc_dot = C_res = None
+    if residual:
+        # per-(query, cell) centroid dots, sequential-fold order (the
+        # _pq_lut_np convention — a BLAS GEMM here would diverge from
+        # the oracle's list_reduce in the last ulps); nq x cells
+        # doubles ride the broadcast, zero extra shuffle or join
+        qc_dot = np.cumsum(Qf[:, None, :] * C[None, :, :],
+                           axis=2)[:, :, -1]
+        C_res = C
+    payload = (q_ids, lut, codebooks, allowed, sel, qc_dot, C_res)
     bc = spark.sparkContext.broadcast(payload)
     r_cut = k * rescore
     scan = _ivf_pq_scan_kernel(bc, r_cut)
@@ -2451,6 +2548,8 @@ def _ivf_pq_scan_kernel(bc, r_cut: int):
         payload = bc.value
         q_ids, lut, CB, allowed = payload[:4]
         sel_b = payload[4] if len(payload) > 4 else None
+        qc_b = payload[5] if len(payload) > 5 else None
+        Cr_b = payload[6] if len(payload) > 6 else None
         m = len(CB)
         bq: list[np.ndarray] = []
         bn: list[np.ndarray] = []
@@ -2479,9 +2578,19 @@ def _ivf_pq_scan_kernel(bc, r_cut: int):
                     .reshape(len(pdf), m).astype(np.int64)
             else:
                 X = np.stack(pdf["c_vec"].values).astype(np.float64)
+                if Cr_b is not None:
+                    # residual form, in-memory: encode x - centroid
+                    # exactly as the writer kernel does
+                    X = X - Cr_b[cell]
                 codes = _pq_encode_np(X, CB)
-            S = np.zeros((q_ids.shape[0], nid.shape[0]),
-                         dtype=np.float64)
+            if qc_b is not None:
+                # IVFADC: the score SEED is dot(q, centroid(cell)) —
+                # the left fold then adds the m residual LUT terms in
+                # j order, mirroring the oracle's list_prepend seed
+                S = qc_b[:, cell].copy()
+            else:
+                S = np.zeros((q_ids.shape[0], nid.shape[0]),
+                             dtype=np.float64)
             for j in range(m):
                 S += lut[:, j, codes[:, j]]
             # IVF mask: a pair survives only when the row's cell is
@@ -3195,13 +3304,19 @@ def reindex_ann_store(spark, corpus: DataFrame, index_path: str,
         centroids = ivf_train_centroids(corpus, cells=cells,
                                         vec_col=vec_col, id_col=id_col)
     if is_pq:
+        # the residual flag is part of the store's identity: a reindex
+        # keeps the encoding form, retraining its codebooks under the
+        # NEW centroids (residual codebooks depend on the cell
+        # geometry, so they must re-train with it)
+        res = read_pq_residual(spark, index_path)
         if codebooks is None:
-            codebooks = pq_train_codebooks(corpus, vec_col=vec_col,
-                                           id_col=id_col)
+            codebooks = pq_train_codebooks(
+                corpus, vec_col=vec_col, id_col=id_col,
+                residual_centroids=centroids if res else None)
         write_pq_index(corpus, index_path + ".reindex",
                        vec_col=vec_col, id_col=id_col,
                        centroids=centroids, codebooks=codebooks,
-                       meta_cols=meta_cols)
+                       meta_cols=meta_cols, residual=res)
     else:
         write_ivf_int8_index(corpus, index_path + ".reindex",
                              vec_col=vec_col, id_col=id_col,
@@ -3445,23 +3560,11 @@ def append_pq_index(batch: DataFrame, path: str,
                 f"under one root and break the reader.")
     centroids = read_ivf_centroids(spark, path)
     codebooks = read_pq_codebooks(spark, path)
-    from pyspark.sql.functions import pandas_udf
-
-    cb = codebooks
-
-    @pandas_udf("binary")
-    def _enc(v: pd.Series) -> pd.Series:
-        if len(v) == 0:
-            return pd.Series([], dtype=object)
-        codes = _pq_encode_np(np.stack(v.values).astype(np.float64), cb)
-        return pd.Series([r.astype(np.uint8).tobytes() for r in codes])
-
-    out = batch.select(
-        F.col(id_col).alias("neighbor_id"),
-        ivf_cell(F.col(vec_col), len(centroids),
-                 centroids=centroids).alias("cell"),
-        _enc(F.col(vec_col)).alias("pqb"),
-        *[F.col(c) for c in meta_cols])
+    # the stored residual flag decides the encoding — appended rows
+    # must quantize exactly what the base rows did
+    residual = read_pq_residual(spark, path)
+    out = _pq_index_rows(batch, centroids, codebooks, residual,
+                         vec_col, id_col, meta_cols)
     out = out.repartition(F.col("cell")).persist()
     n = out.count()
     out.write.mode("append").partitionBy("cell").parquet(path)

@@ -153,7 +153,11 @@ PRIORITY = [
     # long-stable, full-local + recall-pytested) and
     # mv_join_dim_refresh takes ann_srp_neardup's (stable since r8,
     # recall-pytested; SRP keeps ann_srp_incremental full-local).)
-    "ann_ivf_pq_topk", "ann_ivf_int8_topk",
+    # (round-15 late addition: ann_ivf_pq_residual — the IVFADC
+    # residual-encoding registration — takes
+    # funnel_view_click_purchase's slot (r13 rotate-back, cycling out
+    # again; the funnel oracle stays full-local + pytest-covered).)
+    "ann_ivf_pq_topk", "ann_ivf_pq_residual", "ann_ivf_int8_topk",
     "ann_ivf_int8_append", "ann_ivf_int8_filtered",
     "ann_ivf_pq_filtered", "mv_join_dim_refresh",
     # Text analysis (text_quality_filter stays full-local-checked; its
@@ -216,7 +220,7 @@ PRIORITY = [
     # streaming serving-index fold)
     # (round-14: ev_ohlc_hourly rotates BACK in per ask #7)
     "ev_sessions", "ev_ohlc_hourly",
-    "funnel_view_click_purchase", "stream_ann_index_maintain",
+    "stream_ann_index_maintain",
     # round-15 rotate-backs (dormant full-local entries cycling under
     # the hard gate per ask #7: recursive CTE, pivot, width_bucket
     # histogram)

@@ -1137,6 +1137,136 @@ def _shared_pq_index_path(sf_dir: str, emb: DataFrame) -> str:
     return path
 
 
+def _duck_ivf_pq_residual_sql() -> str:
+    """DuckDB oracle for RESIDUAL-encoded IVFPQ (IVFADC — Jégou 2011
+    §IV.B; operators/similarity write_pq_index(residual=True) +
+    ann_ivf_pq_topk auto-branching on the stored flag): corpus codes
+    are the sequential-fold L2 argmin over RESIDUALS
+    x - centroid(cell) against the committed residual codebooks
+    (PQ_RESIDUAL_SNAPSHOT), and approx(q, x) is the left fold SEEDED
+    with dot(q, centroid(cell)) — the kernel's qc_dot broadcast —
+    plus the m residual LUT terms in j order. Every float op happens
+    in the same order as the numpy kernel: approx is bitwise."""
+    from ..operators.pq_snapshot import PQ_RESIDUAL_SNAPSHOT
+
+    cs = IVF_SNAPSHOT
+    c_lit = "[" + ", ".join(
+        "[" + ", ".join(repr(w) for w in row) + "]" for row in cs) + "]"
+    dot_vc = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+              "list_transform(embedding, (x, i) -> "
+              "CAST(x AS DOUBLE) * C[c + 1][i])), (p, q) -> p + q)")
+    nsq_v = _duck_dot("embedding", "embedding")
+    nsq_c = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+             "list_transform(C[c + 1], (x, i) -> x * C[c + 1][i])), "
+             "(p, q) -> p + q)")
+    sims = (f"list_transform(range(0, {IVF_CELLS}), c -> "
+            f"{dot_vc} / sqrt({nsq_v} * {nsq_c}))")
+    m, kk = len(PQ_RESIDUAL_SNAPSHOT), len(PQ_RESIDUAL_SNAPSHOT[0])
+    ds = len(PQ_RESIDUAL_SNAPSHOT[0][0])
+    b_lit = "[" + ", ".join(
+        "[" + ", ".join(
+            "[" + ", ".join(repr(w) for w in row) + "]"
+            for row in book) + "]"
+        for book in PQ_RESIDUAL_SNAPSHOT) + "]"
+    # codes over the RESIDUAL array (already double — no CAST)
+    d2_terms = (f"list_transform(range(0, {ds}), e -> "
+                f"(resid[j * {ds} + e + 1] - B[j + 1][c2 + 1][e + 1])"
+                f" * (resid[j * {ds} + e + 1]"
+                f" - B[j + 1][c2 + 1][e + 1]))")
+    d2 = (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), {d2_terms}), "
+          f"(pa, qa) -> pa + qa)")
+    codes = (f"list_transform("
+             f"list_transform(range(0, {m}), j -> "
+             f"list_transform(range(0, {kk}), c2 -> {d2})), "
+             f"d2s -> list_position(d2s, list_min(d2s)) - 1)")
+    lut_term = (f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+                f"list_transform(range(0, {ds}), e -> "
+                f"CAST(q_vec[j * {ds} + e + 1] AS DOUBLE)"
+                f" * B[j + 1][codes[j + 1] + 1][e + 1])), "
+                f"(pa, qa) -> pa + qa)")
+    qc_seed = ("list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+               "list_transform(q_vec, (x, i) -> "
+               "CAST(x AS DOUBLE) * C[cell + 1][i])), "
+               "(pa, qa) -> pa + qa)")
+    approx = (f"list_reduce(list_prepend({qc_seed}, "
+              f"list_transform(range(0, {m}), j -> {lut_term})), "
+              f"(pa, qa) -> pa + qa)")
+    return f"""
+    WITH cents AS (SELECT {c_lit} AS C),
+    cb AS (SELECT {b_lit} AS B),
+    corpus AS (
+      SELECT neighbor_id, c_vec, cell, {codes} AS codes
+      FROM (SELECT t.vec_id AS neighbor_id, t.embedding AS c_vec,
+                   t.cell,
+                   list_transform(t.embedding, (x, i) ->
+                       CAST(x AS DOUBLE) - C[t.cell + 1][i]) AS resid
+            FROM (SELECT vec_id, embedding,
+                         list_position(sims, list_max(sims)) - 1 AS cell
+                  FROM (SELECT vec_id, embedding, {sims} AS sims
+                        FROM embeddings, cents)) t, cents) r, cb
+    ),
+    qsims AS (
+      SELECT e.vec_id AS query_id, e.embedding AS q_vec, {sims} AS sims
+      FROM embeddings e, cents
+      WHERE e.vec_id < {N_QUERIES}
+    ),
+    qprobe AS (
+      SELECT query_id, q_vec, c AS cell
+      FROM qsims, (SELECT UNNEST(range(0, {IVF_CELLS})) AS c)
+      QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY sims[c + 1] DESC, c ASC) <= {IVF_NPROBE}
+    ),
+    cand AS (
+      SELECT query_id, neighbor_id, q_vec, c_vec,
+             {approx} AS approx
+      FROM corpus JOIN qprobe USING (cell), cb, cents
+      WHERE query_id != neighbor_id
+      QUALIFY row_number() OVER (
+          PARTITION BY query_id
+          ORDER BY approx DESC, neighbor_id ASC) <= {TOP_K * 3}
+    )
+    SELECT query_id, neighbor_id, {_duck_cos_q6('q_vec', 'c_vec')} AS sim_q6
+    FROM cand
+    QUALIFY row_number() OVER (
+        PARTITION BY query_id
+        ORDER BY {_duck_cos_q6('q_vec', 'c_vec')} DESC, neighbor_id ASC)
+        <= {TOP_K}
+    """
+
+
+@register("ann_ivf_pq_residual", _duck_ivf_pq_residual_sql())
+def q_ann_ivf_pq_residual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RESIDUAL-encoded IVFPQ at rest — the actual FAISS IVFADC
+    construction (operators/similarity.write_pq_index residual=True):
+    codes quantize x - centroid(cell), bought recall at the SAME 8
+    bytes/vector on clustered corpora (measured: recall@10 0.24→0.29
+    at rescore=3 and 0.53→0.59 at rescore=10 on the planted-cluster
+    fixture, reconstruction MSE -21%; the near-orthogonal gate corpus
+    shows parity — the honest small end, numbers in SCALE.md). The
+    encoding flag is stamped into ``_codebooks`` and the probed scan
+    branches automatically; scoring seeds the ADC fold with the
+    broadcast per-(query, cell) centroid dot. Both geometries are
+    committed snapshots so the oracle mirrors bitwise."""
+    from ..operators.pq_snapshot import PQ_RESIDUAL_SNAPSHOT
+    from ..operators.similarity import ann_ivf_pq_topk, write_pq_index
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    key = _ivf_index_cache_key(sf_dir, "pqres")
+    path = _IVF_INT8_INDEX_CACHE.get(key)
+    if path is None:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="ivf_pqres_idx_")
+        _IVF_INT8_INDEX_TMPDIRS.append(tmp)
+        path = tmp + "/index"
+        write_pq_index(emb, path, centroids=IVF_SNAPSHOT,
+                       codebooks=PQ_RESIDUAL_SNAPSHOT, residual=True)
+        _IVF_INT8_INDEX_CACHE[key] = path
+    return ann_ivf_pq_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
+                           k=TOP_K, rescore=3, index_path=path)
+
+
 @register("ann_ivf_pq_filtered",
           _duck_ivf_pq_sql(
               f"WHERE t.vec_id IN (SELECT vec_id FROM embeddings "
