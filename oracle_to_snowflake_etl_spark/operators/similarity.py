@@ -2906,7 +2906,8 @@ def write_ivf_index(corpus: DataFrame, path: str,
                     vec_col: str = "embedding",
                     id_col: str = "vec_id",
                     cells: int = IVF_CELLS,
-                    centroids: tuple | None = None) -> None:
+                    centroids: tuple | None = None,
+                    meta_cols: tuple[str, ...] = ()) -> None:
     """Materialize the IVF index AT REST: the corpus written
     partitionBy(cell), so probing stops being a join-side filter and
     becomes PARTITION PRUNING — a query that probes 4 of 16 cells
@@ -2934,7 +2935,8 @@ def write_ivf_index(corpus: DataFrame, path: str,
     out = corpus.select(F.col(id_col).alias("neighbor_id"),
                         F.col(vec_col).alias("c_vec"),
                         ivf_cell(F.col(vec_col), cells,
-                                 centroids=centroids).alias("cell"))
+                                 centroids=centroids).alias("cell"),
+                        *[F.col(c) for c in meta_cols])
     (out.repartition(cells, "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(path))
     _write_centroids(corpus.sparkSession, path, centroids)
@@ -3227,6 +3229,44 @@ def ann_index_partition_cols(spark, index_path: str) -> list[str]:
                 and st.getPath().getName().startswith("batch=")):
             return ["batch", "cell"]
     return ["cell"]
+
+
+def ann_topk(corpus: DataFrame, queries: DataFrame, index_path: str,
+             k: int = 10, nprobe: int = IVF_NPROBE, rescore: int = 3,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             filter_ids=None,
+             filter_pred: Column | None = None) -> DataFrame:
+    """Serve top-k from ANY at-rest ANN store — the one entry point a
+    user needs once an index exists: the store KIND is auto-detected
+    from its sidecars (``_codebooks`` present → PQ store, scored by
+    :func:`ann_ivf_pq_topk` with the stamped raw/residual form;
+    otherwise the int8 store of :func:`ann_ivf_int8_topk`), the
+    geometry always comes from the stamps, and the attribute filters
+    pass through unchanged. ``corpus`` supplies the float vectors for
+    the exact rescore (candidate rows only) and the query vectors are
+    taken from ``queries`` — the same contract as the underlying
+    scans. Output: (query_id, neighbor_id, sim_q6)."""
+    spark = corpus.sparkSession
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        raise ValueError(
+            f"ann_topk: no index at {index_path} — build one first "
+            f"(write_ivf_int8_index / write_pq_index).")
+    is_pq = fs.exists(
+        jvm.org.apache.hadoop.fs.Path(index_path + "/_codebooks"))
+    if is_pq:
+        return ann_ivf_pq_topk(corpus, queries, k=k, nprobe=nprobe,
+                               rescore=rescore, vec_col=vec_col,
+                               id_col=id_col, index_path=index_path,
+                               filter_ids=filter_ids,
+                               filter_pred=filter_pred)
+    return ann_ivf_int8_topk(corpus, queries, k=k, nprobe=nprobe,
+                             rescore=rescore, vec_col=vec_col,
+                             id_col=id_col, index_path=index_path,
+                             filter_ids=filter_ids,
+                             filter_pred=filter_pred)
 
 
 def reindex_ann_store(spark, corpus: DataFrame, index_path: str,
@@ -3585,7 +3625,9 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
                      cells: int = IVF_CELLS, dims: int = DEFAULT_DIMS,
                      vec_col: str = "embedding",
                      id_col: str = "vec_id",
-                     centroids: tuple | None = None) -> DataFrame:
+                     centroids: tuple | None = None,
+                     filter_ids=None,
+                     filter_pred: Column | None = None) -> DataFrame:
     """ivf_topk against a :func:`write_ivf_index` table: the probed
     cell set is collected (tiny — |queries| x nprobe ints), pushed as a
     literal IN-filter on the partition column so the scan prunes at
@@ -3594,7 +3636,11 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
     matrix the index was WRITTEN with (:func:`read_ivf_centroids`) —
     probing with any other geometry would silently probe the wrong
     cells; pass ``centroids`` explicitly only to avoid the one-time
-    metadata read when the snapshot is already in hand."""
+    metadata read when the snapshot is already in hand.
+    ``filter_ids``/``filter_pred``: the family's attribute-filter
+    contract (:func:`ann_ivf_int8_topk`) on the EXACT path —
+    eligibility restricts the candidate side before scoring/top-k
+    (the predicate form needs ``write_ivf_index(meta_cols=...)``)."""
     if centroids is None:
         centroids = read_ivf_centroids(spark, index_path)
     cells = len(centroids)  # geometry over argument, as above
@@ -3615,6 +3661,15 @@ def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,
             [], "query_id long, neighbor_id long, sim_q6 long")
     c = (spark.read.option("basePath", index_path).parquet(*dirs)
          .where(F.col("cell").isin(probed)))
+    if filter_pred is not None:
+        # attribute predicate over stored meta_cols — pushed into the
+        # probed partitions' parquet reader, before scoring/top-k
+        c = c.where(filter_pred)
+    sel = _resolve_filter_ids(filter_ids, id_col)
+    if sel is not None:
+        allow = spark.createDataFrame(
+            [(int(i),) for i in sel], "neighbor_id long")
+        c = c.join(F.broadcast(allow), "neighbor_id", "left_semi")
     scored = (
         c.join(F.broadcast(qx), "cell")
         .where(F.col("query_id") != F.col("neighbor_id"))
