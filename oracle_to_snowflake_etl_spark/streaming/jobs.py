@@ -970,7 +970,9 @@ def ingest_embeddings_stream(stream: DataFrame, accepted_path: str,
 def maintain_ann_index_stream(stream: DataFrame, index_path: str,
                               checkpoint: str, centroids: tuple,
                               vec_col: str = "embedding",
-                              id_col: str = "vec_id") -> StreamingQuery:
+                              id_col: str = "vec_id",
+                              meta_cols: tuple[str, ...] = ()
+                              ) -> StreamingQuery:
     """Continuously maintain the AT-REST serving ANN index from an
     embedding stream — the serving twin of the dedup-index loops: each
     micro-batch is quantized and cell-assigned under the PINNED
@@ -1024,7 +1026,8 @@ def maintain_ann_index_stream(stream: DataFrame, index_path: str,
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         fold_ann_index_batch(spark, batch, batch_id, index_path,
-                             centroids, vec_col, id_col)
+                             centroids, vec_col, id_col,
+                             meta_cols=meta_cols)
 
     return (
         stream.writeStream
@@ -1039,7 +1042,8 @@ def fold_ann_index_batch(spark: SparkSession, batch: DataFrame,
                          batch_id: int, index_path: str,
                          centroids: tuple,
                          vec_col: str = "embedding",
-                         id_col: str = "vec_id") -> None:
+                         id_col: str = "vec_id",
+                         meta_cols: tuple[str, ...] = ()) -> None:
     """One micro-batch fold of :func:`maintain_ann_index_stream` —
     module-level so the crash-replay contract is testable: calling
     this again with the same (batch, batch_id) IS the at-least-once
@@ -1070,7 +1074,8 @@ def fold_ann_index_batch(spark: SparkSession, batch: DataFrame,
             f"with {md5}: version a new index directory per "
             f"centroid snapshot (write_ivf_index convention) "
             f"instead of resuming it.")
-    rows = (_int8_index_rows(batch, centroids, vec_col, id_col)
+    rows = (_int8_index_rows(batch, centroids, vec_col, id_col,
+                             meta_cols=meta_cols)
             .withColumn("batch", F.lit(int(batch_id))))
     tomb = read_ann_tombstones(spark, index_path)
     if tomb is not None:

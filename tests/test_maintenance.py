@@ -1011,3 +1011,46 @@ def test_reindex_ann_store_atomic_swap_and_stamps(spark, tmp_path):
     mem = sorted(map(tuple, ann_ivf_pq_topk(
         emb, q, k=10, centroids=new_c, codebooks=old_books).collect()))
     assert got == mem and got
+
+
+def test_filtered_serving_on_live_streamed_store(spark, tmp_path):
+    """The attribute-filter contract holds across the index LIFECYCLE:
+    a live streamed store folded with meta_cols serves filter_pred
+    (pushed predicate over the stored attribute) and filter_ids
+    through ann_topk — the facade auto-detects the streamed int8
+    layout — with results equal to the filtered in-memory scan."""
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_ivf_int8_topk,
+        ann_topk,
+        ivf_train_centroids,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        fold_ann_index_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_train_centroids(emb, cells=8)
+    idx = str(tmp_path / "idx")
+    fold_ann_index_batch(spark, emb.where(F.col("vec_id") % 2 == 0),
+                         0, idx, cents, meta_cols=("label",))
+    fold_ann_index_batch(spark, emb.where(F.col("vec_id") % 2 == 1),
+                         1, idx, cents, meta_cols=("label",))
+
+    pred = F.col("label") % 3 == 0
+    elig = {r.vec_id for r in
+            emb.where(pred).select("vec_id").collect()}
+    q = emb.where(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    got_pred = pairs(ann_topk(emb, q, idx, k=5, filter_pred=pred))
+    got_ids = pairs(ann_topk(emb, q, idx, k=5,
+                             filter_ids=sorted(elig)))
+    mem = pairs(ann_ivf_int8_topk(emb, q, k=5, centroids=cents,
+                                  filter_pred=pred))
+    assert got_pred == got_ids == mem and got_pred
+    assert {n for _, n in got_pred} <= elig
