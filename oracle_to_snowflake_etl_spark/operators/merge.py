@@ -428,9 +428,30 @@ def purge_keys_everywhere(spark, stores: list[dict], keys,
     media_id — same id space, different column names. Returns
     {path: rows_removed}; stores with no trace report 0 rather than
     erroring, so one request fans out over a heterogeneous store list
-    idempotently (re-running a purge is a no-op)."""
+    idempotently (re-running a purge is a no-op).
+
+    A store dict with ``kind: "ann_index"`` routes through
+    ``operators.similarity.purge_ann_index_keys`` instead — the
+    layout-aware ANN wrapper (flat vs live streamed batch=/cell=
+    detection, replay-durability tombstones, childless-batch cleanup;
+    ``key_col``/``partition_cols`` are implied by the index layout and
+    must be omitted) — so ONE forget request covers the corpus, the
+    fingerprint/signature stores, AND the serving ANN indexes in a
+    single call."""
     out: dict[str, int] = {}
     for st in stores:
+        if st.get("kind") == "ann_index":
+            from .similarity import purge_ann_index_keys
+
+            if "key_col" in st or "partition_cols" in st:
+                raise ValueError(
+                    f"store {st['path']}: kind='ann_index' derives "
+                    f"key_col/partition_cols from the index layout — "
+                    f"omit them (a mismatch would silently purge the "
+                    f"wrong column).")
+            out[st["path"]] = purge_ann_index_keys(
+                spark, st["path"], keys, max_keys=max_keys)
+            continue
         out[st["path"]] = purge_keys(
             spark, st["path"], keys, st["key_col"],
             st["partition_cols"], max_keys=max_keys,

@@ -3231,6 +3231,82 @@ def ann_index_partition_cols(spark, index_path: str) -> list[str]:
     return ["cell"]
 
 
+def ann_index_report(spark, index_path: str) -> dict:
+    """Operational health report of an at-rest ANN index — the
+    metadata a serving owner checks before trusting (or compacting,
+    purging, reindexing) a store, computed from ONE recursive listing
+    plus the 1-row sidecar reads; no data file is opened:
+
+    - ``kind`` ("int8" | "pq"), ``layout`` ("flat" | "streamed"),
+      ``residual`` (PQ stores), ``cells``/``dims``/``centroid_md5``
+      (the ``_meta`` stamp);
+    - ``n_cells`` (directories present — k-means cells can be empty),
+      ``n_batches`` (streamed layout), ``data_bytes``, ``n_files``;
+    - fragmentation: ``max_files_per_cell`` and
+      ``frag_cells(threshold=4)`` — the :func:`compact_ivf_int8_index`
+      trigger condition, surfaced as a number instead of a surprise;
+    - ``tombstones``: accumulated purge-key count awaiting retirement
+      (streamed stores; 0 when none) — the deny-list every serve
+      anti-joins until the flatten applies it physically.
+
+    Cost: one listFiles walk (∝ file count, metadata-only) + two tiny
+    sidecar reads — safe to run against a LIVE streamed store."""
+    jvm = spark._jvm
+    base = jvm.org.apache.hadoop.fs.Path(index_path)
+    fs = base.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(base):
+        raise ValueError(f"no ANN index at {index_path}")
+    is_pq = fs.exists(
+        jvm.org.apache.hadoop.fs.Path(index_path + "/_codebooks"))
+    layout = ann_index_partition_cols(spark, index_path)
+    meta = read_ivf_index_meta(spark, index_path)
+    cells_seen: set[int] = set()
+    batches: set[int] = set()
+    files_per_cell: dict[tuple, int] = {}
+    data_bytes = n_files = 0
+    it = fs.listFiles(base, True)
+    while it.hasNext():
+        st = it.next()
+        p = st.getPath().toString()
+        rel = p[len(index_path):].lstrip("/")
+        if rel.startswith("_") or "/_" in rel:
+            continue  # sidecars are not data
+        if not st.getPath().getName().startswith("part-"):
+            continue
+        n_files += 1
+        data_bytes += st.getLen()
+        cell = batch = None
+        for seg in rel.split("/"):
+            if seg.startswith("cell="):
+                cell = int(seg[5:])
+            elif seg.startswith("batch="):
+                batch = int(seg[6:])
+        if cell is not None:
+            cells_seen.add(cell)
+            key = (batch, cell)
+            files_per_cell[key] = files_per_cell.get(key, 0) + 1
+        if batch is not None:
+            batches.add(batch)
+    tomb = read_ann_tombstones(spark, index_path)
+    max_fpc = max(files_per_cell.values()) if files_per_cell else 0
+    return {
+        "kind": "pq" if is_pq else "int8",
+        "layout": "streamed" if layout[0] == "batch" else "flat",
+        "residual": (read_pq_residual(spark, index_path)
+                     if is_pq else False),
+        "cells": None if meta is None else meta["cells"],
+        "dims": None if meta is None else meta["dims"],
+        "centroid_md5": None if meta is None else meta["centroid_md5"],
+        "n_cells": len(cells_seen),
+        "n_batches": len(batches),
+        "n_files": n_files,
+        "data_bytes": int(data_bytes),
+        "max_files_per_cell": max_fpc,
+        "frag_cells": sum(1 for v in files_per_cell.values() if v > 4),
+        "tombstones": 0 if tomb is None else tomb.count(),
+    }
+
+
 def ann_topk(corpus: DataFrame, queries: DataFrame, index_path: str,
              k: int = 10, nprobe: int = IVF_NPROBE, rescore: int = 3,
              vec_col: str = "embedding", id_col: str = "vec_id",

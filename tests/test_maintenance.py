@@ -1054,3 +1054,91 @@ def test_filtered_serving_on_live_streamed_store(spark, tmp_path):
                                   filter_pred=pred))
     assert got_pred == got_ids == mem and got_pred
     assert {n for _, n in got_pred} <= elig
+
+
+def test_ann_index_report_and_everywhere_fanout(spark, tmp_path):
+    """ann_index_report: the serving owner's health view from one
+    metadata walk — kind/layout/geometry stamps, fragmentation (the
+    compaction trigger surfaced as a number), tombstone backlog.
+    purge_keys_everywhere(kind='ann_index') routes ANN stores through
+    the layout-aware wrapper, so ONE forget request covers corpus +
+    derived fingerprints + serving indexes in a single call."""
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.merge import (
+        purge_keys_everywhere,
+    )
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_index_report,
+        append_ivf_int8_index,
+        ivf_train_centroids,
+        purge_ann_index_keys,
+        write_ivf_int8_index,
+        write_pq_index,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        fold_ann_index_batch,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    n = emb.count()
+    cents = ivf_train_centroids(emb, cells=8)
+
+    flat = str(tmp_path / "flat")
+    write_ivf_int8_index(emb, flat, centroids=cents)
+    r = ann_index_report(spark, flat)
+    assert r["kind"] == "int8" and r["layout"] == "flat"
+    assert r["cells"] == 8 and r["dims"] == 64
+    assert r["n_cells"] <= 8 and r["n_files"] >= r["n_cells"]
+    assert r["data_bytes"] > 0 and r["tombstones"] == 0
+    base_files = r["n_files"]
+    # appends fragment; the report shows it growing
+    for _ in range(5):
+        append_ivf_int8_index(emb.limit(50), flat)
+    r2 = ann_index_report(spark, flat)
+    assert r2["n_files"] > base_files
+    assert r2["max_files_per_cell"] >= 5 and r2["frag_cells"] >= 1
+
+    pq = str(tmp_path / "pq")
+    write_pq_index(emb, pq, centroids=cents, residual=True)
+    rp = ann_index_report(spark, pq)
+    assert rp["kind"] == "pq" and rp["residual"] is True
+    assert rp["data_bytes"] < r["data_bytes"]  # the PQ byte win
+
+    sidx = str(tmp_path / "sidx")
+    fold_ann_index_batch(spark, emb.where(F.col("vec_id") % 2 == 0),
+                         0, sidx, cents)
+    fold_ann_index_batch(spark, emb.where(F.col("vec_id") % 2 == 1),
+                         1, sidx, cents)
+    victims = [r_.vec_id for r_ in
+               emb.where(F.col("vec_id") % 9 == 2)
+               .select("vec_id").collect()]
+    # the everywhere fan-out: corpus-like store + the streamed index
+    corpus_store = str(tmp_path / "corpus")
+    emb.withColumn("bucket", (F.col("vec_id") % 4).cast("int")) \
+       .write.partitionBy("bucket").parquet(corpus_store)
+    out = purge_keys_everywhere(spark, [
+        {"path": corpus_store, "key_col": "vec_id",
+         "partition_cols": ["bucket"],
+         "partition_of": lambda k: (int(k) % 4,)},
+        {"path": sidx, "kind": "ann_index"},
+    ], victims)
+    assert out[corpus_store] == len(victims)
+    assert out[sidx] == len(victims)
+    rs = ann_index_report(spark, sidx)
+    assert rs["layout"] == "streamed" and rs["n_batches"] == 2
+    assert rs["tombstones"] == len(victims)  # deny-list visible
+    # kind='ann_index' rejects explicit key_col (silent-wrong guard)
+    with _pt.raises(ValueError, match="ann_index"):
+        purge_keys_everywhere(spark, [
+            {"path": sidx, "kind": "ann_index", "key_col": "x"}],
+            victims)
+    # a second purge accumulates; the report tracks the backlog
+    more = [r_.vec_id for r_ in
+            emb.where(F.col("vec_id") % 9 == 3)
+            .select("vec_id").collect()]
+    purge_ann_index_keys(spark, sidx, more)
+    assert ann_index_report(spark, sidx)["tombstones"] == \
+        len(set(victims) | set(more))
