@@ -267,6 +267,45 @@ def incremental_distinct_refresh(mv: DataFrame, changes: DataFrame,
             .unionByName(recomputed))
 
 
+def build_join_distinct_view(fact: DataFrame, dim: DataFrame,
+                             on: list[str], key_cols: list[str],
+                             item_col: str, salt: str = "hll",
+                             broadcast_dim: bool = True) -> DataFrame:
+    """Distinct-count view over a JOIN — ``COUNT(DISTINCT fact.x)
+    GROUP BY dim.k`` — as its HLL register table: the
+    :func:`build_join_agg_view` composition with
+    :func:`build_distinct_view`'s representation."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return build_distinct_view(fact.join(d, on, "inner"), key_cols,
+                               item_col, salt=salt)
+
+
+def incremental_join_distinct_refresh(mv: DataFrame, changes: DataFrame,
+                                      dim: DataFrame, on: list[str],
+                                      key_cols: list[str],
+                                      item_col: str,
+                                      op_col: str = "op",
+                                      fact: DataFrame | None = None,
+                                      salt: str = "hll",
+                                      broadcast_dim: bool = True
+                                      ) -> DataFrame:
+    """Fold a FACT-side changelog into a join-distinct view: delta
+    rows join the broadcast dim exactly as the build did (inner — the
+    FK contract of :func:`incremental_join_agg_refresh`, whose dim
+    caveats apply verbatim: static dim, dim changes go through a
+    rebuild or re-labeled groups), then the register fold of
+    :func:`incremental_distinct_refresh` applies — insert merges are
+    idempotent MAX, deletes re-sketch their touched groups from the
+    post-change ``fact`` (joined through the same dim). Fold ==
+    rebuild bitwise (pytest-pinned in tests/test_mv.py)."""
+    d = F.broadcast(dim) if broadcast_dim else dim
+    return incremental_distinct_refresh(
+        mv, changes.join(d, on, "inner"), key_cols, item_col,
+        op_col=op_col,
+        fact=None if fact is None else fact.join(d, on, "inner"),
+        salt=salt)
+
+
 def delta_scoped_recompute(fact: DataFrame, touched_keys: DataFrame,
                            key_cols: list[str],
                            agg_exprs: list[Column]) -> DataFrame:

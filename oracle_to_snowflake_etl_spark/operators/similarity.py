@@ -3184,15 +3184,28 @@ def flatten_streamed_ann_index(spark, src_path: str,
     caller once the new store serves). The geometry sidecars travel:
     the stored ``_centroids`` matrix is re-stamped into the
     destination, so probed scans and future appends keep the exact
-    cell geometry the rows were assigned under. Returns the row count
-    folded. Cost: one column-pruned read of the packed rows + one
-    shuffle on cell — ∝ index, paid once at stream retirement."""
+    cell geometry the rows were assigned under — and for a streamed PQ
+    store (streaming/jobs.maintain_pq_index_stream) the ``_codebooks``
+    sidecar (with its residual flag) travels too, the store KIND
+    detected like everywhere else. Returns the row count folded.
+    Cost: one column-pruned read of the packed rows + one shuffle on
+    cell — ∝ index, paid once at stream retirement."""
+    jvm = spark._jvm
+    fs = jvm.org.apache.hadoop.fs.Path(src_path).getFileSystem(
+        spark._jsc.hadoopConfiguration())
+    is_pq = fs.exists(
+        jvm.org.apache.hadoop.fs.Path(src_path + "/_codebooks"))
     cents = read_ivf_centroids(spark, src_path)
+    if is_pq:
+        schema = "neighbor_id long, pqb binary, cell int"
+        cols = ["neighbor_id", "cell", "pqb"]
+    else:
+        schema = "neighbor_id long, scale double, qb binary, cell int"
+        cols = ["neighbor_id", "cell", "scale", "qb"]
     rows = (spark.read.option("basePath", src_path)
-            .schema("neighbor_id long, scale double, qb binary, "
-                    "cell int")
+            .schema(schema)
             .parquet(src_path)
-            .select("neighbor_id", "cell", "scale", "qb"))
+            .select(*cols))
     tomb = read_ann_tombstones(spark, src_path)
     if tomb is not None:
         # RETIRE the purge tombstones: the flatten is the store's one
@@ -3207,6 +3220,10 @@ def flatten_streamed_ann_index(spark, src_path: str,
          .write.mode("overwrite").partitionBy("cell").parquet(dst_path))
     rows.unpersist()
     _write_centroids(spark, dst_path, cents)
+    if is_pq:
+        _write_codebooks(spark, dst_path,
+                         read_pq_codebooks(spark, src_path),
+                         residual=read_pq_residual(spark, src_path))
     return n
 
 

@@ -1142,3 +1142,114 @@ def test_ann_index_report_and_everywhere_fanout(spark, tmp_path):
     purge_ann_index_keys(spark, sidx, more)
     assert ann_index_report(spark, sidx)["tombstones"] == \
         len(set(victims) | set(more))
+
+
+def test_streamed_pq_index_lifecycle(spark, tmp_path):
+    """The streamed serving fold for the PQ layout
+    (maintain_pq_index_stream / fold_pq_index_batch): two folded
+    batches serve through ann_topk identically to the in-memory
+    residual scan; replay is idempotent; purge tombstones hold
+    through replay (the int8 contract verbatim); foreign geometry /
+    codebooks / encoding-form resume all raise; the kind-aware
+    flatten retires tombstones and carries the codebooks + residual
+    flag so the flat store serves and appends."""
+    import os
+
+    import pytest as _pt
+    from pyspark.sql import functions as F
+
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        ann_ivf_pq_topk,
+        ann_topk,
+        append_pq_index,
+        flatten_streamed_ann_index,
+        ivf_train_centroids,
+        pq_train_codebooks,
+        purge_ann_index_keys,
+        read_ann_tombstones,
+        read_pq_codebooks,
+        read_pq_residual,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import load_table
+    from oracle_to_snowflake_etl_spark.streaming.jobs import (
+        fold_pq_index_batch,
+        maintain_pq_index_stream,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cents = ivf_train_centroids(emb, cells=8)
+    books = pq_train_codebooks(emb, residual_centroids=cents)
+    idx = str(tmp_path / "idx")
+    b0 = emb.where(F.col("vec_id") % 2 == 0)
+    b1 = emb.where(F.col("vec_id") % 2 == 1)
+    fold_pq_index_batch(spark, b0, 0, idx, cents, books, residual=True)
+    fold_pq_index_batch(spark, b1, 1, idx, cents, books, residual=True)
+    assert read_pq_residual(spark, idx) is True
+
+    q = emb.where(F.col("vec_id") < 10)
+
+    def pairs(df):
+        return {(r.query_id, r.neighbor_id) for r in df.collect()}
+
+    got = pairs(ann_topk(emb, q, idx, k=5))
+    mem = pairs(ann_ivf_pq_topk(emb, q, k=5, centroids=cents,
+                                codebooks=books, residual=True))
+    assert got == mem and got
+    # replay idempotence: re-fold batch 1, nothing changes
+    fold_pq_index_batch(spark, b1, 1, idx, cents, books, residual=True)
+    assert pairs(ann_topk(emb, q, idx, k=5)) == got
+
+    # foreign geometry / codebooks / encoding form refuse
+    other_c = ivf_train_centroids(emb, cells=16)
+    with _pt.raises(ValueError, match="centroid"):
+        fold_pq_index_batch(spark, b0, 2, idx, other_c,
+                            books, residual=True)
+    other_b = pq_train_codebooks(emb)
+    with _pt.raises(ValueError, match="codebook"):
+        fold_pq_index_batch(spark, b0, 2, idx, cents,
+                            other_b, residual=True)
+    with _pt.raises(ValueError, match="encoding"):
+        fold_pq_index_batch(spark, b0, 2, idx, cents,
+                            books, residual=False)
+
+    # purge + crash replay: tombstoned ids stay gone
+    victims = [r.vec_id for r in
+               b1.where(F.col("vec_id") % 7 == 3)
+               .select("vec_id").collect()]
+    assert purge_ann_index_keys(spark, idx, victims) == len(victims)
+    fold_pq_index_batch(spark, b1, 1, idx, cents, books, residual=True)
+    stored = {r.neighbor_id for r in
+              spark.read.parquet(idx).select("neighbor_id").collect()}
+    assert not stored & set(victims)
+    qs = q.where(~F.col("vec_id").isin(victims))
+    assert not {n for _, n in
+                pairs(ann_topk(emb, qs, idx, k=5))} & set(victims)
+
+    # kind-aware flatten: codebooks + residual travel, tombstones
+    # retire, the flat store appends
+    flat = str(tmp_path / "flat")
+    n = flatten_streamed_ann_index(spark, idx, flat)
+    assert n == emb.count() - len(victims)
+    assert read_pq_codebooks(spark, flat) == books
+    assert read_pq_residual(spark, flat) is True
+    assert read_ann_tombstones(spark, flat) is None
+    keep = pairs(ann_topk(emb, qs, flat, k=5))
+    memk = pairs(ann_ivf_pq_topk(
+        emb.where(~F.col("vec_id").isin(victims)), qs, k=5,
+        centroids=cents, codebooks=books, residual=True))
+    assert keep == memk
+    append_pq_index(emb.where(F.col("vec_id").isin(victims)), flat)
+    assert pairs(ann_topk(emb, qs, flat, k=5)) == pairs(
+        ann_ivf_pq_topk(emb, qs, k=5, centroids=cents,
+                        codebooks=books, residual=True))
+
+    # the streaming entry point itself drains availableNow
+    src = tmp_path / "src"
+    b0.coalesce(1).write.parquet(str(src))
+    sidx = str(tmp_path / "sidx")
+    stream = (spark.readStream.schema(emb.schema).parquet(str(src)))
+    sq = maintain_pq_index_stream(stream, sidx, str(tmp_path / "ckp"),
+                                  cents, books, residual=True)
+    assert sq.awaitTermination(180)
+    assert os.path.isdir(os.path.join(sidx, "batch=0"))
+    assert read_pq_residual(spark, sidx) is True

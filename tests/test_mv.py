@@ -550,3 +550,48 @@ def test_distinct_view_fold_equals_rebuild_and_delete_routing(
     assert set(est) == set(exact)
     for m, n in exact.items():
         assert abs(est[m] - n) / n <= 0.20
+
+
+def test_join_distinct_view_fold_equals_rebuild(spark, sf_dir):
+    """Join-distinct MV (COUNT(DISTINCT fact.x) GROUP BY dim.k as HLL
+    registers): fact-side insert folds equal the from-scratch
+    registers of the final joined state bitwise; deletes route
+    touched groups to a re-sketch through the same dim join; FK
+    orphans contribute nothing (inner-join contract)."""
+    from oracle_to_snowflake_etl_spark.operators.mv import (
+        build_join_distinct_view,
+        incremental_join_distinct_refresh,
+    )
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    on = ["c_custkey"]
+    orders = orders.withColumnRenamed("o_custkey", "c_custkey")
+    keys, item = ["c_nationkey"], "o_orderkey"
+    cutoff = F.lit("2000-01-01").cast("timestamp")
+    old = orders.where(F.col("o_orderdate") < cutoff)
+    new = orders.where(F.col("o_orderdate") >= cutoff)
+
+    mv0 = build_join_distinct_view(old, cust, on, keys, item)
+    folded = incremental_join_distinct_refresh(
+        mv0, new.withColumn("op", F.lit("I")), cust, on, keys, item)
+    assert _rows(folded) == _rows(
+        build_join_distinct_view(orders, cust, on, keys, item))
+
+    # deletes re-sketch touched groups through the same join
+    dels = old.where(F.col("o_orderkey") % 13 == 0)
+    final_fact = orders.join(dels.select("o_orderkey"), "o_orderkey",
+                             "left_anti")
+    refreshed = incremental_join_distinct_refresh(
+        folded, dels.withColumn("op", F.lit("D")), cust, on, keys,
+        item, fact=final_fact)
+    assert _rows(refreshed) == _rows(
+        build_join_distinct_view(final_fact, cust, on, keys, item))
+
+    # FK orphans: delta rows with no dim match contribute nothing
+    orphan = new.withColumn("c_custkey", F.lit(-1).cast("long")) \
+                .withColumn("op", F.lit("I"))
+    assert _rows(incremental_join_distinct_refresh(
+        mv0, orphan, cust, on, keys, item)) == _rows(mv0)
