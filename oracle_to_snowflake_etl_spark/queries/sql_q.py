@@ -1321,6 +1321,89 @@ def q_mv_hll_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mv_join_hll_refresh",
+    f"""
+    WITH final_fact AS (
+      SELECT o_orderkey, o_custkey
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00'
+         OR o_orderkey % 13 <> 0),
+    joined AS (
+      SELECT c.c_nationkey, f.o_custkey
+      FROM final_fact f JOIN customer c ON f.o_custkey = c.c_custkey),
+    h AS (SELECT c_nationkey, {_HLL_H} AS h60 FROM joined),
+    reg AS (
+      SELECT c_nationkey, h60 % 256 AS bucket,
+             MAX(CASE WHEN h60 // 256 = 0 THEN 53
+                      ELSE 53 - length(bin(h60 // 256)) END) AS maxr
+      FROM h GROUP BY 1, 2),
+    s AS (
+      SELECT c_nationkey, COUNT(*) AS used,
+             SUM(CAST((1::BIGINT << (61 - maxr)) AS DECIMAL(38,0))) AS t_used
+      FROM reg GROUP BY c_nationkey),
+    est AS (
+      SELECT c_nationkey, used,
+             {_HLL_EST} AS est
+      FROM s),
+    exact AS (
+      SELECT c_nationkey, COUNT(DISTINCT o_custkey) AS exact_n
+      FROM joined GROUP BY 1)
+    SELECT c_nationkey, CAST(used AS BIGINT) AS used_buckets,
+           CAST(floor(est + 0.5) AS BIGINT) AS est_n, exact_n
+    FROM est JOIN exact USING (c_nationkey)
+    """)
+def q_mv_join_hll_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN-distinct-count view (operators/mv
+    incremental_join_distinct_refresh — the build_join_agg_view
+    composition with the HLL register representation): distinct
+    active customers per NATION, where the nation comes from the
+    customer dim and the activity from the orders fact. A pre-2000
+    view folds post-2000 inserts by register MAX-merge through the
+    broadcast dim join (fold == rebuild bitwise, fact never
+    rescanned) while pre-2000 deletes route their touched nations to
+    a re-sketch of the final fact state through the SAME join. The
+    oracle is the from-scratch grouped HLL of the final joined state
+    with exact COUNT(DISTINCT) joined per nation — the mv_hll_refresh
+    contract lifted over a star join."""
+    from ..operators.mv import (
+        build_join_distinct_view,
+        incremental_join_distinct_refresh,
+    )
+    from ..operators.sketch import hll_estimate
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate",
+        F.col("o_custkey").alias("c_custkey"),
+        F.col("o_custkey"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey")
+    cutoff = F.lit("2000-01-01 00:00:00").cast("timestamp")
+    keys, item, on = ["c_nationkey"], "o_custkey", ["c_custkey"]
+    mv0 = build_join_distinct_view(
+        orders.where(F.col("o_orderdate") < cutoff), cust, on, keys,
+        item)
+    inserts = orders.where(F.col("o_orderdate") >= cutoff) \
+                    .withColumn("op", F.lit("I"))
+    deletes = orders.where((F.col("o_orderdate") < cutoff)
+                           & (F.col("o_orderkey") % 13 == 0)) \
+                    .withColumn("op", F.lit("D"))
+    final_fact = orders.where((F.col("o_orderdate") >= cutoff)
+                              | (F.col("o_orderkey") % 13 != 0))
+    refreshed = incremental_join_distinct_refresh(
+        mv0, inserts.unionByName(deletes), cust, on, keys, item,
+        fact=final_fact)
+    est = hll_estimate(refreshed, ("c_nationkey",))
+    exact = (final_fact.join(F.broadcast(cust), on, "inner")
+             .groupBy("c_nationkey")
+             .agg(F.countDistinct(item).alias("exact_n")))
+    return est.join(exact, "c_nationkey").select(
+        "c_nationkey",
+        F.col("used").cast("long").alias("used_buckets"),
+        F.floor(F.col("est") + 0.5).cast("long").alias("est_n"),
+        "exact_n")
+
+
+@register(
     "cdc_snapshot_diff",
     """
     WITH old_s AS (
