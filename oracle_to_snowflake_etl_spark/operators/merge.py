@@ -388,19 +388,39 @@ def purge_keys(spark, path: str, keys, key_col: str,
                        for t in (partition_of(k) for k in keys)})
         tbl = tbl.where(_partition_predicate(cand, partition_cols))
     hit, keep = _purge_key_frames(spark, tbl, keys, key_col)
-    touched = [tuple(r) for r in
-               hit(tbl).select(*partition_cols).distinct().collect()]
+    # Locate + size in TWO jobs instead of four (r15 optimization —
+    # guide §1.2 "distributed algorithm first": the kept anti-join was
+    # previously executed three times — count, partition-distinct, and
+    # the write — and the scoped store twice more; every extra action
+    # re-reads the affected partitions and pays a full job's scheduling
+    # constant, which dominates a purge whose rewrite is
+    # partition-scoped by design):
+    #   1. per-partition HIT counts over the (pushed-filter / broadcast
+    #      semi-join) locate scan — yields `touched`, and `removed` as
+    #      sum(hits) (identical arithmetic to n_before - n_kept: every
+    #      hit row is in scoped, NULL keys never hit on either path);
+    #   2. per-partition ROW counts of only the touched partitions —
+    #      a partition is fully emptied iff hits == rows, and `written`
+    #      (the dynamic overwrite's output set) is exactly the touched
+    #      partitions with rows > hits.
+    # The kept frame is then computed exactly ONCE, inside the write.
+    hstats = (hit(tbl).groupBy(*partition_cols)
+              .agg(F.count(F.lit(1)).alias("_nh")).collect())
+    n_pc = len(partition_cols)
+    touched = [tuple(r)[:n_pc] for r in hstats]
     if not touched:
         return (0, [], []) if detail else 0
+    hits = {tuple(r)[:n_pc]: r["_nh"] for r in hstats}
     scoped = tbl.where(_partition_predicate(touched, partition_cols))
+    rows = {tuple(r)[:n_pc]: r["_nb"] for r in
+            scoped.groupBy(*partition_cols)
+            .agg(F.count(F.lit(1)).alias("_nb")).collect()}
     kept = keep(scoped)
-    # execute everything that reads the current files BEFORE the
-    # overwrite replaces them (the apply_changes_partitioned pattern)
-    n_before = scoped.count()
-    n_kept = kept.count()
-    written = {tuple(r) for r in
-               kept.select(*partition_cols).distinct().collect()}
+    # the write executes while the old files are still present (commit
+    # replaces them only at job end — the apply_changes_partitioned
+    # pattern); counts above were taken from the same pre-write state
     overwrite_partitions_dynamic(kept, path, partition_cols)
+    written = {t for t in touched if rows[t] > hits[t]}
     emptied = [t for t in touched if t not in written]
     if emptied:
         jvm = spark._jvm
@@ -410,7 +430,7 @@ def purge_keys(spark, path: str, keys, key_col: str,
                            for c, v in zip(partition_cols, t))
             p = jvm.org.apache.hadoop.fs.Path(f"{path}/{seg}")
             p.getFileSystem(hconf).delete(p, True)
-    removed = n_before - n_kept
+    removed = sum(hits.values())
     return (removed, touched, emptied) if detail else removed
 
 

@@ -2253,32 +2253,42 @@ def _write_codebooks(spark, path: str, codebooks: tuple,
     decoding a residual store as raw (or vice versa) mis-scores every
     candidate, so the flag is part of the store's geometry stamp and
     the readers branch on it automatically."""
-    rows = [(j, c, list(w), bool(residual))
+    import pyarrow as pa
+
+    rows = [(j, c, [float(x) for x in w], bool(residual))
             for j, book in enumerate(codebooks)
             for c, w in enumerate(book)]
-    (spark.createDataFrame(
-        rows, "sub int, code int, w array<double>, residual boolean")
-     .repartition(1)  # not coalesce(1) — see _write_centroids
-     .write.mode("overwrite").parquet(path + "/_codebooks"))
+    _sidecar_write(spark, path + "/_codebooks", pa.table({
+        "sub": pa.array([r[0] for r in rows], pa.int32()),
+        "code": pa.array([r[1] for r in rows], pa.int32()),
+        "w": pa.array([r[2] for r in rows], pa.list_(pa.float64())),
+        "residual": pa.array([r[3] for r in rows], pa.bool_()),
+    }))
 
 
 def read_pq_residual(spark, index_path: str) -> bool:
     """Whether a PQ store's codes encode residuals — False for
     pre-flag stores (raw encoding was the only form then)."""
-    df = spark.read.parquet(index_path + "/_codebooks")
-    if "residual" not in df.columns:
+    t = _sidecar_read(spark, index_path + "/_codebooks")
+    if t is None:
+        raise FileNotFoundError(index_path + "/_codebooks")
+    if "residual" not in t.column_names:
         return False
-    return bool(df.select("residual").first()[0])
+    return bool(t.column("residual")[0].as_py())
 
 
 def read_pq_codebooks(spark, index_path: str) -> tuple:
     """The codebooks a :func:`write_pq_index` store was encoded with,
     from its ``_codebooks`` sidecar."""
-    rows = spark.read.parquet(index_path + "/_codebooks") \
-        .orderBy("sub", "code").collect()
+    t = _sidecar_read(spark, index_path + "/_codebooks")
+    if t is None:
+        raise FileNotFoundError(index_path + "/_codebooks")
+    recs = sorted(((r["sub"], r["code"], tuple(r["w"]))
+                   for r in t.select(["sub", "code", "w"]).to_pylist()),
+                  key=lambda x: (x[0], x[1]))
     books: dict[int, list] = {}
-    for r in rows:
-        books.setdefault(r.sub, []).append(tuple(r.w))
+    for sub, _code, w in recs:
+        books.setdefault(sub, []).append(w)
     return tuple(tuple(books[j]) for j in sorted(books))
 
 
@@ -2942,19 +2952,94 @@ def write_ivf_index(corpus: DataFrame, path: str,
     _write_centroids(corpus.sparkSession, path, centroids)
 
 
+def _sidecar_write(spark, dir_path: str, table) -> None:
+    """Write a KB-sized metadata sidecar (``_centroids``/``_meta``/
+    ``_codebooks``/``_tombstones``) as one parquet file DRIVER-SIDE
+    through the Hadoop FileSystem API — zero Spark jobs (r15, guide
+    §1.2: these sidecars are driver-local metadata; a Spark write of a
+    1-row local relation still pays a full job's scheduling + commit
+    protocol, measured ~0.4-1.1 s per sidecar, 2 sidecars per index
+    build — the dominant index-build cost at small corpora). The
+    Hadoop FS route (not a bare ``open()``) keeps this correct on ANY
+    filesystem the cluster's Spark can reach (HDFS/S3A/local); pyarrow
+    encodes the bytes, so the file is ordinary parquet that
+    ``spark.read.parquet`` and old readers still understand. Layout
+    matches a Spark write: ``<dir>/part-00000.parquet`` + ``_SUCCESS``,
+    overwrite == delete + recreate (atomicity is not weaker than the
+    Spark write this replaces: sidecars are single-writer metadata)."""
+    import io
+
+    import pyarrow.parquet as papq
+
+    buf = io.BytesIO()
+    papq.write_table(table, buf)
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = p.getFileSystem(hconf)
+    if fs.exists(p):
+        fs.delete(p, True)
+    fs.mkdirs(p)
+    out = fs.create(
+        jvm.org.apache.hadoop.fs.Path(dir_path + "/part-00000.parquet"),
+        True)
+    out.write(bytearray(buf.getvalue()))
+    out.close()
+    s = fs.create(jvm.org.apache.hadoop.fs.Path(dir_path + "/_SUCCESS"),
+                  True)
+    s.close()
+
+
+def _sidecar_read(spark, dir_path: str):
+    """Driver-side read of a sidecar directory written by
+    :func:`_sidecar_write` OR by an old Spark write (any set of
+    ``*.parquet`` part files): returns a ``pyarrow.Table`` or None
+    when the directory does not exist. Zero Spark jobs — the serving
+    paths pay one small-file read instead of a scan job per sidecar."""
+    import io
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(dir_path)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return None
+    parts = sorted(
+        (st.getPath() for st in fs.listStatus(p)
+         if st.getPath().getName().endswith(".parquet")),
+        key=lambda jp: jp.getName())
+    tables = []
+    ioutils = jvm.org.apache.commons.io.IOUtils
+    for jp in parts:
+        stream = fs.open(jp)
+        try:
+            data = bytes(ioutils.toByteArray(stream))
+        finally:
+            stream.close()
+        tables.append(papq.read_table(io.BytesIO(data)))
+    if not tables:
+        return None
+    return pa.concat_tables(tables)
+
+
 def _write_centroids(spark, path: str, centroids: tuple) -> None:
     """Persist the centroid matrix INTO an index directory (the
     ``_centroids`` parquet subdir — the underscore prefix hides it from
     the data scan, like ``_metadata``): whichever geometry assigned the
-    cells travels with them, so a probe/index mismatch is impossible."""
-    cent_rows = [(c, list(row)) for c, row in enumerate(centroids)]
-    # repartition(1), NOT coalesce(1): coalescing a driver-local
-    # relation into the write measured a flat ~4.5 s per write (it
-    # forfeits the local fast path), where the 1-partition shuffle is
-    # ~0.4 s — 2 sidecars per index build made this the DOMINANT index
-    # cost at small corpora (round-13 profile of purge_ann_index)
-    (spark.createDataFrame(cent_rows, "cell int, w array<double>")
-     .repartition(1).write.mode("overwrite").parquet(path + "/_centroids"))
+    cells travels with them, so a probe/index mismatch is impossible.
+    Driver-side single-file write (:func:`_sidecar_write`) — zero
+    Spark jobs (r15; previously a repartition(1) Spark write, ~0.4 s
+    per sidecar)."""
+    import pyarrow as pa
+
+    _sidecar_write(spark, path + "/_centroids", pa.table({
+        "cell": pa.array(range(len(centroids)), pa.int32()),
+        "w": pa.array([list(map(float, row)) for row in centroids],
+                      pa.list_(pa.float64())),
+    }))
     _write_index_meta(spark, path, centroids)
 
 
@@ -2979,11 +3064,13 @@ def _write_index_meta(spark, path: str, centroids) -> None:
     explicitly-passed probe matrix is validated against it
     (:func:`ann_ivf_int8_topk`) instead of silently probing the wrong
     cells."""
-    rows = [(len(centroids), len(centroids[0]), centroid_md5(centroids))]
-    (spark.createDataFrame(
-        rows, "cells int, dims int, centroid_md5 string")
-     .repartition(1)  # not coalesce(1) — see _write_centroids
-     .write.mode("overwrite").parquet(path + "/_meta"))
+    import pyarrow as pa
+
+    _sidecar_write(spark, path + "/_meta", pa.table({
+        "cells": pa.array([len(centroids)], pa.int32()),
+        "dims": pa.array([len(centroids[0])], pa.int32()),
+        "centroid_md5": pa.array([centroid_md5(centroids)], pa.string()),
+    }))
 
 
 def read_ivf_index_meta(spark, index_path: str) -> dict | None:
@@ -2996,18 +3083,14 @@ def read_ivf_index_meta(spark, index_path: str) -> dict | None:
     the foreign-geometry guard in ann_ivf_int8_topk /
     append_ivf_int8_index, the exact wrong-cells failure the stamp
     exists to prevent (ADVICE r13)."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        rows = spark.read.parquet(index_path + "/_meta").collect()
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e):
-            return None
-        raise
-    if len(rows) != 1:
+    t = _sidecar_read(spark, index_path + "/_meta")
+    if t is None:
         return None
-    return {"cells": rows[0].cells, "dims": rows[0].dims,
-            "centroid_md5": rows[0].centroid_md5}
+    if t.num_rows != 1:
+        return None
+    row = t.to_pylist()[0]
+    return {"cells": row["cells"], "dims": row["dims"],
+            "centroid_md5": row["centroid_md5"]}
 
 
 def write_ivf_int8_index(corpus: DataFrame, path: str,
@@ -3474,15 +3557,15 @@ def read_ann_tombstones(spark, index_path: str) -> DataFrame | None:
     has ever removed), or None when no purge has run. Underscore
     prefix: hidden from the data scan like ``_centroids``/``_meta``.
     Bounded by accumulated purge requests (each ≤ PURGE_MAX_KEYS), so
-    always broadcastable."""
-    from pyspark.errors import AnalysisException
-
-    try:
-        return spark.read.parquet(index_path + "/_tombstones")
-    except AnalysisException as e:
-        if "PATH_NOT_FOUND" not in str(e):
-            raise
+    always broadcastable. Driver-side sidecar read (r15): returns a
+    LOCAL relation (no scan job in the per-batch stream fold or the
+    probed scans that anti-join against it)."""
+    t = _sidecar_read(spark, index_path + "/_tombstones")
+    if t is None:
         return None
+    ids = sorted(t.column("neighbor_id").to_pylist())
+    return spark.createDataFrame([(int(k),) for k in ids],
+                                 "neighbor_id long")
 
 
 def _write_ann_tombstones(spark, index_path: str, keys) -> None:
@@ -3490,15 +3573,20 @@ def _write_ann_tombstones(spark, index_path: str, keys) -> None:
     (union + distinct with any prior set; materialized BEFORE the
     overwrite replaces the files its lineage reads — the
     _compact_cell_store pattern)."""
-    new = spark.createDataFrame([(int(k),) for k in keys],
-                                "neighbor_id long")
-    prior = read_ann_tombstones(spark, index_path)
-    merged = (new if prior is None
-              else new.unionByName(prior.select("neighbor_id")))
-    merged = merged.distinct().repartition(1).persist()
-    merged.count()
-    merged.write.mode("overwrite").parquet(index_path + "/_tombstones")
-    merged.unpersist()
+    import pyarrow as pa
+
+    merged = {int(k) for k in keys}
+    prior = _sidecar_read(spark, index_path + "/_tombstones")
+    if prior is not None:
+        merged.update(int(k) for k in
+                      prior.column("neighbor_id").to_pylist())
+    # driver-side union + write (r15): the key sets are contract-capped
+    # driver lists on both sides — the previous Spark union/distinct/
+    # persist/count/write dance paid three jobs to merge two small
+    # in-memory sets
+    _sidecar_write(spark, index_path + "/_tombstones", pa.table({
+        "neighbor_id": pa.array(sorted(merged), pa.int64()),
+    }))
 
 
 def purge_ann_index_keys(spark, index_path: str, keys,
@@ -3707,10 +3795,13 @@ def append_pq_index(batch: DataFrame, path: str,
 
 def read_ivf_centroids(spark, index_path: str) -> tuple:
     """The centroid matrix a :func:`write_ivf_index` table was built
-    with, from its ``_centroids`` subdir."""
-    rows = spark.read.parquet(index_path + "/_centroids") \
-        .orderBy("cell").collect()
-    return tuple(tuple(r.w) for r in rows)
+    with, from its ``_centroids`` subdir (driver-side single-file
+    read — zero Spark jobs, r15)."""
+    t = _sidecar_read(spark, index_path + "/_centroids")
+    if t is None:
+        raise FileNotFoundError(index_path + "/_centroids")
+    recs = sorted(t.to_pylist(), key=lambda r: r["cell"])
+    return tuple(tuple(r["w"]) for r in recs)
 
 
 def ivf_topk_indexed(spark, index_path: str, queries: DataFrame,

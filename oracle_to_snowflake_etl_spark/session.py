@@ -47,6 +47,16 @@ def get_spark(app_name: str = "oracle_to_snowflake_etl_spark",
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.sql.files.maxPartitionBytes", str(128 * 1024 * 1024))
         .config("spark.sql.parquet.filterPushdown", "true")
+        # Partition-dir listing below this count happens driver-side
+        # (milliseconds of FS RPCs) instead of as a distributed Spark
+        # job that pays a full scheduling round-trip; the default (32)
+        # forces a listing JOB for every partitioned ANN/MV store read
+        # (48+ cell dirs). At 100 TB a table with >1024 partition dirs
+        # re-engages the parallel path automatically — this moves the
+        # crossover, it does not disable the mechanism. Env-tunable.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold",
+                os.environ.get("SPARK_GRAFT_PART_DISCOVERY_THRESHOLD",
+                               "1024"))
         # testdata events.parquet stores TIMESTAMP(NANOS); Spark has no
         # nanosecond timestamp type — read as long, convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
