@@ -178,26 +178,33 @@ def _auto_scale_safe(docs: DataFrame,
         raise ValueError(
             f"sample_fraction must be in [0.001, 1.0] (1/1000 hash "
             f"granularity), got {sample_fraction!r}")
+    def measure(frame):
+        # ONE action for the whole decision (r15 — previously a
+        # doc-count job plus a stats job): the doc count and the
+        # per-shingle DF stats are independent aggregates of the same
+        # sampled frame, cross-joined into a single 1-row collect.
+        sh = frame.select(F.explode("sh").alias("s")) \
+                  .select(F.xxhash64("s").alias("h"))
+        return (sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+                .agg(F.sum("c").alias("rows"), F.max("c").alias("maxdf"))
+                .crossJoin(frame.agg(F.count(F.lit(1)).alias("nd")))
+                .collect()[0])
+
     sample = docs.where(
         (hash60(F.col("doc").cast("string"), prefix="dedupauto:")
          % 1000) < int(sample_fraction * 1000))
-    n_docs = sample.count()
-    used_fraction = sample_fraction
+    stats = measure(sample)
+    n_docs, used_fraction = stats["nd"], sample_fraction
     if n_docs == 0:
         # Empty sample ≠ small corpus: a tiny-but-skewed frame can draw
         # zero docs at low fractions. Mirror skew.choose_salt_buckets:
         # fall back to measuring the FULL frame (cheap precisely when
         # the sample came up empty) so the decision is always measured,
         # never a no-data default.
-        sample, used_fraction = docs, 1.0
-        n_docs = sample.count()
+        stats = measure(docs)
+        n_docs, used_fraction = stats["nd"], 1.0
         if n_docs == 0:
             return False  # genuinely empty corpus: nothing to straggle
-    sh = sample.select(F.explode("sh").alias("s")) \
-               .select(F.xxhash64("s").alias("h"))
-    stats = (sh.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
-             .agg(F.sum("c").alias("rows"), F.max("c").alias("maxdf"))
-             .collect()[0])
     if stats["rows"] is None:
         return False
     est_rows = stats["rows"] / used_fraction
@@ -385,6 +392,19 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
          >= F.lit(float(threshold)) * F.greatest("n_a", "n_b"))
         & (ubound >= alpha))
         .select("doc_a", "doc_b").dropDuplicates())
+    # Spread the rescore (r15, guide §2.5): the candidate list is a
+    # few MB of (doc_a, doc_b) longs, so AQE's byte-target coalescing
+    # collapses the post-dedup shuffle to ONE partition — and the
+    # downstream exact array_intersect rescore (CPU-dense per byte:
+    # ~100-element string arrays per side) then runs as a single-task
+    # straggler (measured 4.2 s of a 7 s scale-path run at sf0.1,
+    # 31 cores idle). An explicit round-robin repartition to the
+    # cluster's parallelism pins the rescore's fan-out; the extra
+    # exchange moves only the skinny pair list. At scale the pair
+    # list is output-bounded and defaultParallelism is cluster-sized,
+    # so per-task volume stays |cand|/cores either way.
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -1044,6 +1064,12 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     cand = (prefix.join(full_idx, "h")
             .where(F.col("doc_a") != F.col("doc_b"))
             .select("doc_a", "doc_b").dropDuplicates())
+    # spread the rescore over the cluster (r15, guide §2.5): AQE
+    # coalesces the skinny post-dedup pair list to ~1 partition by
+    # byte target, making the CPU-dense array_intersect rescore a
+    # single-task straggler (the ngram_jaccard_pairs fix, same shape)
+    cand = cand.repartition(
+        df.sparkSession.sparkContext.defaultParallelism)
     if materialize:
         cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
@@ -1165,7 +1191,11 @@ def containment_pairs_incremental(new_df: DataFrame,
     idx = ash.join(pre_h, "h", "left_semi")
     cand = (prefix.join(idx, "h")
             .where(F.col("doc_a") != F.col("doc_b"))
-            .select("doc_a", "doc_b").dropDuplicates())
+            .select("doc_a", "doc_b").dropDuplicates()
+            # spread the CPU-dense exact rescore (r15, guide §2.5 —
+            # the ngram_jaccard_pairs single-task-straggler fix)
+            .repartition(
+                new_df.sparkSession.sparkContext.defaultParallelism))
     da = batch.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = all_docs.select(F.col("doc").alias("doc_b"),
                          F.col("sh").alias("sh_b"))
@@ -1244,7 +1274,11 @@ def jaccard_pairs_incremental_from_index(batch: DataFrame,
             .where(F.col("doc_n") != F.col("doc_o"))
             .select(F.least("doc_n", "doc_o").alias("doc_a"),
                     F.greatest("doc_n", "doc_o").alias("doc_b"))
-            .dropDuplicates())
+            .dropDuplicates()
+            # spread the CPU-dense exact rescore (r15, guide §2.5 —
+            # the ngram_jaccard_pairs single-task-straggler fix)
+            .repartition(
+                batch.sparkSession.sparkContext.defaultParallelism))
     da = all_docs.select(F.col("doc").alias("doc_a"),
                          F.col("sh").alias("sh_a"))
     db = all_docs.select(F.col("doc").alias("doc_b"),

@@ -458,8 +458,9 @@ def purge_keys_everywhere(spark, stores: list[dict], keys,
     must be omitted) — so ONE forget request covers the corpus, the
     fingerprint/signature stores, AND the serving ANN indexes in a
     single call."""
-    out: dict[str, int] = {}
-    for st in stores:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def one(st) -> int:
         if st.get("kind") == "ann_index":
             from .similarity import purge_ann_index_keys
 
@@ -469,11 +470,18 @@ def purge_keys_everywhere(spark, stores: list[dict], keys,
                     f"key_col/partition_cols from the index layout — "
                     f"omit them (a mismatch would silently purge the "
                     f"wrong column).")
-            out[st["path"]] = purge_ann_index_keys(
+            return purge_ann_index_keys(
                 spark, st["path"], keys, max_keys=max_keys)
-            continue
-        out[st["path"]] = purge_keys(
+        return purge_keys(
             spark, st["path"], keys, st["key_col"],
             st["partition_cols"], max_keys=max_keys,
             partition_of=st.get("partition_of"))
-    return out
+
+    # the per-store purges touch DISJOINT paths and share no state —
+    # run them as concurrent driver-thread jobs (guide §2.6) so one
+    # store's locate-scan tail back-fills with the next store's work
+    # instead of serializing the fan-out; results keyed by path, order
+    # deterministic (r15). 2-3 in flight is the guide's sweet spot.
+    with ThreadPoolExecutor(max_workers=min(3, max(1, len(stores)))) as ex:
+        counts = list(ex.map(one, stores))
+    return {st["path"]: n for st, n in zip(stores, counts)}

@@ -461,11 +461,18 @@ def q_purge_ann_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.mkdtemp(prefix="ivf_int8_purge_")
     _IVF_INT8_INDEX_TMPDIRS.append(tmp)
     path = tmp + "/index"
-    write_ivf_int8_index(emb, path, centroids=IVF_SNAPSHOT)
-    mod = _purge_ann_modulus(emb.count())
-    keys = [r.vec_id for r in
-            emb.where(F.col("vec_id") % mod == 11)
-            .select("vec_id").collect()]
+    # the index build and the doomed-key collect are independent jobs
+    # over the same source — overlap them (guide §2.6, r15)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as ex:
+        fw = ex.submit(write_ivf_int8_index, emb, path,
+                       centroids=IVF_SNAPSHOT)
+        mod = _purge_ann_modulus(emb.count())
+        keys = [r.vec_id for r in
+                emb.where(F.col("vec_id") % mod == 11)
+                .select("vec_id").collect()]
+        fw.result()
     purge_keys(spark, path, keys, "neighbor_id", ["cell"])
     return ann_ivf_int8_topk(emb, emb.where(F.col("vec_id") < N_QUERIES),
                              k=TOP_K, rescore=3, centroids=IVF_SNAPSHOT,

@@ -1904,12 +1904,24 @@ def q_purge_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         hash60(F.col("o_orderkey").cast("string"), "fp|").alias("fpv"))
     base = tempfile.mkdtemp(prefix="purge_prop_")
     cpath, fpath = base + "/corpus", base + "/fp"
-    corpus.repartition(8, "part").write.partitionBy("part").parquet(cpath)
-    fp.repartition(8, "bucket").write.partitionBy("bucket").parquet(fpath)
-    keys = [r.key for r in
-            corpus.where((F.col("part") == 2001)
-                         | (F.col("key") % 97 == 0))
-            .select("key").collect()]
+    # the two store writes and the doomed-key collect share no state
+    # (all derive from the in-memory orders projection) — overlap them
+    # as concurrent driver-thread jobs (guide §2.6) instead of three
+    # sequential stage chains (r15)
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as ex:
+        fc = ex.submit(lambda: corpus.repartition(8, "part")
+                       .write.partitionBy("part").parquet(cpath))
+        ff = ex.submit(lambda: fp.repartition(8, "bucket")
+                       .write.partitionBy("bucket").parquet(fpath))
+        fk = ex.submit(lambda: [r.key for r in
+                                corpus.where((F.col("part") == 2001)
+                                             | (F.col("key") % 97 == 0))
+                                .select("key").collect()])
+        keys = fk.result()
+        fc.result()
+        ff.result()
     purge_keys_everywhere(spark, [
         # corpus partitions on YEAR — not derivable from the key, so
         # the locate step is the (column-pruned, pushed) scan

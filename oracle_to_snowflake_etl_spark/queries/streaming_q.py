@@ -410,11 +410,14 @@ def q_purge_ann_index_streamed(spark: SparkSession,
               .option("maxFilesPerTrigger", 1).parquet(src))
     q = maintain_ann_index_stream(stream, path, ckp,
                                   centroids=_IVF_SNAPSHOT)
-    _await_or_raise(q, 300)
+    # the doomed-key collect only reads the batch source — overlap it
+    # with the stream fold's micro-batches (guide §2.6, r15); the purge
+    # itself still waits for the fold to finish
     mod = _purge_ann_modulus(emb.count())
     keys = [r.vec_id for r in
             emb.where(F.col("vec_id") % mod == 11)
             .select("vec_id").collect()]
+    _await_or_raise(q, 300)
     purge_ann_index_keys(spark, path, keys)
     return ann_ivf_int8_topk(emb,
                              emb.where(F.col("vec_id") < _ANN_N_QUERIES),

@@ -44,7 +44,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     _exclude_generate_filter_rule(spark)
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.schema(_cached_schema(spark, path)).parquet(path)
     for field in df.schema.fields:
         if field.name != "ts":
             continue
@@ -60,6 +61,30 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # under the UTC session timezone set above.
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
+
+
+#: parquet SCHEMA cache (r15, guide §1.2): every bare
+#: ``spark.read.parquet(path)`` runs a schema-inference job (~0.1-0.2 s
+#: of pure scheduling for a footer read) — per table, per query, per
+#: bench run. The schema of an immutable testdata table never changes,
+#: so cache it keyed on (path, mtime, size) — the metadata a catalog /
+#: metastore would hold — and hand it to the reader explicitly. This
+#: caches METADATA only, never rows or results: every query still
+#: computes from the parquet bytes.
+_SCHEMA_CACHE: dict = {}
+
+
+def _cached_schema(spark: SparkSession, path: str) -> T.StructType:
+    try:
+        st = os.stat(path)
+        key = (path, st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = path
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        sch = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[key] = sch
+    return sch
 
 
 #: InferFiltersFromGenerate turns every explode into a pushed-down

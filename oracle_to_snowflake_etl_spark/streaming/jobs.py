@@ -106,7 +106,9 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     import os
 
-    probe = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    from ..sources.readers import _cached_schema
+
+    probe = _cached_schema(spark, os.path.join(sf_dir, "events.parquet"))
     ts_kind = {f.name: f.dataType.simpleString() for f in probe}["ts"]
     # file-source streams list a DIRECTORY; the glob filter narrows it to
     # the events table (the testdata dir holds one file per table)
