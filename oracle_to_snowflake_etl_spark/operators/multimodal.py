@@ -1102,14 +1102,28 @@ def media_ingest_incremental(new_media: DataFrame,
             gated.where(F.col("kind") == "video"))))
         aud_sh = stage(shingled_docs(audio_docs(
             gated.where(F.col("kind") == "audio"))))
+        # Materialize the three staged decode caches AND take the two
+        # scale decisions CONCURRENTLY (r15, guide §2.6): each decision
+        # reads its modality's cold cache, so it doubles as that
+        # cache's materialization; the image fingerprints have no
+        # decision, so an explicit count fills the third lane. The
+        # decisions are per-modality-independent, and explicit bools
+        # below still mean the inner calls never re-decide.
+        from concurrent.futures import ThreadPoolExecutor as _TPE
+
         if scale_safe == "auto":
-            # decide from the staged (cached) shingle frames — two
-            # cache-read jobs per modality, no fresh decode; explicit
-            # bools below mean the inner calls never re-decide.
-            vid_safe: bool | str = _auto_scale_safe(vid_sh)
-            aud_safe: bool | str = _auto_scale_safe(aud_sh)
+            with _TPE(max_workers=3) as dex:
+                img_c = dex.submit(img_fps.count)
+                vf = dex.submit(_auto_scale_safe, vid_sh)
+                af = dex.submit(_auto_scale_safe, aud_sh)
+                vid_safe: bool | str = vf.result()
+                aud_safe: bool | str = af.result()
+                img_c.result()
         else:
             vid_safe = aud_safe = scale_safe
+            with _TPE(max_workers=3) as dex:
+                list(dex.map(lambda f: f.count(),
+                             (img_fps, vid_sh, aud_sh)))
 
         def modality(kind: str, pairs: DataFrame, a_col: str, b_col: str,
                      keep: str, score=None) -> DataFrame:

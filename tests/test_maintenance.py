@@ -1253,3 +1253,86 @@ def test_streamed_pq_index_lifecycle(spark, tmp_path):
     assert sq.awaitTermination(180)
     assert os.path.isdir(os.path.join(sidx, "batch=0"))
     assert read_pq_residual(spark, sidx) is True
+
+
+def test_purge_keys_null_and_duplicate_keys_counting(spark, tmp_path):
+    """The r15 two-aggregation purge_keys restructure derives
+    removed/touched/written/emptied ARITHMETICALLY from per-partition
+    hit/row counts — pin the edges that arithmetic must get right:
+    NULL key rows are never purged (and never counted as hits),
+    duplicate keys in the request don't multiply hit counts (the
+    broadcast-join locate path must dedupe its build side), and the
+    return value equals the true rows removed on both the isin and
+    join paths."""
+    from oracle_to_snowflake_etl_spark.operators.merge import (
+        PURGE_ISIN_MAX,
+        purge_keys,
+    )
+    from oracle_to_snowflake_etl_spark.sources.readers import (
+        write_partitioned,
+    )
+
+    for tag, blow_past_isin in (("isin", False), ("join", True)):
+        path = str(tmp_path / f"purge_{tag}")
+        base = spark.range(0, 30).select(
+            (F.col("id") % 3).alias("p"),
+            F.when(F.col("id") % 10 == 9, None)
+             .otherwise(F.col("id")).alias("k"),
+            (F.col("id") * 2).alias("v"))
+        write_partitioned(base, path, ["p"])
+        victims = [0, 3, 3, 3, 9, 19, 29]  # 9/19/29 are NULL rows' ids
+        if blow_past_isin:
+            # pad with absent keys so len(keys) > PURGE_ISIN_MAX
+            # exercises the broadcast semi/anti path; dupes included
+            victims = victims + list(range(1000, 1000 + PURGE_ISIN_MAX))
+        removed, touched, emptied = purge_keys(
+            spark, path, victims, "k", ["p"], detail=True)
+        # only k=0 and k=3 exist (9/19/29 became NULL); dupes count once
+        assert removed == 2, tag
+        assert sorted(touched) == [(0,)], tag
+        assert emptied == [], tag
+        out = spark.read.parquet(path)
+        assert out.count() == 28, tag
+        assert out.where(F.col("k").isNull()).count() == 3, tag
+
+
+def test_ann_sidecar_driver_io_roundtrip(spark, tmp_path):
+    """The r15 driver-side sidecar I/O (_sidecar_write/_sidecar_read):
+    values roundtrip exactly, the files are ordinary parquet Spark can
+    read, and a sidecar written the OLD way (a Spark repartition(1)
+    write) is still readable through the new reader — the
+    compatibility old stores on disk rely on."""
+    from oracle_to_snowflake_etl_spark.operators.similarity import (
+        _write_ann_tombstones,
+        read_ann_tombstones,
+        read_ivf_centroids,
+        read_ivf_index_meta,
+        _write_centroids,
+    )
+
+    idx = str(tmp_path / "idx")
+    cents = tuple(tuple(float(c * 8 + d) for d in range(4))
+                  for c in range(3))
+    _write_centroids(spark, idx, cents)
+    assert read_ivf_centroids(spark, idx) == cents
+    meta = read_ivf_index_meta(spark, idx)
+    assert (meta["cells"], meta["dims"]) == (3, 4)
+    # Spark reads the driver-written sidecar as plain parquet
+    rows = spark.read.parquet(idx + "/_centroids").orderBy("cell").collect()
+    assert [tuple(r.w) for r in rows] == [tuple(c) for c in cents]
+
+    # tombstones: merge semantics + dedupe, and None before first purge
+    assert read_ann_tombstones(spark, idx) is None
+    _write_ann_tombstones(spark, idx, [5, 3, 3])
+    _write_ann_tombstones(spark, idx, [7, 5])
+    got = sorted(r.neighbor_id
+                 for r in read_ann_tombstones(spark, idx).collect())
+    assert got == [3, 5, 7]
+
+    # old-style (Spark-written, possibly multi-file) sidecar stays
+    # readable through the new driver-side reader
+    old = str(tmp_path / "old")
+    (spark.createDataFrame([(c, list(w)) for c, w in enumerate(cents)],
+                           "cell int, w array<double>")
+     .repartition(2).write.parquet(old + "/_centroids"))
+    assert read_ivf_centroids(spark, old) == cents
