@@ -392,19 +392,25 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
          >= F.lit(float(threshold)) * F.greatest("n_a", "n_b"))
         & (ubound >= alpha))
         .select("doc_a", "doc_b").dropDuplicates())
-    # Spread the rescore (r15, guide §2.5): the candidate list is a
-    # few MB of (doc_a, doc_b) longs, so AQE's byte-target coalescing
-    # collapses the post-dedup shuffle to ONE partition — and the
-    # downstream exact array_intersect rescore (CPU-dense per byte:
-    # ~100-element string arrays per side) then runs as a single-task
-    # straggler (measured 4.2 s of a 7 s scale-path run at sf0.1,
-    # 31 cores idle). An explicit round-robin repartition to the
-    # cluster's parallelism pins the rescore's fan-out; the extra
-    # exchange moves only the skinny pair list. At scale the pair
-    # list is output-bounded and defaultParallelism is cluster-sized,
-    # so per-task volume stays |cand|/cores either way.
-    cand = cand.repartition(
-        df.sparkSession.sparkContext.defaultParallelism)
+    if scale_safe:
+        # Spread the rescore (r15, guide §2.5): the candidate list is
+        # a few MB of (doc_a, doc_b) longs, so AQE's byte-target
+        # coalescing collapses the post-dedup shuffle to ~ONE
+        # partition — and the downstream exact array_intersect rescore
+        # (CPU-dense per byte: ~100-element string arrays per side)
+        # then runs as a single-task straggler (measured 4.2 s of a
+        # 7 s scale-path run at sf0.1, 31 cores idle; the fan-out cuts
+        # the path to ~2.8-3.4 s). Scale-branch only: the window form
+        # is the documented small-corpus fast path whose rescore stage
+        # inherits adequate partitioning at its sizes, and the same
+        # old-vs-new A/B showed the extra exchange costing it ~10 %
+        # with nothing to win back; auto switches to the scale branch
+        # (and this fan-out) exactly when volume crosses the measured
+        # threshold. At scale the pair list is output-bounded and
+        # defaultParallelism cluster-sized, so per-task volume stays
+        # |cand|/cores.
+        cand = cand.repartition(
+            df.sparkSession.sparkContext.defaultParallelism)
     da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -1064,25 +1070,23 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     cand = (prefix.join(full_idx, "h")
             .where(F.col("doc_a") != F.col("doc_b"))
             .select("doc_a", "doc_b").dropDuplicates())
-    # spread the rescore over the cluster (r15, guide §2.5): AQE
-    # coalesces the skinny post-dedup pair list to ~1 partition by
-    # byte target, making the CPU-dense array_intersect rescore a
-    # single-task straggler (the ngram_jaccard_pairs fix, same shape)
-    cand = cand.repartition(
-        df.sparkSession.sparkContext.defaultParallelism)
     if materialize:
         cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
     da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    out = (
-        cand.join(da, "doc_a").join(db, "doc_b")
-        .withColumn("containment", inter.cast("double") / F.size("sh_a"))
-        .where(F.col("containment") >= threshold)
-        .select("doc_a", "doc_b", "containment")
-    )
+
+    def rescore(c: DataFrame) -> DataFrame:
+        return (
+            c.join(da, "doc_a").join(db, "doc_b")
+            .withColumn("containment",
+                        inter.cast("double") / F.size("sh_a"))
+            .where(F.col("containment") >= threshold)
+            .select("doc_a", "doc_b", "containment")
+        )
+
     if not materialize:
-        return out
+        return rescore(cand)
     try:
         # materialize caches in dependency order (see ngram_jaccard_pairs:
         # cold-cache branches race inside a single job and recompute the
@@ -1094,8 +1098,21 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
         if sh_cached:
             sh.count()
         ranked.count()
-        cand.count()
-        return out.localCheckpoint(eager=True)
+        n_cand = cand.count()
+        # Count-gated rescore fan-out (r15, guide §2.5): the cached
+        # candidate list sits at AQE's byte-coalesced partitioning
+        # (~1 partition for a few MB of id pairs), so a LARGE pair set
+        # makes the CPU-dense array_intersect rescore a single-task
+        # straggler (the ngram_jaccard_pairs finding: ~34 µs/pair —
+        # 124 k pairs = 4.2 s on one core). The count is already paid
+        # by the staging above, so the extra exchange is bought only
+        # when the pair volume funds it (~5 k pairs/task target,
+        # capped at 4096 partitions — cluster-sized at any scale).
+        n_parts = min(4096, n_cand // 5_000)
+        if n_parts > 1:
+            return rescore(cand.repartition(n_parts)) \
+                .localCheckpoint(eager=True)
+        return rescore(cand).localCheckpoint(eager=True)
     finally:
         if owned:
             docs.unpersist()
