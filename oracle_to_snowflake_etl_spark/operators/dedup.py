@@ -638,19 +638,24 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a",
     (MinHash/SimHash/embedding): pairs say "these are the same"; the
     cluster decides who survives.
 
-    Two paths behind one contract, picked by the MATERIALIZED edge
-    count (the same count that already sizes the loop's partitioning):
+    Two paths behind one contract, picked by a BOUNDED take of the raw
+    pair list (one action — r16; the previous
+    union/distinct/persist/count/collect dance paid two actions and a
+    shuffle to learn what a capped collect tells directly):
 
-    * ``n_edges <= driver_max_edges`` — union-find over the collected
-      edge list. The edge list is OUTPUT-bounded (near-dup volume,
-      never corpus volume), so below the explicit byte bound this is a
-      legitimate driver-side solve, not a scale leak: path-compressed
-      union-find is O(E α(E)) in milliseconds where the distributed
-      loop pays O(diameter) rounds × the per-job floor (measured
-      14.5 s for a 1k-edge chain graph at toy scale).
-    * above the bound — the iterative min-label propagation below,
-      unchanged; at 100 TB a billion-edge near-dup graph takes this
-      path and the driver never sees an edge.
+    * ``<= driver_max_edges // 2`` collected pair rows — union-find
+      over the collected list (duplicates and direction are harmless
+      to union-find, so the symmetric distinct union is skipped
+      entirely on this path). The pair list is OUTPUT-bounded (near-dup
+      volume, never corpus volume), so below the explicit byte bound
+      this is a legitimate driver-side solve, not a scale leak:
+      path-compressed union-find is O(E α(E)) in milliseconds where
+      the distributed loop pays O(diameter) rounds × the per-job floor
+      (measured 14.5 s for a 1k-edge chain graph at toy scale).
+    * above the bound — the take is discarded and the iterative
+      min-label propagation below runs, unchanged; at 100 TB a
+      billion-edge near-dup graph takes this path and the driver never
+      sees more than the capped prefix.
 
     Algorithm (distributed path): iterative min-label propagation (the
     DataFrame form of large-star/small-star connected components). Each
@@ -681,19 +686,15 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a",
       latency on 31 empty tasks; at 100 TB a billion-edge list still
       fans out to ~500 partitions.
     """
-    # undirected, deduplicated edge list + self loops keep isolated-in-
-    # pair docs labeled
-    edges = (pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-             .unionByName(pairs.select(F.col(b_col).alias("src"),
-                                       F.col(a_col).alias("dst")))
-             .distinct()
-             .persist())
-    n_edges = edges.count()  # materializes the cache; sizes the loop
-    if n_edges <= driver_max_edges:
-        try:
-            rows = edges.collect()
-        finally:
-            edges.unpersist()
+    # bounded take of the RAW pair list decides the path in one action;
+    # driver_max_edges is a directed-edge bound, so raw pairs cap at
+    # half of it (same driver-memory envelope as the old collected
+    # symmetric list)
+    pair_cap = max(1, driver_max_edges // 2)
+    rows = (pairs.select(F.col(a_col).alias("src"),
+                         F.col(b_col).alias("dst"))
+            .limit(pair_cap + 1).collect())
+    if len(rows) <= pair_cap:
         parent: dict = {}
 
         def find(x):
@@ -726,6 +727,17 @@ def dedup_clusters(pairs: DataFrame, a_col: str = "doc_a",
         return pairs.sparkSession.createDataFrame(
             out, StructType([StructField("doc", id_type),
                              StructField("keep_id", id_type)]))
+    # over the driver bound: build the undirected, deduplicated edge
+    # list (+ self loops keep isolated-in-pair docs labeled) and run
+    # the distributed min-label loop; the count both materializes the
+    # cache and sizes the loop's partitioning
+    edges = (pairs.select(F.col(a_col).alias("src"),
+                          F.col(b_col).alias("dst"))
+             .unionByName(pairs.select(F.col(b_col).alias("src"),
+                                       F.col(a_col).alias("dst")))
+             .distinct()
+             .persist())
+    n_edges = edges.count()
     n_parts = int(max(1, min(1024, n_edges // 2_000_000 + 1)))
     edges = edges.repartition(n_parts, "dst")
     labels = (edges.select(F.col("src").alias("doc"))

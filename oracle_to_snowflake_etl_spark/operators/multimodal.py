@@ -38,6 +38,19 @@ from pyspark.sql import types as T
 FRAME_SIZE = 32
 FRAME_STEP = 3
 
+# NOTE (r16, measured and REJECTED): a leaf-size-gated round-robin
+# fan-out of every decode map-pass input (the r15 rescore-fan-out
+# reasoning applied to the Arrow decode passes, motivated by the mm
+# family's single-row-group scans running each mapInPandas as ONE
+# task) was A/B'd at sf0.1 and REVERTED: the added exchange per decode
+# site costs one AQE stage job each at the ~0.1-0.25 s scheduling
+# floor, which outweighs the ~0.1-0.3 s of single-task Python decode
+# it parallelizes (interleaved medians, controls flat:
+# mm_ingest_incremental 4.97 s without vs 7.00 s with, mm_ingest_
+# pipeline 4.97 vs 7.26, mm_byte_stats 0.32 vs 0.49). At 100 TB the
+# scans split naturally, so the fan-out would be a no-op there and a
+# pure regression here. Details in OPTIMIZATION_r16.md.
+
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
     T.StructField("kind", T.StringType(), False),
@@ -1091,7 +1104,6 @@ def media_ingest_incremental(new_media: DataFrame,
     try:
         catalog.count()
         gated = new_media.join(catalog.select("media_id"), "media_id")
-        bids = catalog.select("media_id")
 
         # Stage each modality's batch-side decode output ONCE (ADVICE
         # r10): every downstream consumer — the scale decision, the
@@ -1125,39 +1137,130 @@ def media_ingest_incremental(new_media: DataFrame,
                 list(dex.map(lambda f: f.count(),
                              (img_fps, vid_sh, aud_sh)))
 
+        from .dedup import CLUSTERS_DRIVER_MAX_EDGES
+
         def modality(kind: str, pairs: DataFrame, a_col: str, b_col: str,
                      keep: str, score=None) -> DataFrame:
             cat_k = catalog.where(F.col("kind") == kind)
+            # batch-membership flag AND the keep-best score in one join
+            # column: n_bytes is non-null for every catalog member (the
+            # byte gate is an inner join), so _ba/_bb double as the
+            # presence flags the old _na/_nb booleans carried
+            flags = catalog.select("media_id", "n_bytes")
             p = (pairs.select(F.col(a_col).alias("pa"),
                               F.col(b_col).alias("pb"))
-                 .join(bids.select(F.col("media_id").alias("pa"),
-                                   F.lit(True).alias("_na")), "pa", "left")
-                 .join(bids.select(F.col("media_id").alias("pb"),
-                                   F.lit(True).alias("_nb")), "pb", "left")
-                 .persist(StorageLevel.MEMORY_AND_DISK))
+                 .join(flags.select(F.col("media_id").alias("pa"),
+                                    F.col("n_bytes").alias("_ba")),
+                       "pa", "left")
+                 .join(flags.select(F.col("media_id").alias("pb"),
+                                    F.col("n_bytes").alias("_bb")),
+                       "pb", "left"))
+            # Fused accept decision (r16, guide §1.2/§2.4): the pair
+            # list is OUTPUT-bounded (near-dup volume with at least one
+            # new side, never batch x corpus), so below the
+            # dedup_clusters driver bound ONE bounded collect replaces
+            # the old persist/count + dedup_clusters (count+collect) +
+            # eager localCheckpoint chain (~10-14 AQE stage jobs per
+            # modality of pure scheduling constants on ~100-row data);
+            # hit, within-batch components (union-find), taint, and
+            # winners are computed driver-side in one pass, and the
+            # modality result collapses to a single filter of the
+            # persisted catalog. Above the bound the pre-r16
+            # distributed chain runs unchanged.
+            cap = max(1, CLUSTERS_DRIVER_MAX_EDGES // 2)
+            rows = p.limit(cap + 1).collect()
+            if len(rows) <= cap:
+                hit: set = set()
+                bb_edges: list = []
+                nbytes: dict = {}
+                for r in rows:
+                    in_a, in_b = r._ba is not None, r._bb is not None
+                    if in_a and in_b:
+                        bb_edges.append((r.pa, r.pb))
+                        nbytes[r.pa] = r._ba
+                        nbytes[r.pb] = r._bb
+                    elif in_a:
+                        hit.add(r.pa)
+                    elif in_b:
+                        hit.add(r.pb)
+                parent: dict = {}
+
+                def find(x):
+                    root = x
+                    while parent[root] != root:
+                        root = parent[root]
+                    while parent[x] != root:  # path compression
+                        parent[x], x = root, parent[x]
+                    return root
+
+                for a, b in bb_edges:
+                    parent.setdefault(a, a)
+                    parent.setdefault(b, b)
+                    ra, rb = find(a), find(b)
+                    if ra != rb:
+                        if rb < ra:
+                            ra, rb = rb, ra
+                        parent[rb] = ra
+                comp: dict = {}
+                for d in parent:
+                    comp.setdefault(find(d), []).append(d)
+                dropped = set(hit)
+                for members in comp.values():
+                    if any(d in hit for d in members):
+                        # corpus-tainted component: every member drops
+                        dropped.update(members)
+                    elif keep == "first":
+                        keeper = min(members)
+                        dropped.update(d for d in members if d != keeper)
+                    else:
+                        # arg-max n_bytes, min-id tiebreak (NULLs last —
+                        # cannot occur for catalog members, kept for the
+                        # cluster_representatives parity)
+                        keeper = min(
+                            members,
+                            key=lambda d: (-(nbytes[d] if nbytes[d]
+                                             is not None
+                                             else float("-inf")), d))
+                        dropped.update(d for d in members if d != keeper)
+                if not dropped:
+                    return cat_k
+                if len(dropped) <= 1000:
+                    # in-scan predicate: no extra join stage
+                    return cat_k.where(
+                        ~F.col("media_id").isin(*sorted(dropped)))
+                id_type = catalog.schema["media_id"].dataType
+                from pyspark.sql.types import StructField, StructType
+
+                drop_df = catalog.sparkSession.createDataFrame(
+                    [(d,) for d in sorted(dropped)],
+                    StructType([StructField("media_id", id_type)]))
+                return cat_k.join(F.broadcast(drop_df), "media_id",
+                                  "left_anti")
+            # ---- over the driver bound: pre-r16 distributed chain ----
+            p = p.persist(StorageLevel.MEMORY_AND_DISK)
             try:
                 p.count()
                 # batch docs paired straight to a corpus doc
-                hit = (p.where(F.col("_nb").isNull())
-                       .select(F.col("pa").alias("doc"))
-                       .unionByName(p.where(F.col("_na").isNull())
-                                    .select(F.col("pb").alias("doc")))
-                       .distinct())
+                hit_df = (p.where(F.col("_bb").isNull())
+                          .select(F.col("pa").alias("doc"))
+                          .unionByName(p.where(F.col("_ba").isNull())
+                                       .select(F.col("pb").alias("doc")))
+                          .distinct())
                 # within-batch edges -> ONE components run (its output
                 # is lineage-truncated, so taint, losers, and winners
                 # all read it cheaply — calling dedup_survivors here
                 # would cluster the same edges a second time)
-                bb = (p.where(F.col("_na").isNotNull()
-                              & F.col("_nb").isNotNull())
+                bb = (p.where(F.col("_ba").isNotNull()
+                              & F.col("_bb").isNotNull())
                       .select(F.col("pa").alias("doc_a"),
                               F.col("pb").alias("doc_b")))
                 clusters = dedup_clusters(bb)
-                tainted = (clusters.join(hit, "doc", "left_semi")
+                tainted = (clusters.join(hit_df, "doc", "left_semi")
                            .select("keep_id").distinct())
                 taint_members = (clusters
                                  .join(tainted, "keep_id", "left_semi")
                                  .select("doc"))
-                drop0 = (hit.unionByName(taint_members).distinct()
+                drop0 = (hit_df.unionByName(taint_members).distinct()
                          .withColumnRenamed("doc", "media_id"))
                 rest = cat_k.join(drop0, "media_id", "left_anti")
                 if keep == "first":
@@ -1202,8 +1305,12 @@ def media_ingest_incremental(new_media: DataFrame,
                 "doc_a", "doc_b", "first")
             img, vid, aud = (img_f.result(), vid_f.result(),
                              aud_f.result())
+        # ONE eager checkpoint materializes all three (driver-path
+        # lazy) modality filters while the catalog cache is still
+        # alive (r16 — replaces three per-modality eager checkpoints)
         return (img.unionByName(vid).unionByName(aud)
-                .select("media_id", "kind", "n_bytes"))
+                .select("media_id", "kind", "n_bytes")
+                .localCheckpoint(eager=True))
     finally:
         for f in staged:
             f.unpersist()

@@ -250,9 +250,17 @@ def incremental_distinct_refresh(mv: DataFrame, changes: DataFrame,
         group_cols=gcols)
     touched = changes.where(F.col(op_col) == "D") \
         .select(*key_cols).distinct()
-    if touched.limit(1).count() == 0:
-        return merged
     if fact is None:
+        # the probe job is only paid on the no-fact path, where it
+        # gates the error below; with ``fact`` provided the refresh is
+        # ONE lazy plan (r16, guide §1.2) — an empty touched set makes
+        # the recompute branch emit nothing and the anti-join a no-op,
+        # so the result is bitwise `merged` without a driver action.
+        # Insert-only refreshes should keep passing fact=None (they
+        # then skip the fact scan entirely once the probe confirms no
+        # deletes).
+        if touched.limit(1).count() == 0:
+            return merged
         raise ValueError(
             "incremental_distinct_refresh: the changelog contains "
             "deletes, which are not subtractable from HLL registers — "

@@ -236,3 +236,46 @@ def test_scale_decision_amortized(spark, scenario, monkeypatch):
                batch, **idx, scale_safe=True).collect()}
     assert got == expect
     assert len(calls) == 0
+
+
+def test_fused_driver_decision_equals_distributed_fallback(
+        spark, scenario, monkeypatch):
+    """r16: the per-modality accept decision is fused into one bounded
+    pair collect + driver-side union-find below
+    dedup.CLUSTERS_DRIVER_MAX_EDGES, with the pre-r16 distributed
+    hit/taint/winner chain as the over-bound fallback. Forcing the
+    bound to 0 must route every modality through the fallback and
+    reproduce the driver-path accept set bit-for-bit (both paths also
+    stay on the hand-derived expectation)."""
+    from oracle_to_snowflake_etl_spark.operators import dedup as D
+
+    corpus, batch, idx = scenario
+    expect = {(104, "image", 360), (106, "audio", 896),
+              (112, "video", 2 * _VSEG)}
+    fast = {(r.media_id, r.kind, r.n_bytes)
+            for r in media_ingest_incremental(batch, **idx).collect()}
+    assert fast == expect
+    monkeypatch.setattr(D, "CLUSTERS_DRIVER_MAX_EDGES", 0)
+    slow = {(r.media_id, r.kind, r.n_bytes)
+            for r in media_ingest_incremental(batch, **idx).collect()}
+    assert slow == expect == fast
+
+
+def test_dedup_clusters_driver_and_distributed_paths(spark):
+    """r16: dedup_clusters picks its path via ONE bounded take of the
+    raw pair list (duplicates/direction handled by union-find) instead
+    of the former count+collect of the symmetric distinct edge list.
+    Both paths must yield identical (doc, keep_id) assignments,
+    including duplicate and reversed input pairs."""
+    from oracle_to_snowflake_etl_spark.operators import dedup as D
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 1), (2, 3), (7, 5), (1, 2), (9, 9)],
+        "doc_a long, doc_b long")
+    expect = {(1, 1), (2, 1), (3, 1), (5, 5), (7, 5), (9, 9)}
+    fast = {(r.doc, r.keep_id)
+            for r in D.dedup_clusters(pairs).collect()}
+    assert fast == expect
+    slow = {(r.doc, r.keep_id)
+            for r in D.dedup_clusters(pairs, driver_max_edges=0).collect()}
+    assert slow == expect
