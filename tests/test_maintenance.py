@@ -750,12 +750,16 @@ def test_purge_ann_index_store(spark, tmp_path):
 
 def test_purge_ann_index_keys_streamed_store(spark, tmp_path):
     """purge_ann_index_keys on a LIVE streamed batch=/cell= store
-    (VERDICT r13 Missing #1): purged neighbor_ids vanish from the
-    probed scan, untouched (batch, cell) dirs stay byte-identical, a
-    batch directory the purge fully empties is REMOVED (leaf cell dirs
-    by purge_keys, the childless batch parent by the wrapper), the
-    geometry sidecars survive, re-run is a no-op, and the layout
-    detector tells flat from streamed."""
+    (VERDICT r13 Missing #1; r16 tombstone-first default): the DEFAULT
+    purge is tombstone-only — purged neighbor_ids vanish from the
+    probed scan while EVERY data dir stays byte-identical (no rewrite
+    at all), the removed count equals the live rows hidden, and re-run
+    is a no-op. mode="rewrite" then pins the physical contract:
+    untouched (batch, cell) dirs byte-identical, a batch directory the
+    purge fully empties is REMOVED (leaf cell dirs by purge_keys, the
+    childless batch parent by the wrapper), the geometry sidecars
+    survive. The layout detector tells flat from streamed, and
+    mode="tombstone" refuses a flat store."""
     import os
     import time as _t
 
@@ -812,16 +816,17 @@ def test_purge_ann_index_keys_streamed_store(spark, tmp_path):
     b0_cells = sorted({r.cell for r in store.where(F.col("batch") == 0)
                        .select("cell").distinct().collect()})
     before = {c: files_of(0, c) for c in b0_cells}
+    b1_cells = sorted({r.cell for r in store.where(F.col("batch") == 1)
+                       .select("cell").distinct().collect()})
+    before1 = {c: files_of(1, c) for c in b1_cells}
 
+    # DEFAULT = tombstone-first: NO data file moves, serving excludes
     removed = purge_ann_index_keys(spark, idx, victims)
     assert removed == len(victims)
-    assert not os.path.isdir(os.path.join(idx, "batch=1"))  # emptied
     for c in b0_cells:
-        if (0, c) not in touched:
-            assert files_of(0, c) == before[c]
-    assert os.path.isdir(os.path.join(idx, "_centroids"))
-    assert os.path.isdir(os.path.join(idx, "_meta"))
-    assert read_ivf_centroids(spark, idx) == cents
+        assert files_of(0, c) == before[c]
+    for c in b1_cells:
+        assert files_of(1, c) == before1[c]
 
     qs = emb.where(~F.col("vec_id").isin(victims)) \
         .where(F.col("vec_id") < 20)
@@ -834,9 +839,28 @@ def test_purge_ann_index_keys_streamed_store(spark, tmp_path):
     assert got == mem
     assert purge_ann_index_keys(spark, idx, victims) == 0  # idempotent
 
+    # mode="rewrite": the physical contract (rows gone NOW, emptied
+    # batch dir removed, untouched dirs byte-identical)
+    assert purge_ann_index_keys(spark, idx, victims,
+                                mode="rewrite") == len(victims)
+    assert not os.path.isdir(os.path.join(idx, "batch=1"))  # emptied
+    for c in b0_cells:
+        if (0, c) not in touched:
+            assert files_of(0, c) == before[c]
+    assert os.path.isdir(os.path.join(idx, "_centroids"))
+    assert os.path.isdir(os.path.join(idx, "_meta"))
+    assert read_ivf_centroids(spark, idx) == cents
+    got2 = {tuple(r) for r in ann_ivf_int8_topk(
+        emb, qs, k=10, centroids=cents, index_path=idx).collect()}
+    assert got2 == mem
+
     flat = str(tmp_path / "flat")
     write_ivf_int8_index(emb, flat, centroids=cents)
     assert ann_index_partition_cols(spark, flat) == ["cell"]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="FLAT store"):
+        purge_ann_index_keys(spark, flat, victims, mode="tombstone")
     assert purge_ann_index_keys(spark, flat, victims) == len(victims)
 
 
