@@ -37,13 +37,18 @@ PR_SCALE = 1_000_000_000
 
 def pagerank_int(edges: DataFrame, iterations: int = 5,
                  scale: int = PR_SCALE,
-                 n_parts: int | None = None) -> DataFrame:
+                 n_parts: int | None = None,
+                 checkpoint_every: int = 1) -> DataFrame:
     """(node, rank_q) after ``iterations`` rounds over a DIRECTED edge
     list (src, dst). rank_q is the rank scaled by ``scale``. Every node
     must have out-degree >= 1 (feed an undirected/self-looped list for
     graphs with sinks — dangling-mass redistribution is a modeling
     choice that belongs at the call site). ``n_parts`` overrides the
-    iteration partition count (tools/ab_pagerank.py measures rules)."""
+    iteration partition count (tools/ab_pagerank.py measures rules).
+    ``checkpoint_every``: localCheckpoint the rank frame every Nth
+    round instead of every round — trades one materialization job per
+    skipped round against a 2-round lineage in the next join (results
+    identical; tools/ab_pagerank_ckpt.py measures the trade)."""
     edges = edges.select("src", "dst").persist()
     n_edges = edges.count()
     # size from measured edges: ~250k edges/partition, floor 4 so a
@@ -73,7 +78,7 @@ def pagerank_int(edges: DataFrame, iterations: int = 5,
     ranks = nodes.withColumn(
         "r", F.lit(scale // n_nodes).cast("long")).localCheckpoint()
     try:
-        for _ in range(iterations):
+        for i in range(iterations):
             contrib = (ed.join(ranks, ed.src == ranks.node)
                        .select("dst", F.expr("r div deg").alias("c"))
                        .groupBy("dst").agg(F.sum("c").alias("s")))
@@ -81,8 +86,10 @@ def pagerank_int(edges: DataFrame, iterations: int = 5,
                      .select("node",
                              (F.lit(base)
                               + F.expr("(85 * coalesce(s, 0)) div 100"))
-                             .cast("long").alias("r"))
-                     .localCheckpoint())
+                             .cast("long").alias("r")))
+            if (i + 1) % max(1, checkpoint_every) == 0 \
+                    or i == iterations - 1:
+                ranks = ranks.localCheckpoint()
         return ranks.select("node", F.col("r").alias("rank_q"))
     finally:
         edges.unpersist()

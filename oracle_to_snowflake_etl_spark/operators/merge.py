@@ -358,7 +358,9 @@ def purge_keys(spark, path: str, keys, key_col: str,
     so without this the purged data would silently survive.
 
     ``keys`` is driver-side and contract-capped (compliance requests
-    are metadata-sized lists of ids); a handful of keys rides the scan
+    are metadata-sized lists of ids; ``None`` keys are rejected — no
+    request names NULL, and a NULL literal would three-value the isin
+    predicate); a handful of keys rides the scan
     as a pushed IN predicate, larger requests as a broadcast
     semi/anti join (:func:`_purge_key_frames` — a literal In grows one
     Catalyst branch per key and measured 35 s of plan/codegen at ~14k
@@ -366,6 +368,15 @@ def purge_keys(spark, path: str, keys, key_col: str,
     :func:`purge_keys_everywhere` to propagate one
     request across a corpus AND its derived stores — forgetting a
     document must also forget its fingerprints.
+
+    SINGLE-WRITER assumption (stated because the r15 arithmetic made
+    it load-bearing): the hit/row counts, the dynamic overwrite, and
+    the FS delete of fully-emptied partition dirs all read/modify the
+    same store state — a concurrent writer between the two count
+    collects and the overwrite could make ``written``/``emptied``
+    wrong (same assumption the pre-r15 five-action form made, now
+    concentrated in fewer reads). Purges are idempotent, so the
+    recovery from a violated assumption is to re-run the purge.
     """
     keys = list(keys)
     if len(keys) > max_keys:
@@ -373,6 +384,14 @@ def purge_keys(spark, path: str, keys, key_col: str,
             f"purge request has {len(keys)} keys > max_keys={max_keys}: "
             f"corpus-sized deletions are a reprocessing job (anti-join "
             f"rewrite), not a compliance purge.")
+    if any(k is None for k in keys):
+        # no compliance request names NULL (the _purge_key_frames
+        # contract) — and a None key would poison the isin path's
+        # predicate into three-valued NULL for every non-matching row,
+        # so rows would be neither hit nor kept and the partition
+        # bookkeeping below would drift (ADVICE r15). Fail loudly.
+        raise ValueError("purge_keys: keys must not contain None — "
+                         "NULL rows are never purge targets.")
     if not keys:
         return (0, [], []) if detail else 0
     from ..sources.readers import overwrite_partitions_dynamic
@@ -457,8 +476,29 @@ def purge_keys_everywhere(spark, stores: list[dict], keys,
     ``key_col``/``partition_cols`` are implied by the index layout and
     must be omitted) — so ONE forget request covers the corpus, the
     fingerprint/signature stores, AND the serving ANN indexes in a
-    single call."""
+    single call.
+
+    Failure semantics under the concurrent fan-out (r15; documented
+    per ADVICE r15): per-store purges run in parallel, so when one
+    store raises, OTHER stores' purges may already have completed
+    (the old sequential form stopped at the failing store). That is
+    recoverable by construction — purges are idempotent, so re-running
+    the whole request after fixing the failing store converges. Store
+    paths must be DISTINCT and non-nested (checked below): two dynamic
+    overwrites racing on overlapping paths would corrupt both."""
     from concurrent.futures import ThreadPoolExecutor
+
+    import os as _os
+
+    norm = [_os.path.normpath(st["path"]).rstrip("/") for st in stores]
+    for i, a in enumerate(norm):
+        for b in norm[i + 1:]:
+            if a == b or a.startswith(b + "/") or b.startswith(a + "/"):
+                raise ValueError(
+                    f"purge_keys_everywhere: store paths {a!r} and "
+                    f"{b!r} overlap — the concurrent per-store purges "
+                    f"would race two dynamic overwrites on the same "
+                    f"files. List each store exactly once, non-nested.")
 
     def one(st) -> int:
         if st.get("kind") == "ann_index":

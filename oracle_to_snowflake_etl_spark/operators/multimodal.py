@@ -1090,7 +1090,15 @@ def media_ingest_incremental(new_media: DataFrame,
     # the pair frames sit on top of the batch's payload-decode passes.
     # Persist both, eagerly compute each modality's (batch-bounded)
     # accept set, and release before returning.
-    stats = byte_stats(new_media).where(F.col("n_bytes") >= min_bytes)
+    # admission gate = n_bytes only, and n_bytes IS octet length: a
+    # JVM length(payload) expression, NOT the byte_stats Arrow decode
+    # pass (guide §4.1 — r16: the gate previously paid a full-batch
+    # Python decode to compute byte_sum/sqsum it then discarded).
+    # Identical rows: byte_stats.n_bytes == length(payload), NULL
+    # payloads drop under >= on both forms.
+    stats = new_media.select(
+        "media_id", F.length("payload").alias("n_bytes"))\
+        .where(F.col("n_bytes") >= min_bytes)
     catalog = (new_media.select("media_id", "kind")
                .join(stats.select("media_id", "n_bytes"), "media_id")
                .persist(StorageLevel.MEMORY_AND_DISK))
@@ -1114,29 +1122,6 @@ def media_ingest_incremental(new_media: DataFrame,
             gated.where(F.col("kind") == "video"))))
         aud_sh = stage(shingled_docs(audio_docs(
             gated.where(F.col("kind") == "audio"))))
-        # Materialize the three staged decode caches AND take the two
-        # scale decisions CONCURRENTLY (r15, guide §2.6): each decision
-        # reads its modality's cold cache, so it doubles as that
-        # cache's materialization; the image fingerprints have no
-        # decision, so an explicit count fills the third lane. The
-        # decisions are per-modality-independent, and explicit bools
-        # below still mean the inner calls never re-decide.
-        from concurrent.futures import ThreadPoolExecutor as _TPE
-
-        if scale_safe == "auto":
-            with _TPE(max_workers=3) as dex:
-                img_c = dex.submit(img_fps.count)
-                vf = dex.submit(_auto_scale_safe, vid_sh)
-                af = dex.submit(_auto_scale_safe, aud_sh)
-                vid_safe: bool | str = vf.result()
-                aud_safe: bool | str = af.result()
-                img_c.result()
-        else:
-            vid_safe = aud_safe = scale_safe
-            with _TPE(max_workers=3) as dex:
-                list(dex.map(lambda f: f.count(),
-                             (img_fps, vid_sh, aud_sh)))
-
         from .dedup import CLUSTERS_DRIVER_MAX_EDGES
 
         def modality(kind: str, pairs: DataFrame, a_col: str, b_col: str,
@@ -1276,33 +1261,49 @@ def media_ingest_incremental(new_media: DataFrame,
                 p.unpersist()
 
         # The three modality pipelines share no state (catalog is
-        # staged above) — submit their jobs CONCURRENTLY so the
-        # scheduler overlaps them instead of paying three sequential
-        # stage chains; on a cluster this is the utilization shape a
-        # composed ingest wants (Spark supports concurrent actions
-        # from driver threads), and results are deterministic
+        # staged above) — run each as ONE independent lane
+        # (materialize the staged decode cache / take the scale
+        # decision, then build and collect the pairs) in a 3-worker
+        # pool (guide §2.6; r16 removed the r15 barrier between a
+        # staging pool and a modality pool — audio's pair collect now
+        # starts while video is still staging). Each lane's FIRST
+        # action on its staged frame is single-threaded within the
+        # lane, so the ADVICE-r10 one-decode-per-modality contract
+        # holds without a separate staging pass; explicit bools mean
+        # the inner calls never re-decide. Results are deterministic
         # regardless of completion order.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=3) as ex:
-            img_f = ex.submit(
-                modality, "image",
+        def lane_img() -> DataFrame:
+            img_fps.count()  # materialize before the multi-consumer plan
+            return modality(
+                "image",
                 ahash_pairs_incremental(
                     gated.where(F.col("kind") == "image"), image_fps,
                     new_fps=img_fps),
                 "media_a", "media_b", "best", F.col("n_bytes"))
-            vid_f = ex.submit(
-                modality, "video",
-                video_neardup_pairs_incremental(
-                    gated.where(F.col("kind") == "video"), video_index,
-                    scale_safe=vid_safe, batch_shingles=vid_sh),
+
+        def lane_shingle(kind: str, staged_sh: DataFrame, index: DataFrame,
+                         pair_fn) -> DataFrame:
+            if scale_safe == "auto":
+                # the decision reads the cold cache, doubling as its
+                # materialization (r15)
+                safe: bool | str = _auto_scale_safe(staged_sh)
+            else:
+                safe = scale_safe
+                staged_sh.count()
+            return modality(
+                kind,
+                pair_fn(gated.where(F.col("kind") == kind), index,
+                        scale_safe=safe, batch_shingles=staged_sh),
                 "doc_a", "doc_b", "first")
-            aud_f = ex.submit(
-                modality, "audio",
-                audio_neardup_pairs_incremental(
-                    gated.where(F.col("kind") == "audio"), audio_index,
-                    scale_safe=aud_safe, batch_shingles=aud_sh),
-                "doc_a", "doc_b", "first")
+
+        with ThreadPoolExecutor(max_workers=3) as ex:
+            img_f = ex.submit(lane_img)
+            vid_f = ex.submit(lane_shingle, "video", vid_sh, video_index,
+                              video_neardup_pairs_incremental)
+            aud_f = ex.submit(lane_shingle, "audio", aud_sh, audio_index,
+                              audio_neardup_pairs_incremental)
             img, vid, aud = (img_f.result(), vid_f.result(),
                              aud_f.result())
         # ONE eager checkpoint materializes all three (driver-path

@@ -2964,9 +2964,19 @@ def _sidecar_write(spark, dir_path: str, table) -> None:
     filesystem the cluster's Spark can reach (HDFS/S3A/local); pyarrow
     encodes the bytes, so the file is ordinary parquet that
     ``spark.read.parquet`` and old readers still understand. Layout
-    matches a Spark write: ``<dir>/part-00000.parquet`` + ``_SUCCESS``,
-    overwrite == delete + recreate (atomicity is not weaker than the
-    Spark write this replaces: sidecars are single-writer metadata)."""
+    matches a Spark write: ``<dir>/part-00000.parquet`` + ``_SUCCESS``.
+
+    Overwrite commits via STAGE + RENAME (r16, ADVICE r15): the new
+    content is fully written into a ``<dir>.__tmp__`` sibling, the old
+    dir (if any) is deleted, and the sibling renamed into place —
+    FileSystem.rename is atomic on HDFS/local, so a concurrent reader
+    can no longer observe a half-written sidecar; the residual window
+    is the delete→rename metadata gap (two FS ops), down from
+    delete→mkdir→write→write. Sidecars remain single-WRITER metadata
+    (concurrent purges still need external serialization); a reader
+    racing that tiny window and finding no dir treats it as "no
+    sidecar", same as before. A stale ``.__tmp__`` from a crashed
+    writer is overwritten by the next write."""
     import io
 
     import pyarrow.parquet as papq
@@ -2977,17 +2987,23 @@ def _sidecar_write(spark, dir_path: str, table) -> None:
     hconf = spark._jsc.hadoopConfiguration()
     p = jvm.org.apache.hadoop.fs.Path(dir_path)
     fs = p.getFileSystem(hconf)
-    if fs.exists(p):
-        fs.delete(p, True)
-    fs.mkdirs(p)
+    tmp = jvm.org.apache.hadoop.fs.Path(dir_path + ".__tmp__")
+    if fs.exists(tmp):
+        fs.delete(tmp, True)
+    fs.mkdirs(tmp)
     out = fs.create(
-        jvm.org.apache.hadoop.fs.Path(dir_path + "/part-00000.parquet"),
+        jvm.org.apache.hadoop.fs.Path(str(tmp) + "/part-00000.parquet"),
         True)
     out.write(bytearray(buf.getvalue()))
     out.close()
-    s = fs.create(jvm.org.apache.hadoop.fs.Path(dir_path + "/_SUCCESS"),
+    s = fs.create(jvm.org.apache.hadoop.fs.Path(str(tmp) + "/_SUCCESS"),
                   True)
     s.close()
+    if fs.exists(p):
+        fs.delete(p, True)
+    if not fs.rename(tmp, p):
+        raise IOError(f"_sidecar_write: could not rename {tmp} into "
+                      f"place at {dir_path}")
 
 
 def _sidecar_read(spark, dir_path: str):

@@ -221,10 +221,15 @@ PRIORITY = [
     # (round-14: ev_ohlc_hourly rotates BACK in per ask #7)
     "ev_sessions", "ev_ohlc_hourly",
     "stream_ann_index_maintain",
-    # round-15 rotate-backs (dormant full-local entries cycling under
-    # the hard gate per ask #7: recursive CTE, pivot, width_bucket
-    # histogram)
-    "recursive_key_depth", "pivot_priority_status", "hist_order_totals",
+    # round-16 rotation (VERDICT r15 ask #8): the four r15
+    # registrations (filtered ANN x2, IVFADC residual, HLL MV) keep
+    # their slots one more round; the r15 rotate-backs
+    # (recursive_key_depth, pivot_priority_status, hist_order_totals)
+    # cycle back to full-local after their round under the gate (the
+    # r13->r15 precedent), and three of the LONGEST-dormant full-local
+    # entries rotate in: pii_redact_contacts + text_corpus_quantiles
+    # (both out since round 5) and dedup_exact (out since round 6).
+    "pii_redact_contacts", "text_corpus_quantiles", "dedup_exact",
     # TPC-H representative (full 22-query suite keeps full-local oracle
     # coverage in registration order below)
     "tpch_q1_pricing",

@@ -79,7 +79,11 @@ def _cached_schema(spark: SparkSession, path: str) -> T.StructType:
         st = os.stat(path)
         key = (path, st.st_mtime_ns, st.st_size)
     except OSError:
-        key = path
+        # non-local filesystem (s3a://, hdfs://): no cheap mtime/size
+        # invalidation key exists here, so SKIP the cache entirely and
+        # infer per read — caching under a bare path key would serve a
+        # stale schema forever after a remote rewrite (ADVICE r15).
+        return spark.read.parquet(path).schema
     sch = _SCHEMA_CACHE.get(key)
     if sch is None:
         sch = spark.read.parquet(path).schema

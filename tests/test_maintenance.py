@@ -1360,3 +1360,22 @@ def test_ann_sidecar_driver_io_roundtrip(spark, tmp_path):
                            "cell int, w array<double>")
      .repartition(2).write.parquet(old + "/_centroids"))
     assert read_ivf_centroids(spark, old) == cents
+
+    # overwrite-while-reading (r16 stage+rename commit, ADVICE r15):
+    # interleave rewrites with reads — every read must observe a
+    # complete, valid sidecar state (one of the committed sets), never
+    # a missing dir or partial file, and no .__tmp__ staging dir may
+    # survive a completed write
+    import os as _os
+
+    for i in range(6):
+        _write_ann_tombstones(spark, idx, [100 + i])
+        seen = sorted(r.neighbor_id
+                      for r in read_ann_tombstones(spark, idx).collect())
+        assert set([3, 5, 7] + [100 + j for j in range(i + 1)]) \
+            == set(seen)
+    assert not _os.path.exists(idx + "/_tombstones.__tmp__")
+    # the staged dir never leaks into Spark's view of the index root
+    names = set(_os.listdir(idx))
+    assert "_tombstones" in names and "_centroids" in names
+    assert not [n for n in names if n.endswith(".__tmp__")]
