@@ -410,7 +410,7 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         # defaultParallelism cluster-sized, so per-task volume stays
         # |cand|/cores.
         cand = cand.repartition(
-            df.sparkSession.sparkContext.defaultParallelism)
+            docs.sparkSession.sparkContext.defaultParallelism)
     da = docs.select(F.col("doc").alias("doc_a"), F.col("sh").alias("sh_a"))
     db = docs.select(F.col("doc").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -856,10 +856,18 @@ def ngram_jaccard_dedup(df: DataFrame, threshold: float = 0.5,
     (:func:`ngram_jaccard_pairs` -> :func:`dedup_survivors`). ``keep``/
     ``score`` select the min-id or quality-arg-max policy; remaining
     kwargs (``scale_safe``, ``df_cap``, ``k``, ...) forward to the pair
-    generator unchanged."""
-    pairs = ngram_jaccard_pairs(df, threshold=threshold, text_col=text_col,
-                                id_col=id_col, **pair_kwargs)
-    return dedup_survivors(df, pairs, keep=keep, score=score, id_col=id_col)
+    generator unchanged.
+
+    Cache shape (r16, guide §1.2): the pair set's ONLY consumer here is
+    dedup_survivors' cluster resolution (one bounded action), so the
+    composition stages the shingle frame itself and hands the pair
+    generator a LAZY plan (``materialize=False`` + caller ``docs``) —
+    the operator's eager pair checkpoint and its separate
+    cache-populating count would be two extra actions buying nothing.
+    Same operators, same pairs, pytest/oracle-identical results."""
+    return _staged_pair_dedup(
+        ngram_jaccard_pairs, df, threshold, keep, score, text_col,
+        id_col, pair_kwargs)
 
 
 def containment_dedup(df: DataFrame, threshold: float = 0.8,
@@ -872,10 +880,42 @@ def containment_dedup(df: DataFrame, threshold: float = 0.8,
     resolution — a doc mostly contained in another is a duplicate of it
     whichever way the asymmetry points; ``keep="best"`` then lets a
     quality score decide which copy survives (typically the LONGER
-    containing side, which min-id cannot express)."""
-    pairs = containment_pairs(df, threshold=threshold, text_col=text_col,
-                              id_col=id_col, **pair_kwargs)
-    return dedup_survivors(df, pairs, keep=keep, score=score, id_col=id_col)
+    containing side, which min-id cannot express). Cache shape: the
+    staged-docs + lazy-pairs composition of :func:`ngram_jaccard_dedup`
+    (r16)."""
+    return _staged_pair_dedup(
+        containment_pairs, df, threshold, keep, score, text_col,
+        id_col, pair_kwargs)
+
+
+def _staged_pair_dedup(pair_fn, df: DataFrame, threshold: float,
+                       keep: str, score: Column | None, text_col: str,
+                       id_col: str, pair_kwargs: dict) -> DataFrame:
+    """Shared staged-docs + lazy-pairs core of the one-call dedup
+    compositions: persist the shingle frame, materialize it via the
+    auto decision (when requested) or one count, run the pair plan
+    lazily into dedup_survivors' single cluster-resolution action, and
+    release the cache before returning (the survivors frame's lineage
+    holds only ``df`` and the local cluster ids)."""
+    from pyspark import StorageLevel
+
+    kwargs = dict(pair_kwargs)
+    k = kwargs.pop("k", 3)
+    docs = shingled_docs(df, text_col, id_col, k) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        if kwargs.get("scale_safe") not in ("auto",):
+            # no decision action will touch the cache — populate it
+            # before the pair plan's branches race on it cold (the
+            # ngram_jaccard_pairs docs.count() discipline)
+            docs.count()
+        pairs = pair_fn(df, threshold=threshold, text_col=text_col,
+                        id_col=id_col, k=k, materialize=False,
+                        docs=docs, **kwargs)
+        return dedup_survivors(df, pairs, keep=keep, score=score,
+                               id_col=id_col)
+    finally:
+        docs.unpersist()
 
 
 # ---------------------------------------------------------------------------
