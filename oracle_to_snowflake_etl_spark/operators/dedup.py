@@ -316,17 +316,28 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         # bounded by corpus size, the same move MLlib's MinHashLSH
         # makes. Released in the finally below (materialize path).
         docs = shingled_docs(df, text_col, id_col, k)
+    docs_warm = False
     if isinstance(scale_safe, str):
         if scale_safe != "auto":
             raise ValueError(
                 f'scale_safe must be a bool or "auto", got {scale_safe!r}')
-        # decide BEFORE persisting: the sample filter pushes below the
-        # shingle projection, so the decision jobs shingle only the
-        # sampled docs instead of materializing the corpus cache
-        scale_safe = _auto_scale_safe(docs)
-    if owned:
-        if materialize:
+        if owned and materialize:
+            # r16: the materialize path pays a full cache-populating
+            # docs.count() anyway, so run the decision ON the persisted
+            # frame — the decision's one action materializes the cache
+            # as a side effect (the media_ingest_incremental lane
+            # pattern) and the separate count + the 10% sample shingle
+            # pass both disappear. Decision inputs/outputs identical:
+            # same frame, same deterministic sample, just read through
+            # the cache instead of pushed below the projection.
             docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+            docs_warm = True
+        # (non-materialize / caller-docs paths keep deciding on the
+        # un-persisted frame: the sample filter pushes below the
+        # shingle projection so only sampled docs are ever shingled)
+        scale_safe = _auto_scale_safe(docs)
+    if owned and materialize and not docs.is_cached:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     # The candidate machinery runs on 64-bit shingle HASHES, not the
     # strings: the DF shuffle, the order-join, the per-doc sort, and the
     # bucket keys all move/compare fixed-width longs (~5-10x less data
@@ -432,8 +443,9 @@ def ngram_jaccard_pairs(df: DataFrame, threshold: float = 0.5,
         # branch reads the cache. Then eagerly compute the (tiny,
         # output-bounded) pair set so lineage is truncated and the
         # corpus cache can be released before the caller ever executes
-        # the returned frame.
-        if owned:
+        # the returned frame. (Skipped when the auto decision already
+        # materialized the cache — r16.)
+        if owned and not docs_warm:
             docs.count()
         if sh_cached:
             # stage the (doc, h) cache before the branching consumers
@@ -1051,16 +1063,22 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
     owned = docs is None
     if owned:
         docs = shingled_docs(df, text_col, id_col, k)
+    docs_warm = False
     if isinstance(scale_safe, str):
         if scale_safe != "auto":
             raise ValueError(
                 f'scale_safe must be a bool or "auto", got {scale_safe!r}')
-        # decide before persisting — the decision jobs shingle only the
-        # sampled docs (see ngram_jaccard_pairs)
-        scale_safe = _auto_scale_safe(docs)
-    if owned:
-        if materialize:
+        if owned and materialize:
+            # r16: decide ON the persisted frame so the decision's one
+            # action doubles as the cache materialization, replacing
+            # the separate docs.count() and the 10% sample shingle pass
+            # (see ngram_jaccard_pairs); non-materialize paths keep the
+            # pushed-down sample decision
             docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
+            docs_warm = True
+        scale_safe = _auto_scale_safe(docs)
+    if owned and materialize and not docs.is_cached:
+        docs = docs.persist(StorageLevel.MEMORY_AND_DISK)
     sh = (docs.select("doc", F.explode("sh").alias("s"))
           .select("doc", F.xxhash64("s").alias("h")))
     sh_cached = False
@@ -1145,7 +1163,9 @@ def containment_pairs(df: DataFrame, threshold: float = 0.8,
         # shared stage): one shingle pass, one three-window chain, one
         # candidate join; the final job is then the rescore alone.
         # Measured at sf0.1: 12.5s (racing) -> 4.9s -> ~3.6s (staged).
-        if owned:
+        # (docs.count skipped when the auto decision already
+        # materialized the cache — r16.)
+        if owned and not docs_warm:
             docs.count()
         if sh_cached:
             sh.count()
